@@ -1,0 +1,101 @@
+"""Normalization: schema enforcement, full-record dedup, stable ordering.
+
+Reference semantics re-expressed:
+
+- type coercion at ingest (reference: src/aroma/datapipes/iter/
+  tensor.py:29-39 — numeric lists -> tensors) becomes declarative CASTs;
+- full-record duplicate removal, first-in-sort-order survivor
+  (reference: src/aroma/datasets/breakfast.py:597-618, semantics fixed by
+  tests/unit/datasets/test_breakfast.py:830-962) becomes
+  ``dropDuplicates`` over all columns — exact equality including floats,
+  not approximate;
+- stable per-entity ordering (reference: src/aroma/datasets/
+  multithumos.py:520-521 sort by (start_time, action_index)) becomes the
+  canonical ``(conv_id, turn_idx)`` order carried by window specs, never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CANONICAL_SCHEMA = {
+    "conv_id": "string",
+    "turn_idx": "int",
+    "role": "string",
+    "text": "string",
+    "tool": "string",
+    "ts": "timestamp",
+}
+
+
+def normalize(df: DataFrame, dedup: bool = True) -> DataFrame:
+    """Cast to the canonical schema and (optionally) drop exact duplicates.
+
+    ``dropDuplicates()`` over all columns is a single hash-exchange on the
+    full row; at 100 TB AQE sizes the exchange and a pre-aggregation
+    (partial distinct) runs map-side first, so the shuffle carries only
+    unique rows per partition.
+    """
+    out = df.select(
+        *[F.col(c).cast(t).alias(c) for c, t in CANONICAL_SCHEMA.items()]
+    )
+    if dedup:
+        out = out.dropDuplicates()
+    return out
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal.
+
+    - ``keys=None``: full-record DISTINCT (the reference's
+      DuplicateExampleRemover semantics).
+    - ``keys=[...]``: keep the first row per key under the stable
+      ``(conv_id, turn_idx)`` order — deterministic survivor, unlike bare
+      ``dropDuplicates(keys)`` whose survivor is partition-order dependent.
+    """
+    if keys is None:
+        return df.dropDuplicates()
+    from pyspark.sql import Window
+
+    order = [c for c in ("conv_id", "turn_idx", "ts") if c in df.columns]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sequence_content_hash(df: DataFrame) -> DataFrame:
+    """Per-conversation content fingerprint for sequence-level dedup.
+
+    The reference dedups whole *sequences* (all fields equal). In
+    relational form: hash the ordered concatenation of per-turn structs —
+    ``sha2`` over ``concat_ws`` of the turn-sorted array. Two
+    conversations with identical ordered content collide on
+    ``content_hash``; keep min(conv_id) as survivor (first-in-sort-order,
+    reference: src/aroma/datasets/breakfast.py:606-609).
+    """
+    per_turn = F.concat_ws(
+        "\x01",
+        F.col("turn_idx").cast("string"),
+        F.coalesce(F.col("role"), F.lit("\x00")),
+        F.coalesce(F.col("text"), F.lit("\x00")),
+        F.coalesce(F.col("tool"), F.lit("\x00")),
+        F.col("ts").cast("string"),
+    )
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    "\x02",
+                    F.array_sort(F.collect_list(F.struct("turn_idx", per_turn.alias("t")))).getField("t"),
+                ),
+                256,
+            ).alias("content_hash"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    )

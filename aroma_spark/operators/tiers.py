@@ -1,0 +1,150 @@
+"""Continuous-aggregate tier lattice: raw -> 1m -> 1h -> 1d.
+
+The engine's rollups are *algebraic partials* — sum/count/min/max compose
+— so each tier is computed by re-aggregating the next tier down
+(partial+final aggregation applied tier-to-tier), never by rescanning the
+raw table. At 100 TB this is the difference between scanning 10^12 rows
+once vs three times: the 1h tier reads the (already tiny) 1m tier.
+The reference has no rollup; its aggregation analogs are the token
+Counter (reference: src/aroma/datasets/breakfast.py:621-641) and
+row-count metrics (breakfast.py:465) — generalized here per
+BASELINE.json north_rule into retention-tier continuous aggregates.
+
+Exactness: every measure is integer (microsecond latencies, lengths,
+counts) or min/max — no float accumulation — so re-aggregated tiers match
+direct-from-raw computation bit-for-bit ("point-exact").
+
+Skew: hot conversations (Zipf head) concentrate rows on single
+(conv_id, bucket) keys. ``rollup_tier_salted`` does the north_rule's
+salted two-stage aggregation: stage 1 pre-aggregates on
+(conv_id, bucket, salt) spreading a hot key over K reducers; stage 2
+merges the K partials. Spark's own partial aggregation already does a
+map-side combine; the explicit salt matters when a single reducer-side
+(key) group would exceed one task (AQE skew-split handles joins, not
+aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tier -> (date_trunc unit, parent tier)
+TIER_SPECS: dict[str, tuple[str, str | None]] = {
+    "1m": ("minute", None),
+    "1h": ("hour", "1m"),
+    "1d": ("day", "1h"),
+}
+
+MEASURES = [
+    "n_points",
+    "sum_latency_us",
+    "min_latency_us",
+    "max_latency_us",
+    "sum_text_len",
+    "sum_tool_calls",
+    "first_ts",
+    "last_ts",
+]
+
+
+def rollup_tier(signals: DataFrame, unit: str = "minute") -> DataFrame:
+    """Base rollup from the raw signal frame (one shuffle on conv_id+bucket)."""
+    return (
+        signals.groupBy(
+            "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+            F.min("inter_time_us").cast("long").alias("min_latency_us"),
+            F.max("inter_time_us").cast("long").alias("max_latency_us"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+            F.sum("tool_call").cast("long").alias("sum_tool_calls"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def reaggregate(lower: DataFrame, unit: str) -> DataFrame:
+    """Merge a lower tier's partials into a coarser bucket — the lattice edge."""
+    return (
+        lower.groupBy(
+            "conv_id", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("sum_latency_us").cast("long").alias("sum_latency_us"),
+            F.min("min_latency_us").cast("long").alias("min_latency_us"),
+            F.max("max_latency_us").cast("long").alias("max_latency_us"),
+            F.sum("sum_text_len").cast("long").alias("sum_text_len"),
+            F.sum("sum_tool_calls").cast("long").alias("sum_tool_calls"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def rollup_lattice(signals: DataFrame) -> dict[str, DataFrame]:
+    """All tiers; each computed from its parent per TIER_SPECS."""
+    tiers: dict[str, DataFrame] = {}
+    for name, (unit, parent) in TIER_SPECS.items():
+        tiers[name] = (
+            rollup_tier(signals, unit)
+            if parent is None
+            else reaggregate(tiers[parent], unit)
+        )
+    return tiers
+
+
+def rollup_tier_salted(
+    signals: DataFrame, unit: str = "minute", n_salts: int = 16
+) -> DataFrame:
+    """Two-stage salted base rollup for hot conversations.
+
+    Stage 1 groups by (conv_id, bucket, salt=pmod(hash(turn_idx), K)) —
+    a hot (conv_id, bucket) spreads over K parallel reducers. Stage 2 is
+    the cheap K-way merge. Result is identical to :func:`rollup_tier`
+    (integer partials compose exactly); only the physical plan differs.
+    """
+    salt = F.pmod(F.hash("turn_idx"), F.lit(n_salts)).alias("__salt")
+    stage1 = (
+        signals.groupBy(
+            "conv_id",
+            F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+            salt,
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+            F.min("inter_time_us").cast("long").alias("min_latency_us"),
+            F.max("inter_time_us").cast("long").alias("max_latency_us"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+            F.sum("tool_call").cast("long").alias("sum_tool_calls"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    return (
+        stage1.groupBy("conv_id", "bucket_ts")
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("sum_latency_us").cast("long").alias("sum_latency_us"),
+            F.min("min_latency_us").cast("long").alias("min_latency_us"),
+            F.max("max_latency_us").cast("long").alias("max_latency_us"),
+            F.sum("sum_text_len").cast("long").alias("sum_text_len"),
+            F.sum("sum_tool_calls").cast("long").alias("sum_tool_calls"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def retention_prune(tier: DataFrame, keep_after: str) -> DataFrame:
+    """Retention = tier-scoped pruning: drop buckets older than the horizon.
+
+    On the partitioned warehouse (days(ts)) this predicate prunes whole
+    partitions at scan time — no data read outside the horizon.
+    """
+    return tier.where(F.col("bucket_ts") >= F.to_timestamp(F.lit(keep_after)))
