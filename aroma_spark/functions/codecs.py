@@ -136,6 +136,12 @@ def _unzigzag(z: int) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
+def _wrap64(x: int) -> int:
+    """Wrap a Python int to int64 two's-complement — matches numpy's
+    wrapping diff/cumsum so round trips stay exact even at the extremes."""
+    return ((x + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
 _DOD_BUCKETS = (  # (zigzag upper bound exclusive, prefix, prefix_len, val_bits)
     (1 << 7, 0b10, 2, 7),
     (1 << 12, 0b110, 3, 12),
@@ -188,7 +194,7 @@ def decode_dod(buf: bytes) -> np.ndarray:
         return np.array([t0], dtype=np.int64)
     (d0,) = struct.unpack(">q", buf[12:20])
     out = np.empty(n, dtype=np.int64)
-    out[0], out[1] = t0, t0 + d0
+    out[0], out[1] = t0, _wrap64(t0 + d0)
     r = _BitReader(buf[20:])
     d = d0
     for i in range(2, n):
@@ -202,8 +208,8 @@ def decode_dod(buf: bytes) -> np.ndarray:
             else:
                 z = r.read(64)
             dod = _unzigzag(z)
-        d += dod
-        out[i] = out[i - 1] + d
+        d = _wrap64(d + dod)
+        out[i] = _wrap64(int(out[i - 1]) + d)
     return out
 
 

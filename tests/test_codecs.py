@@ -1,0 +1,82 @@
+"""Codec round-trip tests: encode ∘ decode = identity, exact bits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aroma_spark.functions.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+
+
+@pytest.mark.parametrize(
+    "ts",
+    [
+        [],
+        [7],
+        [7, -9],
+        [0, 2**40, -(2**40), 5],
+        [1, 2, 3, 4, 5],
+        [10, 10, 10],
+        [-(2**62), 2**62, 0],
+    ],
+)
+def test_dod_edges(ts):
+    a = np.array(ts, dtype=np.int64)
+    assert np.array_equal(decode_dod(encode_dod(a)), a)
+
+
+def test_dod_regular_compresses():
+    ts = np.arange(10_000, dtype=np.int64) * 60_000_000
+    blob = encode_dod(ts)
+    assert len(blob) < 0.05 * 8 * len(ts)  # constant dod -> ~1 bit/point
+    assert np.array_equal(decode_dod(blob), ts)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**61), max_value=2**61), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_dod_property(xs):
+    a = np.cumsum(np.array(xs, dtype=np.int64) // 4).astype(np.int64)
+    assert np.array_equal(decode_dod(encode_dod(a)), a)
+
+
+@pytest.mark.parametrize(
+    "vs",
+    [
+        [],
+        [float("nan")],
+        [1.0, 1.0, 1.0],
+        [0.0, -0.0, float("inf"), float("-inf"), float("nan")],
+        [1e-308, 5e-324, 1.7e308],
+    ],
+)
+def test_gorilla_edges(vs):
+    a = np.array(vs, dtype=np.float64)
+    out = decode_gorilla(encode_gorilla(a))
+    assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
+
+
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_gorilla_property(vs):
+    a = np.array(vs, dtype=np.float64)
+    out = decode_gorilla(encode_gorilla(a))
+    assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
+
+
+def test_gorilla_slowly_varying_compresses():
+    rng = np.random.default_rng(7)
+    v = np.round(np.cumsum(rng.normal(size=5000) * 0.01) + 100.0, 2)
+    blob = encode_gorilla(v)
+    assert len(blob) < 0.75 * 8 * len(v)
+    assert np.array_equal(decode_gorilla(blob).view(np.uint64), v.view(np.uint64))
