@@ -36,6 +36,26 @@ from aroma_spark.operators.vocab import (
     filter_by_prefix,
     top_k_tokens,
 )
+from aroma_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_band_keys,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from aroma_spark.operators.similarity import (
+    _hyperplane,
+    brute_force_topk,
+    lsh_ann_pairs,
+)
+from aroma_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    with_text_stats,
+)
+from aroma_spark.sources.transcripts import load_table
 
 # ---------------------------------------------------------------- helpers
 
@@ -151,6 +171,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- training-data ops: documents (task brief: dedup + text analysis) ---
+    q["doc_exact_dedup"] = lambda spark, sf: exact_text_dedup(
+        load_table(spark, sf, "documents")
+    )
+    q["doc_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.2
+    )
+    q["doc_minhash_bands"] = lambda spark, sf: minhash_band_keys(
+        load_table(spark, sf, "documents")
+    )
+    q["doc_minhash_pairs"] = lambda spark, sf: minhash_lsh_pairs(
+        load_table(spark, sf, "documents")
+    )
+    q["doc_simhash"] = lambda spark, sf: simhash(load_table(spark, sf, "documents"))
+    q["doc_simhash_pairs"] = lambda spark, sf: simhash_near_pairs(
+        load_table(spark, sf, "documents"), max_hamming=6
+    )
+    q["doc_text_stats"] = lambda spark, sf: with_text_stats(
+        load_table(spark, sf, "documents")
+    ).select("doc_id", "n_chars_calc", "n_tokens", "n_alpha", "n_digit",
+             "avg_token_len", "alpha_ratio")
+    q["doc_quality"] = lambda spark, sf: quality_score(
+        load_table(spark, sf, "documents")
+    ).select("doc_id", "quality_score")
+    q["doc_langid"] = lambda spark, sf: lang_id(
+        load_table(spark, sf, "documents")
+    ).select("doc_id", "lang_pred")
+    q["doc_fingerprint"] = lambda spark, sf: fingerprint(
+        load_table(spark, sf, "documents")
+    ).select("doc_id", "fp_exact", "fp_norm")
+
+    # --- similarity search: embeddings ---
+    def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+        emb = load_table(spark, sf, "embeddings")
+        return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+    q["ann_topk"] = ann_topk
+    q["emb_lsh_pairs"] = lambda spark, sf: lsh_ann_pairs(
+        load_table(spark, sf, "embeddings"), n_planes=6, dim=64, min_cosine=0.15
+    )
+
     return q
 
 
@@ -226,4 +287,163 @@ FROM t LEFT JOIN v ON t.role = v.token"""
     o["membership_filter"] = (
         f"WITH t AS ({TRANSCRIPTS_SQL})\nSELECT * FROM t WHERE role IN ('click','error')"
     )
+
+    # ---- documents / embeddings (training-data ops) ----
+    o["doc_exact_dedup"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(COALESCE(text,'')) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(COALESCE(text,''))"""
+
+    # word 3-gram shingles, distinct per doc (1-based list indexing)
+    shingle_sql = """
+w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)
+""".strip()
+
+    o["doc_ngram_jaccard"] = f"""WITH {shingle_sql},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"""
+
+    minhash_sql = f"""{shingle_sql},
+mh AS (SELECT doc_id, i AS hash_idx, min(md5(i || ':' || shingle)) AS minhash
+       FROM sh, UNNEST(range(0, 12)) AS t(i) GROUP BY doc_id, i),
+bands AS (SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+                 md5(string_agg(minhash, '|' ORDER BY hash_idx)) AS band_key
+          FROM mh GROUP BY doc_id, hash_idx // 4)"""
+
+    o["doc_minhash_bands"] = f"WITH {minhash_sql}\nSELECT doc_id, band, band_key FROM bands"
+    o["doc_minhash_pairs"] = f"""WITH {minhash_sql}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id"""
+
+    simhash_sql = """
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+tok2 AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok WHERE w <> ''),
+votes AS (SELECT doc_id, i AS b, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM tok2, UNNEST(range(0, 32)) AS t(i) GROUP BY doc_id, i),
+simh AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id)
+""".strip()
+    o["doc_simhash"] = f"WITH {simhash_sql}\nSELECT doc_id, simhash FROM simh"
+    o["doc_simhash_pairs"] = f"""WITH {simhash_sql},
+bands AS (SELECT doc_id, simhash, i AS byte_idx, (simhash >> (i*8)) & 255 AS byte_val
+          FROM simh, UNNEST(range(0, 4)) AS t(i)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM bands a JOIN bands b ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+          WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+
+    o["doc_text_stats"] = """
+SELECT doc_id,
+  CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars_calc,
+  CAST(CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CASE WHEN (CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END) > 0
+       THEN CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS DOUBLE)
+            / (CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END) END AS avg_token_len,
+  CASE WHEN length(COALESCE(text,'')) > 0
+       THEN CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(COALESCE(text,'')) END AS alpha_ratio
+FROM documents"""
+
+    o["doc_quality"] = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END AS n_tokens,
+    length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS n_alpha,
+    length(COALESCE(text,'')) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+  ((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+   + COALESCE(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars END, 0.0)
+   + (CASE WHEN n_tokens > 0 AND CAST(n_alpha AS DOUBLE)/n_tokens >= 2.0
+            AND CAST(n_alpha AS DOUBLE)/n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+  ) / 3.0 AS quality_score
+FROM s"""
+
+    def _cnt(m: str) -> str:
+        return f"CAST((length(low) - length(replace(low, '{m}', ''))) / {len(m)} AS BIGINT)"
+
+    from aroma_spark.functions.text import LANG_MARKERS
+
+    score_exprs = {
+        lang: " + ".join(_cnt(m) for m in marks)
+        for lang, marks in LANG_MARKERS.items()
+    }
+    score_sel = ", ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    pick = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        pick = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {pick} END"
+    o["doc_langid"] = f"""
+WITH l AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS low FROM documents),
+s AS (SELECT doc_id, low, {score_sel},
+      CAST(length(low) - length(regexp_replace(low, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk,
+      CAST(CASE WHEN trim(low) = '' THEN 0 ELSE len(regexp_split_to_array(trim(low), '\\s+')) END AS BIGINT) AS ntok
+      FROM l),
+b AS (SELECT *, greatest(s_en, s_fr, s_de, s_es) AS best FROM s)
+SELECT doc_id,
+  CASE WHEN cjk * 4 > ntok THEN 'zh'
+       WHEN best = 0 THEN 'und'
+       ELSE {pick} END AS lang_pred
+FROM b"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(COALESCE(text,'')) AS fp_exact,
+       md5(trim(regexp_replace(lower(COALESCE(text,'')), '\\s+', ' ', 'g'))) AS fp_norm
+FROM documents"""
+
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}), "
+        "t -> CAST(t[1] AS DOUBLE)*t[2]), 'sum')"
+    )
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"{dot.format(a=a, b=b)} / "
+            f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)}))"
+        )
+
+    o["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5"""
+
+    planes = [_hyperplane(64, p) for p in range(6)]
+    plane_lits = [
+        "[" + ", ".join(repr(v) for v in pl) + "]::DOUBLE[]" for pl in planes
+    ]
+    sig_expr = " + ".join(
+        f"(CASE WHEN {dot.format(a='embedding', b=plane_lits[p])} >= 0 "
+        f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        for p in range(6)
+    )
+    o["emb_lsh_pairs"] = f"""
+WITH sigs AS (SELECT vec_id, embedding, ({sig_expr}) AS sig FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.15"""
     return o

@@ -1,0 +1,246 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- exact: one hash-shuffle on md5(text) — dedup 100 TB without ever
+  comparing texts pairwise;
+- n-gram Jaccard: exact pairwise similarity via a shingle-inverted
+  index (explode -> self-join on shingle -> per-pair intersection
+  counts). Quadratic in bucket size — the *verifier*, not the scale path;
+- MinHash+LSH: the scale path — k md5-salted min-hashes, banded into
+  LSH buckets; candidate pairs only ever meet inside a bucket join, so
+  the shuffle carries (band_key, doc) pairs, never the cross product;
+- SimHash: 32-bit signed-projection fingerprint; near-dups differ in
+  few bits.
+
+Everything is md5-based and engine-portable: the DuckDB oracles in
+__spark_entry__ reproduce identical signatures, buckets, and pairs.
+
+The reference's only dedup is full-record removal
+(src/aroma/datasets/breakfast.py:597-618 — covered by
+aroma_spark.operators.normalize); these are its web-scale
+generalizations required by the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 12
+BAND_SIZE = 4  # -> 3 bands
+
+
+def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep min(id) per distinct text (hash-group, no pairwise compare)."""
+    return (
+        df.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    0-based array indexing (Spark SQL); the DuckDB oracle uses 1-based —
+    kept in lockstep in __spark_entry__.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(split(lower(trim({text_col})), '\\\\s+')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {n})))"
+    )
+    return (
+        df.where(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for all candidate pairs.
+
+    inverted-index self-join: pairs only materialize when they share at
+    least one shingle. For web scale, run it AFTER MinHash-LSH bucketing
+    (minhash_lsh_pairs) to bound the candidate set.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, hash_idx, minhash): k salted-md5 min-hashes per document.
+
+    min over fixed-width lowercase hex strings == min over the 128-bit
+    values — portable across engines with zero custom hashing.
+    """
+    sh = word_shingles(df, id_col, text_col)
+    hashed = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx"),
+        "shingle",
+    ).select(
+        id_col,
+        "hash_idx",
+        F.md5(F.concat_ws(":", F.col("hash_idx"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(id, band, band_key): LSH bucket keys — md5 of the ordered band slice."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    sig = sig.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
+    return (
+        sig.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_idx", "minhash"))
+                    ).getField("minhash"),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
+
+    The join is per band_key — the only shuffle key. A pathological
+    bucket (common template text) is the skew risk; AQE skew-join
+    handles it, or pre-filter giant buckets.
+    """
+    bands = minhash_band_keys(df, id_col, text_col, n_hashes, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over word tokens (with multiplicity).
+
+    Per token: 32-bit hash from the md5 hex prefix; per bit: sign of the
+    +1/-1 vote sum; fingerprint = the sign bits. Pure relational
+    (explode tokens x explode bits -> two aggregations)."""
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    votes = (
+        words.select(id_col, h.alias("h"))
+        .select(
+            id_col,
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, b) & 1)") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded by byte.
+
+    Two 32-bit hashes within hamming distance 3 share at least one of
+    their 4 bytes — join per byte-band, then exact popcount filter.
+    """
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_idx * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, on=["byte_idx", "byte_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,6 @@
+from aroma_spark.plans.checkpoint import (  # noqa: F401
+    incremental_rollup,
+    load_manifest,
+    write_manifest_entry,
+)
+from aroma_spark.plans.pipeline import run_pipeline  # noqa: F401

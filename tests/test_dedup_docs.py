@@ -1,0 +1,65 @@
+"""Document dedup operators: exact, Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+
+from aroma_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base + " extra trailing words here"),  # near-dup of 0
+        (3, "completely different content about spark rollups and tiers ok"),
+        (4, "short text"),  # < 3 tokens after shingling guard? 2 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_text_dedup(docs).toPandas()
+    assert len(out) == 4  # 0/1 collapse
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.doc_id.iloc[0] == 0  # min-id survivor
+
+
+def test_shingles_skip_short_docs(spark, docs):
+    sh = word_shingles(docs).toPandas()
+    assert 4 not in set(sh.doc_id)  # 2 tokens -> no 3-gram
+    assert set(sh.doc_id) == {0, 1, 2, 3}
+
+
+def test_jaccard_identical_is_one(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).toPandas()
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(exact) == 1 and exact.jaccard.iloc[0] == 1.0
+    near = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 2)]
+    assert len(near) == 1 and 0.2 <= near.jaccard.iloc[0] < 1.0
+    assert not ((pairs.doc_a == 0) & (pairs.doc_b == 3)).any()
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    pairs = minhash_lsh_pairs(docs).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 1) in got  # identical docs always collide in every band
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_identical_and_distance(spark, docs):
+    sh = simhash(docs).toPandas().set_index("doc_id").simhash
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**32
+    pairs = simhash_near_pairs(docs, max_hamming=0).toPandas()
+    assert {(0, 1)} <= set(zip(pairs.doc_a, pairs.doc_b))
+    assert (pairs.hamming == 0).all()
