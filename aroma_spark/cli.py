@@ -1,0 +1,54 @@
+"""spark-submit entry point.
+
+Cluster usage (the 10^12-turn deployment shape)::
+
+    zip -r aroma_spark.zip aroma_spark
+    spark-submit --py-files aroma_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        aroma_spark/cli.py --input <table-or-path> --out <warehouse-root>
+
+Sandbox usage::
+
+    python -m aroma_spark.cli --synth-turns 100000 --out /tmp/rollups
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from aroma_spark.session import get_spark
+from aroma_spark.plans.pipeline import run_pipeline
+from aroma_spark.sources.transcripts import load_transcripts
+from aroma_spark.synth import synth_transcripts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--synth-turns", type=int, help="generate N synthetic turns instead of reading --input")
+    ap.add_argument("--synth-convs", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True, help="warehouse root for tier outputs + manifests")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--no-dedup", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("aroma-rollup", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    if args.synth_turns:
+        transcripts = synth_transcripts(
+            spark, n_turns=args.synth_turns, n_convs=args.synth_convs, seed=args.seed
+        )
+    elif args.input:
+        transcripts = load_transcripts(spark, args.input)
+    else:
+        ap.error("one of --input / --synth-turns is required")
+
+    metrics = run_pipeline(spark, transcripts, args.out, dedup=not args.no_dedup)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,15 +39,16 @@ MANIFEST_DIR = "_manifest"
 def partition_fingerprints(signals: DataFrame) -> dict[str, dict]:
     """day -> {n_rows, fingerprint} from the raw signal frame.
 
-    xxhash64 over the full row, summed per day: order-independent and
-    partition-independent, so identical data always fingerprints
-    identically. One shuffle with tiny output (#days rows).
+    xxhash64 over the full row, bit_xor-folded per day: order- and
+    partition-independent (xor commutes, never overflows); paired with
+    the row count so duplicate-row changes still flip the fingerprint.
+    One shuffle with tiny output (#days rows).
     """
     rows = (
         signals.groupBy(F.to_date("ts").cast("string").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.xxhash64(*signals.columns)).alias("fp"),
+            F.bit_xor(F.xxhash64(*signals.columns)).alias("fp"),
         )
         .collect()
     )

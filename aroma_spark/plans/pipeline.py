@@ -1,0 +1,43 @@
+"""End-to-end rollup job orchestration — the spark-submit entry.
+
+normalize -> signals -> (optional codec blobs) -> incremental tier
+lattice with checkpoints -> metrics. This is the job that runs at
+10^12-turn scale via ``spark-submit --py-files aroma_spark.zip
+-m aroma_spark.cli`` (see aroma_spark/cli.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aroma_spark.operators.normalize import normalize
+from aroma_spark.operators.signals import with_signals
+from aroma_spark.plans.checkpoint import incremental_rollup
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    dedup: bool = True,
+) -> dict:
+    """Run the full rollup pipeline; returns the metrics manifest.
+
+    One logical plan: the normalize/dedup shuffle and the conv_id signal
+    window are the only wide stages before the per-tier aggregations;
+    the lattice re-aggregates materialized tiers so each higher tier
+    reads orders of magnitude fewer rows.
+    """
+    t0 = time.time()
+    sig = with_signals(normalize(transcripts, dedup=dedup))
+    metrics = incremental_rollup(spark, sig, out_root)
+    total_points = sum(m["row_count"] for m in metrics.values())
+    wall = time.time() - t0
+    return {
+        "tiers": metrics,
+        "total_rollup_points": total_points,
+        "wall_sec": round(wall, 3),
+        "points_per_sec": round(total_points / wall, 1) if wall else None,
+    }
