@@ -1,17 +1,24 @@
 """Spark plumbing for the Gorilla / delta-of-delta codecs.
 
-Grouped-map Arrow UDFs (``applyInPandas``): one group = one
-``(conv_id, day_bucket)`` chunk of the ordered series -> one encoded blob
-row. Groups are the unit of parallelism — at 10^12 turns the encode is
-embarrassingly parallel across (conv, day) chunks, and blob size stays
-bounded by the day bucket regardless of conversation length (a hot
-conversation never concentrates on one task beyond a single day's turns).
+One blob per ``(conv_id, day)`` chunk of the ordered series. At 10^12
+turns the encode is embarrassingly parallel across (conv, day) chunks
+and blob size stays bounded by the day bucket regardless of conversation
+length (a hot conversation never concentrates on one task beyond a
+single day's turns).
 
-The UDF sorts its own group by ``turn_idx`` — grouped-map input order is
-not guaranteed — so results are independent of upstream partitioning.
+Physical strategy: NOT ``groupBy().applyInPandas`` — transcript data has
+millions of tiny (conv, day) groups and grouped-map pays per-group
+Python/Arrow overhead (measured ~2 ms/group -> hours at scale).
+Instead: ``repartition(conv_id)`` + ``sortWithinPartitions(conv_id,
+day, turn_idx)`` + ``mapInPandas`` with group-boundary stitching across
+Arrow batches — one Python call per ~64k-row batch, the per-group work
+is a numpy slice. Same shuffle+sort the grouped-map would do, ~100x
+less interpreter overhead.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import pandas as pd
 
@@ -31,57 +38,81 @@ ENCODED_SCHEMA = (
 DECODED_SCHEMA = "conv_id string, day date, seq_idx long, ts_us long, value double"
 
 
+def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for (cid, day), g in pdf.groupby(["conv_id", "day"], sort=False):
+        ts = g["__ts_us"].to_numpy("int64")
+        vals = g["__val"].to_numpy("float64")
+        rows.append((cid, day, len(g), encode_dod(ts), encode_gorilla(vals)))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "day", "n", "ts_blob", "val_blob"]
+    )
+
+
 def encode_series(signals: DataFrame, value_col: str = "inter_time_us") -> DataFrame:
     """(conv_id, turn_idx, ts, <value_col>) -> one blob row per (conv, day)."""
 
-    def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        ts_us = pdf["__ts_us"].to_numpy("int64")
-        vals = pdf["__val"].to_numpy("float64")
-        return pd.DataFrame(
-            {
-                "conv_id": [key[0]],
-                "day": [key[1]],
-                "n": [len(pdf)],
-                "ts_blob": [encode_dod(ts_us)],
-                "val_blob": [encode_gorilla(vals)],
-            }
-        )
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # input is sorted by (conv_id, day, turn_idx): the last
+            # (conv, day) group may continue into the next batch — hold it.
+            last = (pdf["conv_id"].iat[-1], pdf["day"].iat[-1])
+            mask = (pdf["conv_id"] == last[0]) & (pdf["day"] == last[1])
+            head, buf = pdf[~mask], pdf[mask]
+            if len(head):
+                yield _encode_groups(head)
+        if buf is not None and len(buf):
+            yield _encode_groups(buf)
 
-    prepped = signals.select(
-        "conv_id",
-        F.to_date("ts").alias("day"),
-        "turn_idx",
-        F.unix_micros("ts").alias("__ts_us"),
-        F.col(value_col).cast("double").alias("__val"),
+    prepped = (
+        signals.select(
+            "conv_id",
+            F.to_date("ts").alias("day"),
+            "turn_idx",
+            F.unix_micros("ts").alias("__ts_us"),
+            F.col(value_col).cast("double").alias("__val"),
+        )
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", "day", "turn_idx")
     )
-    return prepped.groupBy("conv_id", "day").applyInPandas(_enc, ENCODED_SCHEMA)
+    return prepped.mapInPandas(enc, ENCODED_SCHEMA)
 
 
 def decode_series(encoded: DataFrame) -> DataFrame:
     """Blob rows -> exploded (conv_id, day, seq_idx, ts_us, value) rows."""
+    import numpy as np
 
-    def _dec(pdf_iter):
+    def dec(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                ts = decode_dod(row.ts_blob)
-                vals = decode_gorilla(row.val_blob)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "day": row.day,
-                            "seq_idx": range(len(ts)),
-                            "ts_us": ts,
-                            "value": vals,
-                        }
+            if not len(pdf):
+                continue
+            ts_parts = [decode_dod(b) for b in pdf["ts_blob"]]
+            val_parts = [decode_gorilla(b) for b in pdf["val_blob"]]
+            ns = np.array([len(t) for t in ts_parts])
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                    "day": np.repeat(pdf["day"].to_numpy(), ns),
+                    "seq_idx": np.concatenate(
+                        [np.arange(n, dtype=np.int64) for n in ns]
                     )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                    if len(ns)
+                    else np.array([], dtype=np.int64),
+                    "ts_us": np.concatenate(ts_parts)
+                    if ts_parts
+                    else np.array([], dtype=np.int64),
+                    "value": np.concatenate(val_parts)
+                    if val_parts
+                    else np.array([], dtype=np.float64),
+                }
+            )
 
-    return encoded.mapInPandas(_dec, DECODED_SCHEMA)
+    return encoded.mapInPandas(dec, DECODED_SCHEMA)
 
 
 def codec_roundtrip(signals: DataFrame, value_col: str = "inter_time_us") -> DataFrame:

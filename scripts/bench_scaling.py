@@ -1,0 +1,117 @@
+"""Two-parallelism scaling benchmark -> BENCH/BASELINE.md.
+
+BASELINE.json's criterion — throughput scaling efficiency >= 0.8 from N
+to 4N executors — is evidenced in this sandbox by running the identical
+rollup job on the identical input at local[8] and local[32] (8 vs 32
+cores, same machine, separate JVMs) and reporting points/sec at both.
+
+efficiency = (throughput_32 / throughput_8) / (32 / 8)
+
+Each measurement forks a fresh Python process so the two Spark sessions
+never share a JVM. The job is the flagship pipeline: synthesize
+N turns -> normalize/dedup -> signals -> 1m/1h/1d lattice counts.
+
+Usage: python scripts/bench_scaling.py [n_turns] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from aroma_spark.session import get_spark
+from aroma_spark.synth import synth_transcripts
+from aroma_spark.operators.normalize import normalize
+from aroma_spark.operators.signals import with_signals
+from aroma_spark.operators.tiers import rollup_lattice
+
+cores = {cores}
+n_turns = {n_turns}
+spark = get_spark("scaling-bench", master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+# generate + materialize input OUTSIDE the timed region (identical data
+# at both parallelism levels; partition count fixed, not core-dependent)
+df = synth_transcripts(spark, n_turns=n_turns, n_convs=max(64, n_turns // 500),
+                       seed=42, partitions=64)
+df.write.mode("overwrite").parquet({input_path!r})
+src = spark.read.parquet({input_path!r})
+t0 = time.time()
+sig = with_signals(normalize(src, dedup=True))
+points = sum(t.count() for t in rollup_lattice(sig).values())
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "points": points, "wall": wall,
+                   "pps": points / wall}}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_turns: int, input_path: str) -> dict:
+    code = JOB.format(repo=REPO, cores=cores, n_turns=n_turns, input_path=input_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    input_path = "/tmp/aroma_scaling_input"
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for r in range(repeats):
+        for cores in (8, 32):
+            res = run(cores, n_turns, input_path)
+            results[cores].append(res)
+            print(f"run {r} cores={cores}: {res['pps']:.0f} pts/s ({res['wall']:.1f}s)", flush=True)
+
+    best8 = max(x["pps"] for x in results[8])
+    best32 = max(x["pps"] for x in results[32])
+    eff = (best32 / best8) / 4.0
+    points = results[8][0]["points"]
+
+    md = f"""# BENCH — scaling efficiency (N vs 4N cores)
+
+Sandbox proxy for BASELINE.json's "N -> 4N executors, efficiency >= 0.8":
+identical flagship rollup job (normalize + dedup -> signals window ->
+raw->1m->1h->1d lattice) on identical pre-materialized parquet input
+({n_turns:,} synthetic turns, 64 input partitions), fresh JVM per run,
+best of {repeats} runs per level.
+
+| cores | rolled-up points | wall (s) | points/sec |
+|---|---|---|---|
+| local[8]  | {points:,} | {min(x['wall'] for x in results[8]):.2f} | {best8:,.0f} |
+| local[32] | {points:,} | {min(x['wall'] for x in results[32]):.2f} | {best32:,.0f} |
+
+**Scaling efficiency (8 -> 32 cores): {eff:.3f}** (criterion: >= 0.8)
+
+Shuffle partitions = cores at each level; AQE on. The job's wide stages
+(dedup exchange, conv_id window, tier aggregations) all partition on
+conv_id/bucket keys, so parallelism scales with cores until the
+per-task overhead floor; single-machine memory bandwidth is the
+limiting shared resource at 32 cores (a real 4N-executor cluster
+scales I/O bandwidth with N, so this proxy is pessimistic).
+
+Raw runs: {json.dumps(results)}
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(f"efficiency={eff:.3f} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
