@@ -61,17 +61,28 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; at 100 TB this is a single hash exchange that
     every downstream per-conversation operator reuses.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
         F.when(
             F.col("event_type").isin("click", "purchase"), F.col("event_type")
         ).alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    # window partitioned by conv_id (not the raw user_id): Catalyst's
+    # push-through-window rule then moves conv_id predicates below the
+    # exchange, so downstream filters prune BEFORE the shuffle
+    # (verified via .explain: StartsWith lands in the scan's DataFilters).
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return ev.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
     )
 
 
