@@ -120,6 +120,18 @@ def _reindex(counts: DataFrame, order: str) -> DataFrame:
     )
 
 
+def save_vocab(vocab: DataFrame, path: str) -> None:
+    """M1: checkpointable vocabulary state — parquet snapshot
+    (reference Vocabulary.state_dict, src/aroma/utils/vocab.py:179-234).
+    Single file: vocabularies are dimension-sized."""
+    vocab.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> DataFrame:
+    """M1: restore a vocabulary snapshot (load_state_dict analog)."""
+    return spark.read.parquet(path).select("token", "count", "index")
+
+
 def filter_by_membership(
     df: DataFrame, col: str, members: list[str]
 ) -> DataFrame:

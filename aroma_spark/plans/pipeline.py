@@ -32,7 +32,9 @@ def run_pipeline(
     """
     t0 = time.time()
     sig = with_signals(normalize(transcripts, dedup=dedup))
-    metrics = incremental_rollup(spark, sig, out_root)
+    # change detection fingerprints the raw source (narrow scan); the
+    # dedup+window pipeline then runs exactly once, inside the 1m tier.
+    metrics = incremental_rollup(spark, sig, out_root, source=transcripts)
     total_points = sum(m["row_count"] for m in metrics.values())
     wall = time.time() - t0
     return {

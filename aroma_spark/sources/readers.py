@@ -95,6 +95,19 @@ def read_class_list(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def project_neurawkes(df: DataFrame) -> DataFrame:
+    """P1: rename/project {type_event, time_since_start} ->
+    {event_type_index, start_time}, dropping every other column
+    (reference: src/aroma/datasets/neurawkes.py:134-149; drop-extra-keys
+    behavior pinned by tests/unit/datasets/test_neurawkes.py:126-133).
+    int64 indices / float32 times per the reference dtypes."""
+    return df.select(
+        F.col("type_event").cast("long").alias("event_type_index"),
+        F.col("time_since_start").cast("float").alias("start_time"),
+        *([F.col("seq_id")] if "seq_id" in df.columns else []),
+    )
+
+
 def prepare_event_order(df: DataFrame) -> DataFrame:
     """W2: per-entity stable event order by (start_time, action_index)
     (reference: multithumos.py:484-525, tie-break pinned by its tests)."""

@@ -32,6 +32,7 @@ def synth_transcripts(
     start_ts: str = "2024-01-01 00:00:00",
     dup_frac_mod: int = 50,
     partitions: int | None = None,
+    gap_divisor: int = 1,
 ) -> DataFrame:
     """Seeded transcript table ``(conv_id, turn_idx, role, text, tool, ts)``.
 
@@ -60,10 +61,15 @@ def synth_transcripts(
     )
     h2 = F.abs(F.xxhash64(F.col("h"), F.lit(seed + 1)))
     # base gap 1-120s; every 97th turn adds a >1h hole; every 31st is a 0-gap tie
+    # gap_divisor > 1 compresses the corpus time-span (denser traffic,
+    # fewer day partitions) without changing any other property.
     gap_us = (
-        F.when(F.col("h") % 31 == 0, F.lit(0))
-        .when(F.col("h") % 97 == 0, (F.lit(3_600) + h2 % 7_200) * 1_000_000)
-        .otherwise((F.lit(1) + h2 % 120) * 1_000_000 + h2 % 999_983)
+        (
+            F.when(F.col("h") % 31 == 0, F.lit(0))
+            .when(F.col("h") % 97 == 0, (F.lit(3_600) + h2 % 7_200) * 1_000_000)
+            .otherwise((F.lit(1) + h2 % 120) * 1_000_000 + h2 % 999_983)
+        )
+        / gap_divisor
     ).cast("long")
 
     from pyspark.sql import Window

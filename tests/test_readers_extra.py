@@ -1,0 +1,31 @@
+"""P1 projection + M1 vocab state round trip."""
+
+from __future__ import annotations
+
+import math
+
+from aroma_spark.operators.vocab import build_vocab, load_vocab, save_vocab
+from aroma_spark.sources.readers import project_neurawkes
+
+
+def test_project_neurawkes_renames_and_drops(spark):
+    rows = [(0, 3, 1.5, "extra"), (0, 1, 2.25, "extra")]
+    df = spark.createDataFrame(
+        rows, "seq_id long, type_event long, time_since_start double, junk string"
+    )
+    out = project_neurawkes(df)
+    assert set(out.columns) == {"event_type_index", "start_time", "seq_id"}
+    got = out.toPandas().sort_values("start_time")
+    assert got.event_type_index.tolist() == [3, 1]
+    assert math.isclose(got.start_time.iloc[1], 2.25)
+    assert dict(out.dtypes)["start_time"] == "float"  # reference float32
+    assert dict(out.dtypes)["event_type_index"] == "bigint"  # reference int64
+
+
+def test_vocab_state_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a",), ("b",), ("b",)], "tok string")
+    v = build_vocab(df, "tok")
+    p = str(tmp_path / "vocab")
+    save_vocab(v, p)
+    back = load_vocab(spark, p)
+    assert sorted(back.collect()) == sorted(v.collect())
