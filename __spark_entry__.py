@@ -171,6 +171,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- sessionization (asynchronous-series segmentation) ---
+    from aroma_spark.operators.sessions import session_stats, with_session_ids
+
+    q["sessionize"] = lambda spark, sf: with_session_ids(
+        transcripts_from_events(spark, sf), "30 minutes"
+    )
+    q["session_stats"] = lambda spark, sf: session_stats(
+        transcripts_from_events(spark, sf), "30 minutes"
+    )
+
     # --- training-data ops: documents (task brief: dedup + text analysis) ---
     q["doc_exact_dedup"] = lambda spark, sf: exact_text_dedup(
         load_table(spark, sf, "documents")
@@ -287,6 +297,25 @@ FROM t LEFT JOIN v ON t.role = v.token"""
     o["membership_filter"] = (
         f"WITH t AS ({TRANSCRIPTS_SQL})\nSELECT * FROM t WHERE role IN ('click','error')"
     )
+
+    sess_core = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+b AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM b
+)"""
+    o["sessionize"] = f"{sess_core}\nSELECT * FROM s"
+    o["session_stats"] = f"""{sess_core}
+SELECT conv_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
+FROM s GROUP BY conv_id, session_idx"""
 
     # ---- documents / embeddings (training-data ops) ----
     o["doc_exact_dedup"] = """

@@ -1,0 +1,70 @@
+"""Sessionization: split conversations into sessions at inactivity gaps.
+
+The classic asynchronous-series derived structure (and the batch twin of
+streaming ``session_window``): a session break occurs where the
+inter-turn gap exceeds the threshold; session ids are a running sum of
+break flags per conversation — one window pass over the conv_id
+exchange the signal pipeline already created, no extra shuffle.
+
+Generalizes the reference's treatment of irregular inter-arrival times
+(inter-times, src/aroma/preprocessing/intertimes.py:83-104) into a
+segmentation operator; no session concept exists in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_session_ids(
+    transcripts: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Append ``session_idx`` (0-based per conversation).
+
+    A turn starts a new session when its gap from the previous turn
+    exceeds ``gap`` (strictly greater; first turn starts session 0).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_us = F.unix_micros(F.col("ts"))
+    gap_micros = F.lit(_interval_to_us(gap))
+    brk = (
+        F.when(ts_us - F.lag(ts_us, 1).over(w) > gap_micros, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return transcripts.select(
+        "*", F.sum(brk).over(wrun).cast("long").alias("session_idx")
+    )
+
+
+def _interval_to_us(gap: str) -> int:
+    qty, unit = gap.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult
+
+
+def session_stats(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-session aggregates: bounds, turn count, duration, tool calls."""
+    s = with_session_ids(transcripts, gap)
+    return s.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.sum(
+            F.when((F.col("tool").isNotNull()) & (F.col("tool") != ""), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tool_calls"),
+    )

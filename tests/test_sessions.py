@@ -1,0 +1,50 @@
+"""Sessionization goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.sessions import session_stats, with_session_ids
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_session_split_on_gap(spark):
+    df = _df(
+        spark,
+        [
+            ("c", 0, "user", "a", None, "2024-01-01 00:00:00"),
+            ("c", 1, "assistant", "b", None, "2024-01-01 00:10:00"),
+            ("c", 2, "user", "c", None, "2024-01-01 01:00:00"),  # 50m gap
+            ("c", 3, "user", "d", "fn", "2024-01-01 01:05:00"),
+            ("c", 4, "user", "e", None, "2024-01-02 01:05:00"),  # 1d gap
+        ],
+    )
+    out = (
+        with_session_ids(df, "30 minutes")
+        .toPandas()
+        .sort_values("turn_idx")
+    )
+    assert out.session_idx.tolist() == [0, 0, 1, 1, 2]
+    stats = (
+        session_stats(df, "30 minutes").toPandas().sort_values("session_idx")
+    )
+    assert stats.n_turns.tolist() == [2, 2, 1]
+    assert stats.duration_us.tolist() == [600_000_000, 300_000_000, 0]
+    assert stats.n_tool_calls.tolist() == [0, 1, 0]
+
+
+def test_exact_gap_does_not_split(spark):
+    df = _df(
+        spark,
+        [
+            ("c", 0, "user", "a", None, "2024-01-01 00:00:00"),
+            ("c", 1, "user", "b", None, "2024-01-01 00:30:00"),  # == gap
+        ],
+    )
+    out = with_session_ids(df, "30 minutes").toPandas()
+    assert out.session_idx.tolist() == [0, 0]
