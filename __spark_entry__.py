@@ -171,6 +171,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- parity export (W3 ragged->padded; rows-only check: arrays) ---
+    def padded_export(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.signals import signals_padded_export
+
+        return signals_padded_export(transcripts_from_events(spark, sf))
+
+    q["padded_export"] = padded_export
+
+    # --- multimodal plumbing (rows-only: engine-synthesized media) ---
+    def media_features(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.multimodal import extract_features, synth_media
+
+        return extract_features(synth_media(spark, n=256))
+
+    q["media_features"] = media_features
+
     # --- sessionization (asynchronous-series segmentation) ---
     from aroma_spark.operators.sessions import session_stats, with_session_ids
 
