@@ -105,7 +105,9 @@ def _pack_stream(codes: np.ndarray, nbits: np.ndarray) -> bytes:
 class _BitReader:
     """Sequential reader over a packed big-endian bitstream.
 
-    Reads ≤64-bit fields in O(1) from pre-split 64-bit words.
+    Reads ≤64-bit fields in O(1). Words are kept as a plain Python list
+    — list indexing is ~5x faster than numpy scalar extraction in the
+    per-value decode loops.
     """
 
     __slots__ = ("words", "pos", "nbits")
@@ -113,7 +115,7 @@ class _BitReader:
     def __init__(self, buf: bytes):
         pad = (-len(buf)) % 8
         b = buf + b"\x00" * (pad + 8)  # +8: safe second-word read at tail
-        self.words = np.frombuffer(b, dtype=">u8").astype(np.uint64)
+        self.words = np.frombuffer(b, dtype=">u8").tolist()
         self.pos = 0
         self.nbits = len(buf) * 8
 
@@ -122,10 +124,14 @@ class _BitReader:
             return 0
         w, off = divmod(self.pos, 64)
         self.pos += n
-        hi = int(self.words[w])
-        lo = int(self.words[w + 1])
-        window = ((hi << 64) | lo) >> (128 - off - n)
+        window = ((self.words[w] << 64) | self.words[w + 1]) >> (128 - off - n)
         return window & ((1 << n) - 1)
+
+    def peek5(self) -> int:
+        w, off = divmod(self.pos, 64)
+        return (
+            ((self.words[w] << 64) | self.words[w + 1]) >> (123 - off)
+        ) & 31
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
@@ -193,24 +199,37 @@ def decode_dod(buf: bytes) -> np.ndarray:
     if n == 1:
         return np.array([t0], dtype=np.int64)
     (d0,) = struct.unpack(">q", buf[12:20])
-    out = np.empty(n, dtype=np.int64)
-    out[0], out[1] = t0, _wrap64(t0 + d0)
+    vals = [0] * n
+    vals[0], vals[1] = t0, _wrap64(t0 + d0)
     r = _BitReader(buf[20:])
     d = d0
+    prev = vals[1]
+    wrap = _wrap64
     for i in range(2, n):
-        if r.read(1) == 0:
-            dod = 0
+        # peek the 5-bit prefix window once instead of bit-by-bit reads
+        p = r.peek5()
+        if p < 0b10000:  # '0' -> dod == 0
+            r.pos += 1
         else:
-            for ub, _p, pl, vb in _DOD_BUCKETS:
-                if r.read(1) == 0:
-                    z = r.read(vb)
-                    break
-            else:
+            if p < 0b11000:  # '10' + 7
+                r.pos += 2
+                z = r.read(7)
+            elif p < 0b11100:  # '110' + 12
+                r.pos += 3
+                z = r.read(12)
+            elif p < 0b11110:  # '1110' + 20
+                r.pos += 4
+                z = r.read(20)
+            elif p == 0b11110:  # '11110' + 32
+                r.pos += 5
+                z = r.read(32)
+            else:  # '11111' + 64
+                r.pos += 5
                 z = r.read(64)
-            dod = _unzigzag(z)
-        d = _wrap64(d + dod)
-        out[i] = _wrap64(int(out[i - 1]) + d)
-    return out
+            d = wrap(d + ((z >> 1) ^ -(z & 1)))
+        prev = wrap(prev + d)
+        vals[i] = prev
+    return np.array(vals, dtype=np.int64)
 
 
 def encode_gorilla(values: np.ndarray) -> bytes:
@@ -246,20 +265,17 @@ def encode_gorilla(values: np.ndarray) -> bytes:
 def decode_gorilla(buf: bytes) -> np.ndarray:
     """Inverse of :func:`encode_gorilla` — bit-exact round trip (incl. NaN)."""
     n, v0 = struct.unpack(">IQ", buf[:12])
-    out = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return out.view(np.float64)
-    out[0] = v0
+        return np.empty(0, dtype=np.float64)
+    vals = [0] * n
+    vals[0] = v0
     r = _BitReader(buf[12:])
     prev = v0
     for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = prev
-        else:
-            lz = r.read(6)
-            siglen = r.read(6) + 1
+        if r.read(1):
+            hdr = r.read(12)  # 6b lz | 6b siglen-1, fused read
+            siglen = (hdr & 63) + 1
             sig = r.read(siglen)
-            tz = 64 - lz - siglen
-            prev = prev ^ (sig << tz)
-            out[i] = prev
-    return out.view(np.float64)
+            prev ^= sig << (64 - (hdr >> 6) - siglen)
+        vals[i] = prev
+    return np.array(vals, dtype=np.uint64).view(np.float64)
