@@ -163,6 +163,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["encode_roles"] = encode_roles
 
+    def _two_vocabs(spark: SparkSession, sf: str):
+        t = transcripts_from_events(spark, sf)
+        a = build_vocab(t, "role", order="count")
+        b = build_vocab(t.where(F.col("tool").isNotNull()), "role", order="count")
+        return a, b
+
+    def vocab_add_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.vocab import vocab_add
+
+        a, b = _two_vocabs(spark, sf)
+        return vocab_add(a, b)
+
+    def vocab_sub_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.vocab import vocab_sub
+
+        a, b = _two_vocabs(spark, sf)
+        return vocab_sub(a, b)
+
+    q["vocab_add"] = vocab_add_q
+    q["vocab_sub"] = vocab_sub_q
+
     # --- filters (SURVEY §2.2: P2/P4) ---
     q["prefix_filter"] = lambda spark, sf: filter_by_prefix(
         transcripts_from_events(spark, sf), "conv_id", "1"
@@ -211,8 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents")
     )
     q["doc_simhash"] = lambda spark, sf: simhash(load_table(spark, sf, "documents"))
+    # byte-banding guarantees full recall only for hamming <= 3 (4 bands,
+    # 3 flips leave >= 1 byte intact) — keep the query at the sound bound
     q["doc_simhash_pairs"] = lambda spark, sf: simhash_near_pairs(
-        load_table(spark, sf, "documents"), max_hamming=6
+        load_table(spark, sf, "documents"), max_hamming=3
     )
     q["doc_text_stats"] = lambda spark, sf: with_text_stats(
         load_table(spark, sf, "documents")
@@ -307,6 +330,19 @@ v AS (SELECT token, count, CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token DE
 SELECT t.conv_id, t.turn_idx, t.role, CAST(COALESCE(v.index, -1) AS BIGINT) AS role_index
 FROM t LEFT JOIN v ON t.role = v.token"""
 
+    two_vocab_core = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+ca AS (SELECT role AS token, CAST(count(*) AS BIGINT) AS count FROM t WHERE role IS NOT NULL GROUP BY role),
+cb AS (SELECT role AS token, CAST(count(*) AS BIGINT) AS count FROM t WHERE role IS NOT NULL AND tool IS NOT NULL GROUP BY role)"""
+    o["vocab_add"] = f"""{two_vocab_core},
+m AS (SELECT token, CAST(sum(count) AS BIGINT) AS count
+      FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY token)
+SELECT token, count, CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token DESC) - 1 AS BIGINT) AS index FROM m"""
+    o["vocab_sub"] = f"""{two_vocab_core},
+m AS (SELECT ca.token, CAST(ca.count - COALESCE(cb.count, 0) AS BIGINT) AS count
+      FROM ca LEFT JOIN cb ON ca.token = cb.token)
+SELECT token, count, CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token DESC) - 1 AS BIGINT) AS index
+FROM m WHERE count > 0"""
+
     o["prefix_filter"] = (
         f"WITH t AS ({TRANSCRIPTS_SQL})\nSELECT * FROM t WHERE conv_id LIKE '1%'"
     )
@@ -386,7 +422,7 @@ pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
           FROM bands a JOIN bands b ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
           WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3"""
 
     o["doc_text_stats"] = """
 SELECT doc_id,
