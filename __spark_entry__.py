@@ -249,7 +249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "lang_pred")
     q["doc_fingerprint"] = lambda spark, sf: fingerprint(
         load_table(spark, sf, "documents")
-    ).select("doc_id", "fp_exact", "fp_norm")
+    ).select("doc_id", "fp_exact", "fp_norm", "fp_rolling")
+
+    def doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import bpe_token_count
+
+        d = load_table(spark, sf, "documents")
+        return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+    q["doc_bpe_tokens"] = doc_bpe_tokens
 
     # --- similarity search: embeddings ---
     def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -486,7 +494,16 @@ FROM b"""
 
     o["doc_fingerprint"] = """
 SELECT doc_id, md5(COALESCE(text,'')) AS fp_exact,
-       md5(trim(regexp_replace(lower(COALESCE(text,'')), '\\s+', ' ', 'g'))) AS fp_norm
+       md5(trim(regexp_replace(lower(COALESCE(text,'')), '\\s+', ' ', 'g'))) AS fp_norm,
+       COALESCE(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(split(COALESCE(text,''), ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007), 0) AS fp_rolling
+FROM documents"""
+
+    o["doc_bpe_tokens"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens
 FROM documents"""
 
     dot = (

@@ -120,6 +120,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# BPE-ish pre-tokenization: alpha runs | digit runs | single symbols.
+# Explicit ASCII whitespace class so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count via the GPT-2-style pre-tokenizer split
+    (alpha runs / digit runs / punctuation singletons over lowercased
+    text) — the cheap stand-in for a real BPE vocab at corpus scale."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(col, F.lit(""))), F.lit(BPE_PATTERN), 0
+        )
+    ).cast("long")
+
+
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 31
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over the document's characters:
+    h = fold(h*31 + codepoint) mod 1e9+7 — exact integer arithmetic,
+    computed JVM-side via ``aggregate`` over the char array. The classic
+    content fingerprint when a cryptographic hash is overkill."""
+    chars = F.split(F.coalesce(col, F.lit("")), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 full-text + a normalized fingerprint
     (lowercase, collapsed whitespace) — the classic near-exact key."""
@@ -129,4 +163,5 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.md5(c).alias("fp_exact"),
         F.md5(norm).alias("fp_norm"),
+        rolling_hash(F.col(text_col)).alias("fp_rolling"),
     )
