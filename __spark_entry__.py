@@ -192,6 +192,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- retention: tier-scoped pruning (north_rule retention tiers) ---
+    def retention_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import retention_prune
+
+        tiers = rollup_lattice(_signals(spark, sf))
+        return retention_prune(tiers["1d"], "2024-01-15")
+
+    q["retention_1d"] = retention_1d
+
     # --- parity export (W3 ragged->padded; rows-only check: arrays) ---
     def padded_export(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.signals import signals_padded_export
@@ -279,6 +288,9 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_1h"] = _rollup_sql("hour")
     o["rollup_1d"] = _rollup_sql("day")
     o["rollup_1m_salted"] = _rollup_sql("minute")
+    o["retention_1d"] = (
+        _rollup_sql("day") + "\nHAVING date_trunc('day', ts) >= TIMESTAMP '2024-01-15'"
+    )
 
     o["gapfill_1h"] = f"""{SIG_SQL},
 tier AS (
