@@ -64,6 +64,9 @@ def main() -> None:
         "dedup_exact",
         "vocab_role",
         "encode_roles",
+        "sessionize",
+        "doc_minhash_pairs",
+        "ann_topk",
     ):
         if name in qs:
             sec, _ = _run(qs[name], spark, sf_dir)
