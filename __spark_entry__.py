@@ -192,6 +192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- percentile rollups (exact; approx variant is the scale path) ---
+    def latency_pct(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import latency_percentiles
+
+        return latency_percentiles(_signals(spark, sf), "day", approx=False)
+
+    q["latency_percentiles_1d"] = latency_pct
+
     # --- retention: tier-scoped pruning (north_rule retention tiers) ---
     def retention_1d(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import retention_prune
@@ -288,6 +296,13 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_1h"] = _rollup_sql("hour")
     o["rollup_1d"] = _rollup_sql("day")
     o["rollup_1m_salted"] = _rollup_sql("minute")
+    o["latency_percentiles_1d"] = f"""{SIG_SQL}
+SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_points,
+       quantile_cont(inter_time_us, 0.5) AS p50_latency_us,
+       quantile_cont(inter_time_us, 0.95) AS p95_latency_us,
+       quantile_cont(inter_time_us, 0.99) AS p99_latency_us
+FROM sig GROUP BY conv_id, date_trunc('day', ts)"""
     o["retention_1d"] = (
         _rollup_sql("day") + "\nHAVING date_trunc('day', ts) >= TIMESTAMP '2024-01-15'"
     )

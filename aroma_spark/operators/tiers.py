@@ -141,6 +141,33 @@ def rollup_tier_salted(
     )
 
 
+def latency_percentiles(
+    signals: DataFrame, unit: str = "day", approx: bool = False
+) -> DataFrame:
+    """Per (conv_id, bucket) latency percentiles p50/p95/p99.
+
+    ``approx=False`` uses Spark's exact interpolated ``percentile``
+    (sort-based; verified bit-identical to DuckDB quantile_cont) — the
+    parity path. ``approx=True`` switches to ``percentile_approx``
+    (t-digest-like sketch, mergeable, bounded memory) — the 100 TB path,
+    where an exact per-group sort of a hot conversation is the skew
+    hazard the sketch removes.
+    """
+    pct = (
+        (lambda c, p: F.percentile_approx(c, p, 10_000))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    return signals.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        pct(F.col("inter_time_us"), 0.5).alias("p50_latency_us"),
+        pct(F.col("inter_time_us"), 0.95).alias("p95_latency_us"),
+        pct(F.col("inter_time_us"), 0.99).alias("p99_latency_us"),
+    )
+
+
 def retention_prune(tier: DataFrame, keep_after: str) -> DataFrame:
     """Retention = tier-scoped pruning: drop buckets older than the horizon.
 
