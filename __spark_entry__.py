@@ -192,6 +192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf
     ).where(F.col("role").isin("click", "error"))
 
+    # --- A5 count-distinct metrics ---
+    q["conv_count_by_role"] = lambda spark, sf: transcripts_from_events(
+        spark, sf
+    ).groupBy("role").agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
     # --- percentile rollups (exact; approx variant is the scale path) ---
     def latency_pct(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import latency_percentiles
@@ -296,6 +304,10 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_1h"] = _rollup_sql("hour")
     o["rollup_1d"] = _rollup_sql("day")
     o["rollup_1m_salted"] = _rollup_sql("minute")
+    o["conv_count_by_role"] = f"""WITH t AS ({TRANSCRIPTS_SQL})
+SELECT role, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY role"""
     o["latency_percentiles_1d"] = f"""{SIG_SQL}
 SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
        CAST(count(*) AS BIGINT) AS n_points,

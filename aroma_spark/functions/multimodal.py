@@ -73,6 +73,46 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Deterministic uniform frame sampling for video payloads.
+
+    Emits one row per sampled frame index: evenly spaced over
+    [0, n_frames) (the standard eval-time sampling policy), entirely in
+    Catalyst (sequence + explode) — the actual frame *decode* is the
+    stubbed step; this is the plumbing that feeds it.
+    """
+    idx = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (i * F.col("n_frames")) / k,
+        ).cast("array<int>")
+    )
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "kind", "n_frames", idx.alias("frame_idx")
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: output schema + metadata are real, the pixel
+    transform is the deterministic fake (payload re-hash) since no image
+    codec exists in this container."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [
+                hashlib.md5(
+                    (p if p is not None else b"") + f":{width}x{height}".encode()
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(fn, media.schema)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
     df = spark.range(n).select(

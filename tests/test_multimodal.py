@@ -46,3 +46,25 @@ def test_extract_features_partition_invariant(spark):
     a = extract_features(media.repartition(1)).toPandas().sort_values("media_id")
     b = extract_features(media.repartition(7)).toPandas().sort_values("media_id")
     assert [list(x) for x in a.feature] == [list(x) for x in b.feature]
+
+
+def test_sample_frames_even_spacing(spark):
+    from aroma_spark.functions.multimodal import sample_frames
+
+    media = synth_media(spark, n=32)
+    out = sample_frames(media, k=4).toPandas()
+    assert set(out.kind) == {"video"}
+    for mid, grp in out.groupby("media_id"):
+        n = grp.n_frames.iloc[0]
+        assert grp.frame_idx.tolist() == [i * n // 4 for i in range(4)]
+        assert (grp.frame_idx < n).all()
+
+
+def test_resize_stub_changes_payload_and_dims(spark):
+    from aroma_spark.functions.multimodal import resize_stub
+
+    media = synth_media(spark, n=8)
+    out = resize_stub(media, 32, 24).toPandas()
+    assert (out.width == 32).all() and (out.height == 24).all()
+    orig = media.toPandas()
+    assert not orig.payload.equals(out.payload)
