@@ -116,6 +116,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "inter_time_us", "text_len", "tool_call",
     )
+    def signals_chunked(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.signals import with_signals_chunked
+
+        return with_signals_chunked(transcripts_from_events(spark, sf)).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "inter_time_us", "text_len", "tool_call",
+        )
+
+    # two-stage hot-key window path; same oracle as `signals`
+    q["signals_chunked"] = signals_chunked
     q["rollup_1m"] = _tier_query("1m")
     q["rollup_1h"] = _tier_query("1h")
     q["rollup_1d"] = _tier_query("1d")
@@ -300,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["signals"] = f"{SIG_SQL}\nSELECT * FROM sig"
+    o["signals_chunked"] = o["signals"]
     o["rollup_1m"] = _rollup_sql("minute")
     o["rollup_1h"] = _rollup_sql("hour")
     o["rollup_1d"] = _rollup_sql("day")

@@ -45,6 +45,63 @@ def with_signals(df: DataFrame) -> DataFrame:
     )
 
 
+def with_signals_chunked(df: DataFrame) -> DataFrame:
+    """Two-stage windowed signal computation for hot conversations.
+
+    The plain window partitions by conv_id: a pathologically long
+    conversation (Zipf head at 10^12 turns) sorts inside ONE task.
+    Stage 1 windows over (conv_id, day) — bounded chunks, arbitrarily
+    parallel. Stage 2 repairs each chunk's first inter-time with the
+    previous chunk's last timestamp, carried through a window over the
+    tiny per-chunk boundary table (one row per (conv, day)).
+
+    Result is verified identical to :func:`with_signals` (the north
+    rule's "salted repartitioning and two-stage windowed aggregation"
+    applied to the window, not just the aggregate).
+    """
+    day = F.to_date("ts").alias("__day")
+    base = df.select("*", day)
+    w_chunk = Window.partitionBy("conv_id", "__day").orderBy("turn_idx")
+    ts_us = F.unix_micros(F.col("ts"))
+
+    stage1 = base.select(
+        "*",
+        (ts_us - F.lag(ts_us, 1).over(w_chunk)).alias("__intra"),
+        F.row_number().over(w_chunk).alias("__rn"),
+    )
+
+    # boundary table: one row per chunk -> previous chunk's last ts
+    bounds = (
+        base.groupBy("conv_id", "__day")
+        .agg(F.max(ts_us).alias("__last_us"), F.min(ts_us).alias("__first_us"))
+    )
+    w_conv = Window.partitionBy("conv_id").orderBy("__day")
+    bounds = bounds.select(
+        "conv_id",
+        "__day",
+        F.lag("__last_us", 1).over(w_conv).alias("__prev_last_us"),
+    )
+
+    out = stage1.join(bounds, ["conv_id", "__day"], "left")
+    inter = (
+        F.when(F.col("__rn") > 1, F.col("__intra"))
+        .when(
+            F.col("__prev_last_us").isNotNull(),
+            F.unix_micros(F.col("ts")) - F.col("__prev_last_us"),
+        )
+        .otherwise(F.lit(0))
+    )
+    return out.select(
+        *df.columns,
+        inter.cast("long").alias("inter_time_us"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("text_len"),
+        F.when((F.col("tool").isNotNull()) & (F.col("tool") != ""), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tool_call"),
+    )
+
+
 def signals_padded_export(df: DataFrame, padding_value: float = float("nan")):
     """Parity export: ragged per-conversation sequences -> padded arrays.
 

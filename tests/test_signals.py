@@ -72,3 +72,21 @@ def test_padded_export_matches_reference_padding(spark, tiny_transcripts):
     # unpadded prefix of each row still matches the pure oracle
     a_times = mat[0][: int(out.loc["a"].n_turns)]
     assert np.array_equal(inter_times(a_times), np.diff(a_times, prepend=a_times[:1]))
+
+
+def test_chunked_two_stage_window_equals_direct(spark):
+    """North-rule two-stage windowed aggregation: chunked (conv, day)
+    windows + boundary repair == the single conv_id window, exactly.
+    Precondition (holds for normalized transcripts): ts monotone in
+    turn_idx within each conversation."""
+    from aroma_spark.operators.signals import with_signals_chunked
+    from aroma_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_turns=5000, n_convs=40, seed=9).dropDuplicates()
+    a = with_signals(df).select(
+        "conv_id", "turn_idx", "inter_time_us", "text_len", "tool_call"
+    )
+    b = with_signals_chunked(df).select(
+        "conv_id", "turn_idx", "inter_time_us", "text_len", "tool_call"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
