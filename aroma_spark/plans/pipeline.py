@@ -22,6 +22,7 @@ def run_pipeline(
     transcripts: DataFrame,
     out_root: str,
     dedup: bool = True,
+    encode_blobs: bool = True,
 ) -> dict:
     """Run the full rollup pipeline; returns the metrics manifest.
 
@@ -35,10 +36,40 @@ def run_pipeline(
     # change detection fingerprints the raw source (narrow scan); the
     # dedup+window pipeline then runs exactly once, inside the 1m tier.
     metrics = incremental_rollup(spark, sig, out_root, source=transcripts)
+    blob_stats = None
+    if encode_blobs:
+        # north_rule: delta-of-delta timestamps + Gorilla XOR signals in
+        # vectorized Arrow UDFs — materialized per (conv, day) blob.
+        from pyspark.sql import functions as F
+
+        from aroma_spark.operators.codec_ops import encode_series
+
+        t_b = time.time()
+        blobs = encode_series(sig, "inter_time_us")
+        blobs.write.mode("overwrite").parquet(f"{out_root}/blobs")
+        enc = spark.read.parquet(f"{out_root}/blobs").agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n").alias("n_values"),
+            F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias(
+                "blob_bytes"
+            ),
+        ).collect()[0]
+        blob_stats = {
+            "n_blobs": enc["n_blobs"],
+            "n_values": enc["n_values"],
+            "blob_bytes": enc["blob_bytes"],
+            "compression_ratio": round(
+                enc["blob_bytes"] / (16 * enc["n_values"]), 4
+            )
+            if enc["n_values"]
+            else None,
+            "wall_sec": round(time.time() - t_b, 3),
+        }
     total_points = sum(m["row_count"] for m in metrics.values())
     wall = time.time() - t0
     return {
         "tiers": metrics,
+        "codec_blobs": blob_stats,
         "total_rollup_points": total_points,
         "wall_sec": round(wall, 3),
         "points_per_sec": round(total_points / wall, 1) if wall else None,
