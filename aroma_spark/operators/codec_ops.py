@@ -49,8 +49,20 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def encode_series(signals: DataFrame, value_col: str = "inter_time_us") -> DataFrame:
-    """(conv_id, turn_idx, ts, <value_col>) -> one blob row per (conv, day)."""
+def encode_series(
+    signals: DataFrame,
+    value_col: str = "inter_time_us",
+    assume_clustered: bool = False,
+) -> DataFrame:
+    """(conv_id, turn_idx, ts, <value_col>) -> one blob row per (conv, day).
+
+    ``assume_clustered=True`` skips the repartition+sort: valid when the
+    input is already hash-partitioned by conv_id and sorted by
+    (conv_id, turn_idx) within partitions with ts monotone per
+    conversation — exactly what the signal window produces. The pipeline
+    uses this to encode from the cached signal frame with zero extra
+    shuffles.
+    """
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: pd.DataFrame | None = None
@@ -69,17 +81,17 @@ def encode_series(signals: DataFrame, value_col: str = "inter_time_us") -> DataF
         if buf is not None and len(buf):
             yield _encode_groups(buf)
 
-    prepped = (
-        signals.select(
-            "conv_id",
-            F.to_date("ts").alias("day"),
-            "turn_idx",
-            F.unix_micros("ts").alias("__ts_us"),
-            F.col(value_col).cast("double").alias("__val"),
-        )
-        .repartition("conv_id")
-        .sortWithinPartitions("conv_id", "day", "turn_idx")
+    prepped = signals.select(
+        "conv_id",
+        F.to_date("ts").alias("day"),
+        "turn_idx",
+        F.unix_micros("ts").alias("__ts_us"),
+        F.col(value_col).cast("double").alias("__val"),
     )
+    if not assume_clustered:
+        prepped = prepped.repartition("conv_id").sortWithinPartitions(
+            "conv_id", "day", "turn_idx"
+        )
     return prepped.mapInPandas(enc, ENCODED_SCHEMA)
 
 

@@ -33,8 +33,12 @@ def run_pipeline(
     """
     t0 = time.time()
     sig = with_signals(normalize(transcripts, dedup=dedup))
+    if encode_blobs:
+        # the signal frame feeds two actions (1m tier + blob encode):
+        # persist so the dedup exchange + window run once.
+        sig = sig.persist()
     # change detection fingerprints the raw source (narrow scan); the
-    # dedup+window pipeline then runs exactly once, inside the 1m tier.
+    # dedup+window pipeline runs once, inside the 1m tier.
     metrics = incremental_rollup(spark, sig, out_root, source=transcripts)
     blob_stats = None
     if encode_blobs:
@@ -45,7 +49,9 @@ def run_pipeline(
         from aroma_spark.operators.codec_ops import encode_series
 
         t_b = time.time()
-        blobs = encode_series(sig, "inter_time_us")
+        # cached signal partitions are conv-hashed and (conv, turn)-sorted
+        # from the window: encode with zero additional shuffles.
+        blobs = encode_series(sig, "inter_time_us", assume_clustered=True)
         blobs.write.mode("overwrite").parquet(f"{out_root}/blobs")
         enc = spark.read.parquet(f"{out_root}/blobs").agg(
             F.count(F.lit(1)).alias("n_blobs"),
@@ -65,6 +71,7 @@ def run_pipeline(
             else None,
             "wall_sec": round(time.time() - t_b, 3),
         }
+        sig.unpersist()
     total_points = sum(m["row_count"] for m in metrics.values())
     wall = time.time() - t0
     return {
