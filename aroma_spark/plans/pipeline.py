@@ -33,6 +33,12 @@ def run_pipeline(
     """
     t0 = time.time()
     sig = with_signals(normalize(transcripts, dedup=dedup))
+    # nothing downstream needs the text payload (the tier aggregates
+    # text_len, blobs encode inter_time_us): prune it before the fan-out
+    # — caching the payload column measurably destroyed scaling.
+    sig = sig.select(
+        "conv_id", "turn_idx", "ts", "inter_time_us", "text_len", "tool_call"
+    )
     if encode_blobs:
         # the signal frame feeds two actions (1m tier + blob encode):
         # persist so the dedup exchange + window run once.
