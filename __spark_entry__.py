@@ -227,19 +227,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retention_1d"] = retention_1d
 
-    # --- parity export (W3 ragged->padded; rows-only check: arrays) ---
+    # --- parity export (W3 ragged->padded, hashable long form) ---
     def padded_export(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.signals import signals_padded_export
 
-        return signals_padded_export(transcripts_from_events(spark, sf))
+        # pad with the reference's missing constant -1 (breakfast.py:64)
+        # and posexplode to scalar rows so the oracle can hash values.
+        padded = signals_padded_export(
+            transcripts_from_events(spark, sf), padding_value=-1.0
+        )
+        return padded.select(
+            "conv_id",
+            "n_turns",
+            F.posexplode("times_padded").alias("pos", "t_sec"),
+        ).select(
+            "conv_id",
+            "n_turns",
+            F.col("pos").cast("long").alias("pos"),
+            "t_sec",
+        )
 
     q["padded_export"] = padded_export
 
-    # --- multimodal plumbing (rows-only: engine-synthesized media) ---
+    # --- multimodal plumbing: payloads from the documents corpus, real
+    # Arrow mapInPandas feature extraction, feature array posexploded so
+    # every float32 is oracle-hashed against the DuckDB md5-projection ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
-        from aroma_spark.functions.multimodal import extract_features, synth_media
+        from aroma_spark.functions.multimodal import (
+            extract_features,
+            media_from_documents,
+        )
 
-        return extract_features(synth_media(spark, n=256))
+        feats = extract_features(
+            media_from_documents(load_table(spark, sf, "documents"))
+        )
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.posexplode("feature").alias("pos", "fval"),
+        ).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.col("pos").cast("long").alias("pos"),
+            "fval",
+        )
 
     q["media_features"] = media_features
 
@@ -426,6 +459,40 @@ SELECT conv_id, session_idx,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
        CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
 FROM s GROUP BY conv_id, session_idx"""
+
+    # ragged->padded parity: grid of (conv, pos in [0, global max)) with
+    # -1.0 pad; t_sec = epoch_us/1e6 is exact (epoch µs < 2^53).
+    o["padded_export"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM t GROUP BY conv_id),
+m AS (SELECT max(n_turns) AS max_len FROM g),
+p AS (SELECT conv_id, n_turns, unnest(range(0, (SELECT max_len FROM m))) AS pos FROM g),
+v AS (SELECT conv_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT) AS pos,
+             CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t_sec
+      FROM t)
+SELECT p.conv_id, p.n_turns, CAST(p.pos AS BIGINT) AS pos,
+       COALESCE(v.t_sec, -1.0) AS t_sec
+FROM p LEFT JOIN v ON p.conv_id = v.conv_id AND p.pos = v.pos"""
+
+    # media features: payload = UTF-8 text bytes; feature[j] = LE-uint32
+    # j%4 of md5(payload) / 2^32 as float32 (fake_features' md5-seeded
+    # projection has period 4: 16 digest bytes tile the 64-byte buffer).
+    o["media_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         md5(COALESCE(text, '')) AS h,
+         CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
+  FROM documents
+),
+g AS (SELECT media_id, kind, h, n_bytes, unnest(range(0, 16)) AS pos FROM m)
+SELECT media_id, kind, n_bytes, CAST(pos AS BIGINT) AS pos,
+       CAST(CAST(('0x' || substr(h, CAST((pos % 4) * 8 + 7 AS INT), 2)
+                       || substr(h, CAST((pos % 4) * 8 + 5 AS INT), 2)
+                       || substr(h, CAST((pos % 4) * 8 + 3 AS INT), 2)
+                       || substr(h, CAST((pos % 4) * 8 + 1 AS INT), 2)) AS BIGINT)
+            / 4294967296.0 AS REAL) AS fval
+FROM g"""
 
     # ---- documents / embeddings (training-data ops) ----
     o["doc_exact_dedup"] = """

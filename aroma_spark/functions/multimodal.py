@@ -113,6 +113,26 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(fn, media.schema)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table derived deterministically from the shared ``documents``
+    corpus: payload = UTF-8 bytes of the text column. Both engines can
+    compute the md5-projection features from the same bytes, which makes
+    the multimodal path oracle-checkable at every scale factor (unlike
+    ``synth_media``, which is engine-local)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.col("doc_id") % 16 + 1).cast("int").alias("n_frames"),
+        F.lit(16000).alias("sample_rate"),
+    )
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
     df = spark.range(n).select(
