@@ -180,38 +180,32 @@ def simhash(
     """32-bit SimHash over word tokens (with multiplicity).
 
     Per token: 32-bit hash from the md5 hex prefix; per bit: sign of the
-    +1/-1 vote sum; fingerprint = the sign bits. Pure relational
-    (explode tokens x explode bits -> two aggregations)."""
+    +1/-1 vote sum; fingerprint = the sign bits.
+
+    One aggregation with ``bits`` conditional-sum columns — vote_i =
+    2*sum(bit_i) - n_tokens — so the token stream is shuffled exactly
+    once at its natural size (the earlier explode(sequence(0,31)) shape
+    amplified the shuffle 32x; map-side partial agg now combines per
+    doc before the exchange)."""
     words = df.select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    votes = (
-        words.select(id_col, h.alias("h"))
-        .select(
-            id_col,
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        )
-        .groupBy(id_col, "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(shiftright(h, b) & 1)") == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
+    votes = words.select(id_col, h.alias("h")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {i}) & 1")).alias(f"s{i}")
+            for i in range(bits)
+        ],
     )
-    return (
-        votes.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        # vote_i > 0  <=>  2*s_i - n_tok > 0
+        fp = fp + F.when(
+            F.col(f"s{i}") * 2 > F.col("n_tok"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -57,19 +57,41 @@ def encode_tokens(
     token_col: str,
     index_col: str | None = None,
     missing_index: int = -1,
+    on_unseen: str = "missing",
 ) -> DataFrame:
     """Broadcast-join encode: token -> index.
 
     The reference raises KeyError on unseen tokens (src/aroma/utils/
-    vocab.py:75-98); a distributed engine cannot raise per-row, so unseen
-    tokens map to ``missing_index`` (the reference's own missing constant
-    -1, src/aroma/datasets/breakfast.py:64) via a left join + coalesce.
+    vocab.py:75-98, pinned by tests/unit/utils/test_vocab.py); a
+    distributed engine cannot raise per-row, so:
+
+    - ``on_unseen='missing'`` (default): unseen tokens map to
+      ``missing_index`` (the reference's own missing constant -1,
+      src/aroma/datasets/breakfast.py:64) via a left join + coalesce;
+    - ``on_unseen='error'``: the reference's strict contract — an eager
+      limit-1 probe for join misses raises KeyError naming sample
+      unseen tokens. Costs one extra (cheap, broadcast-join) job.
     """
+    if on_unseen not in ("missing", "error"):
+        raise ValueError(f"unknown on_unseen mode: {on_unseen!r}")
     index_col = index_col or f"{token_col}_index"
     dim = vocab.select(
         F.col("token").alias(token_col), F.col("index").alias(index_col)
     )
     out = df.join(F.broadcast(dim), on=token_col, how="left")
+    if on_unseen == "error":
+        unseen = [
+            r[0]
+            for r in out.where(F.col(index_col).isNull())
+            .select(token_col)
+            .distinct()
+            .limit(5)
+            .collect()
+        ]
+        if unseen:
+            raise KeyError(
+                f"tokens not in vocabulary (on_unseen='error'): {unseen}"
+            )
     return out.withColumn(
         index_col, F.coalesce(F.col(index_col), F.lit(missing_index)).cast("long")
     )

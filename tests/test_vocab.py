@@ -82,6 +82,24 @@ def test_encode_with_missing_index(spark, tiny_transcripts):
     assert (out[out.role != "user"].role_index == -1).all()
 
 
+def test_encode_strict_raises_on_unseen(spark, tiny_transcripts):
+    """Reference strict contract: KeyError on unseen tokens
+    (src/aroma/utils/vocab.py:75-98, pinned by tests/unit/utils/
+    test_vocab.py). on_unseen='error' reproduces it distributed."""
+    import pytest
+
+    vocab = _vocab_df(spark, Counter({"user": 5}))
+    with pytest.raises(KeyError, match="not in vocabulary"):
+        encode_tokens(tiny_transcripts, vocab, "role", on_unseen="error")
+    # a covering vocab must NOT raise
+    roles = [r[0] for r in tiny_transcripts.select("role").distinct().collect()]
+    full = _vocab_df(spark, Counter({r: 1 for r in roles}))
+    out = encode_tokens(tiny_transcripts, full, "role", on_unseen="error")
+    assert out.where("role_index < 0").count() == 0
+    with pytest.raises(ValueError, match="on_unseen"):
+        encode_tokens(tiny_transcripts, vocab, "role", on_unseen="bogus")
+
+
 def test_membership_and_prefix_filters(spark, tiny_transcripts):
     assert filter_by_membership(tiny_transcripts, "conv_id", ["a"]).count() == 4
     big = [f"m{i}" for i in range(100)] + ["a"]
