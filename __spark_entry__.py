@@ -308,7 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_text_stats"] = lambda spark, sf: with_text_stats(
         load_table(spark, sf, "documents")
     ).select("doc_id", "n_chars_calc", "n_tokens", "n_alpha", "n_digit",
-             "avg_token_len", "alpha_ratio")
+             "alpha_per_token", "alpha_ratio")
     q["doc_quality"] = lambda spark, sf: quality_score(
         load_table(spark, sf, "documents")
     ).select("doc_id", "quality_score")
@@ -560,7 +560,7 @@ SELECT doc_id,
        ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END) > 0
        THEN CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS DOUBLE)
             / (CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END) END AS avg_token_len,
+               ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END) END AS alpha_per_token,
   CASE WHEN length(COALESCE(text,'')) > 0
        THEN CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS DOUBLE)
             / length(COALESCE(text,'')) END AS alpha_ratio

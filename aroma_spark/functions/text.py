@@ -59,7 +59,7 @@ def space_chars(col: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(n_chars_calc, n_tokens, n_alpha, n_digit, n_space, avg_token_len,
+    """(n_chars_calc, n_tokens, n_alpha, n_digit, n_space, alpha_per_token,
     alpha_ratio) — the quality-signal building blocks."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = token_count(c)
@@ -70,7 +70,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         alpha_chars(c).alias("n_alpha"),
         digit_chars(c).alias("n_digit"),
         F.when(toks > 0, alpha_chars(c).cast("double") / toks).alias(
-            "avg_token_len"
+            "alpha_per_token"
         ),
         F.when(
             F.length(c) > 0, alpha_chars(c).cast("double") / F.length(c)
@@ -87,7 +87,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 1.0
     ).otherwise(0.0)
     alpha_ok = F.coalesce(F.col("alpha_ratio"), F.lit(0.0))
-    tok_len = F.coalesce(F.col("avg_token_len"), F.lit(0.0))
+    tok_len = F.coalesce(F.col("alpha_per_token"), F.lit(0.0))
     tok_len_ok = F.when((tok_len >= 2.0) & (tok_len <= 12.0), 1.0).otherwise(0.0)
     return s.select(
         "*",

@@ -39,8 +39,12 @@ def gapfill_grid(
     src = tier.select(
         "conv_id", "bucket_ts", F.col(value_col).cast("double").alias("value")
     )
+    # align span bounds to the declared unit so interval and unit cannot
+    # silently disagree (no-op when the tier is already truncated, which
+    # every rollup tier is; a raw-ts caller gets a proper aligned grid).
     span = src.groupBy("conv_id").agg(
-        F.min("bucket_ts").alias("min_b"), F.max("bucket_ts").alias("max_b")
+        F.date_trunc(unit, F.min("bucket_ts")).alias("min_b"),
+        F.date_trunc(unit, F.max("bucket_ts")).alias("max_b"),
     )
     grid = span.select(
         "conv_id",

@@ -56,8 +56,14 @@ def run_pipeline(
 
         t_b = time.time()
         # cached signal partitions are conv-hashed and (conv, turn)-sorted
-        # from the window: encode with zero additional shuffles.
-        blobs = encode_series(sig, "inter_time_us", assume_clustered=True)
+        # from the window — but the zero-shuffle encode path additionally
+        # needs ts monotone in turn_idx per conversation (else (conv, day)
+        # groups are non-contiguous and blob stitching would emit
+        # duplicate (conv, day) rows). inter_time_us < 0 anywhere is
+        # exactly that violation; the probe is a limit-1 scan of the
+        # cached frame. Fall back to the repartition+sort path if found.
+        monotone = sig.where(F.col("inter_time_us") < 0).isEmpty()
+        blobs = encode_series(sig, "inter_time_us", assume_clustered=monotone)
         blobs.write.mode("overwrite").parquet(f"{out_root}/blobs")
         enc = spark.read.parquet(f"{out_root}/blobs").agg(
             F.count(F.lit(1)).alias("n_blobs"),

@@ -58,3 +58,27 @@ def test_run_pipeline_metrics(spark, tiny_transcripts, tmp_path):
     assert out["total_rollup_points"] > 0
     assert set(out["tiers"]) == {"1m", "1h", "1d"}
     assert out["points_per_sec"] is not None
+
+
+def test_run_pipeline_nonmonotone_ts_one_blob_per_conv_day(spark, tmp_path):
+    """ts out of order vs turn_idx crossing midnight: turn order visits
+    day2, day1, day2 — non-contiguous (conv, day) groups. The pipeline
+    must detect it (negative inter_time probe) and fall back to the
+    repartition+sort encode path: exactly one blob per (conv, day),
+    never duplicate rows with restarting seq_idx."""
+    rows = [
+        ("x", 0, "user", "late", None, "2024-01-02 00:00:05"),
+        ("x", 1, "assistant", "early", None, "2024-01-01 23:59:50"),
+        ("x", 2, "user", "late2", None, "2024-01-02 00:00:10"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    root = str(tmp_path / "wh")
+    run_pipeline(spark, df, root)
+    blobs = spark.read.parquet(f"{root}/blobs")
+    per_group = blobs.groupBy("conv_id", "day").count().collect()
+    assert len(per_group) == 2  # (x, 01-01) and (x, 01-02)
+    assert all(r["count"] == 1 for r in per_group)
+    assert blobs.agg(F.sum("n")).collect()[0][0] == 3
