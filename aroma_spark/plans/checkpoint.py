@@ -8,23 +8,33 @@ metrics". Mechanics:
 - change detection = per-day source fingerprint (row count + sum of a
   64-bit row hash — order-independent, computed distributed, one tiny
   row per day collected to the driver);
-- commit protocol = write manifest JSON to a tmp name then atomic
-  rename — the reference's tmp-then-rename download commit
-  (reference: src/aroma/utils/download.py:40-44) promoted to a
-  per-partition commit marker; data writes use Spark dynamic partition
+- commit protocol = write manifest JSON to a tmp name then rename via
+  the Hadoop FileSystem API — the reference's tmp-then-rename download
+  commit (reference: src/aroma/utils/download.py:40-44) promoted to a
+  per-partition commit marker. Routing all manifest/path I/O through
+  Hadoop FS (not os.path/open) makes resume work when the warehouse
+  root is object storage (s3a://, hdfs://), which is the deployment
+  target at 10^12 turns; data writes use Spark dynamic partition
   overwrite (idempotent re-write of only the affected day partitions);
 - resume = skip days whose manifest fingerprint matches the current
   source (the reference's skip-if-ready gate,
-  src/aroma/datasets/multithumos.py:298-325);
+  src/aroma/datasets/multithumos.py:298-325). Days present only in the
+  manifest (deleted from the source) are detected as stale: their tier
+  partitions are deleted, their manifest entries dropped, and the
+  deletion cascades like any other change (lag-based signals cross day
+  boundaries);
+- backfill scope = a changed day forces recompute of later days, but
+  only for the conversations that changed: later non-dirty days are
+  rebuilt as (recompute for affected convs) ∪ (existing tier rows for
+  untouched convs) — a semi-/anti-join against the affected-conv set
+  instead of a full re-aggregation of every later day;
 - lineage = each manifest entry records (tier, day, source_fingerprint,
-  row_count, wall_sec, written_at) — the row-count metrics per retention
-  tier required by the north rule.
+  written_at) — with per-tier row-count metrics per the north rule.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
@@ -36,47 +46,126 @@ from aroma_spark.operators.tiers import TIER_SPECS, reaggregate, rollup_tier
 MANIFEST_DIR = "_manifest"
 
 
-def partition_fingerprints(signals: DataFrame) -> dict[str, dict]:
-    """day -> {n_rows, fingerprint} from the raw signal frame.
+def _fs(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for a path string — resolves the scheme
+    (file://, hdfs://, s3a://) so checkpoint state works on any
+    Spark-supported storage, not just the driver's local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
 
-    xxhash64 over the full row, bit_xor-folded per day: order- and
-    partition-independent (xor commutes, never overflows); paired with
-    the row count so duplicate-row changes still flip the fingerprint.
-    One shuffle with tiny output (#days rows).
+
+def fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def fs_delete(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs(spark, path_str)
+    return bool(fs.delete(path, True))
+
+
+def fs_read_text(spark: SparkSession, path_str: str) -> str | None:
+    fs, path = _fs(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        # commons-io ships with Hadoop; py4j can't read into a Python
+        # bytearray (arrays cross the bridge by value), so drain the
+        # stream JVM-side.
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """tmp-then-rename commit through the Hadoop FS API. Rename is atomic
+    on HDFS/local; on object stores it degrades to copy+delete, which is
+    still safe here because readers tolerate a missing manifest (treated
+    as empty -> recompute, never corruption)."""
+    fs, path = _fs(spark, path_str)
+    tmp_str = f"{path_str}.tmp-{uuid.uuid4().hex}"
+    _, tmp = _fs(spark, tmp_str)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(path):
+        fs.delete(path, False)
+    fs.rename(tmp, path)
+
+
+N_FP_BUCKETS = 32
+
+
+def _bucket(col: str = "conv_id") -> F.Column:
+    """Stable conversation bucket shared by fingerprints, tier rows and
+    the affected-conv derivation — a pure function of conv_id."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_FP_BUCKETS))
+
+
+def partition_fingerprints(
+    signals: DataFrame, n_buckets: int = N_FP_BUCKETS
+) -> dict[str, dict]:
+    """(day, conv-bucket) -> {n_rows, fingerprint} from the raw frame.
+
+    xxhash64 over the full row, bit_xor-folded per (day, bucket): order-
+    and partition-independent (xor commutes, never overflows); paired
+    with the row count so duplicate-row changes still flip the
+    fingerprint. The conv-bucket sub-key (pmod(xxhash64(conv_id), 32))
+    means an edit to one conversation dirties 1/32 of a day, not the
+    whole day — the backfill recompute set shrinks proportionally.
+    One shuffle with tiny output (#days x n_buckets rows).
     """
     rows = (
-        signals.groupBy(F.to_date("ts").cast("string").alias("day"))
+        signals.groupBy(
+            F.to_date("ts").cast("string").alias("day"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bucket"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor(F.xxhash64(*signals.columns)).alias("fp"),
         )
         .collect()
     )
-    return {r["day"]: {"n_rows": r["n_rows"], "fp": str(r["fp"])} for r in rows}
+    return {
+        f"{r['day']}|{r['bucket']}": {"n_rows": r["n_rows"], "fp": str(r["fp"])}
+        for r in rows
+    }
 
 
 def _manifest_path(root: str, tier: str) -> str:
-    return os.path.join(root, MANIFEST_DIR, f"{tier}.json")
+    return f"{root}/{MANIFEST_DIR}/{tier}.json"
 
 
-def load_manifest(root: str, tier: str) -> dict:
-    p = _manifest_path(root, tier)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
+def load_manifest(spark: SparkSession, root: str, tier: str) -> dict:
+    text = fs_read_text(spark, _manifest_path(root, tier))
+    return json.loads(text) if text else {}
 
 
-def write_manifest_entry(root: str, tier: str, entries: dict) -> None:
-    """Merge entries into the tier manifest; tmp-then-rename commit."""
-    p = _manifest_path(root, tier)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    manifest = load_manifest(root, tier)
+def write_manifest_entry(
+    spark: SparkSession,
+    root: str,
+    tier: str,
+    entries: dict,
+    remove: list[str] | tuple[str, ...] = (),
+) -> None:
+    """Merge entries into / drop ``remove`` keys from the tier manifest;
+    tmp-then-rename commit."""
+    manifest = load_manifest(spark, root, tier)
+    for key in remove:
+        manifest.pop(key, None)
     manifest.update(entries)
-    tmp = f"{p}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, p)
+    fs_write_text(
+        spark,
+        _manifest_path(root, tier),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
 
 
 def incremental_rollup(
@@ -98,39 +187,109 @@ def incremental_rollup(
     falling back to the signal frame. At 10^12 rows this keeps the
     fingerprint pass to one cheap scan instead of re-running the
     normalize+window pipeline twice.
+
+    Backfill cost model: lag-based signals cross day boundaries, so a
+    changed day can alter the first inter_time of ANY later day of the
+    same conversation. Dirty days recompute fully; later *clean* days
+    recompute only the conversations present in the dirty/stale days
+    (old or new side), merged with the already-materialized rows of
+    untouched conversations — a day-1 backfill touches days ≥ day 1 but
+    only reprocesses the edited conversations, not the whole corpus.
     """
     tiers = tiers or TIER_SPECS
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    current = partition_fingerprints(source if source is not None else signals)
+    fingerprint_src = source if source is not None else signals
+    current = partition_fingerprints(fingerprint_src)
+    current_days = sorted({k.split("|")[0] for k in current})
     metrics: dict[str, dict] = {}
+    day_col = F.to_date("ts").cast("string")
+    key_col = F.concat(day_col, F.lit("|"), _bucket().cast("string"))
+    affected_convs: DataFrame | None = None  # built once, shared by tiers
 
     for name, (unit, parent) in tiers.items():
         t0 = time.time()
-        manifest = load_manifest(root, name)
+        manifest = load_manifest(spark, root, name)
         dirty = [
-            d
-            for d, fp in current.items()
-            if manifest.get(d, {}).get("src") != fp
+            k
+            for k, fp in current.items()
+            if manifest.get(k, {}).get("src") != fp
         ]
-        # lag-based signals cross day boundaries: a changed day can alter
-        # the first inter_time of ANY later day (per-conversation
-        # predecessor may be days back). Conservative-correct resume:
-        # recompute every present day >= the earliest changed one —
-        # optimal for the dominant append-at-tail workload.
-        changed = (
-            sorted(d for d in current if d >= min(dirty)) if dirty else []
+        # (day, bucket) keys the manifest knows but the source no longer
+        # has: rows were deleted upstream — cascade like any change; days
+        # gone entirely additionally drop their tier partition.
+        stale = sorted(k for k in manifest if k not in current)
+        deleted_days = sorted(
+            {k.split("|")[0] for k in stale} - set(current_days)
         )
-        tier_path = os.path.join(root, f"tier={name}")
+        cascade_from = (
+            min(k.split("|")[0] for k in dirty + stale)
+            if (dirty or stale)
+            else None
+        )
+        changed = (
+            [d for d in current_days if d >= cascade_from]
+            if cascade_from
+            else []
+        )
+        tier_path = f"{root}/tier={name}"
+        tier_exists = fs_exists(spark, tier_path)
+
+        if parent is None and (dirty or stale) and affected_convs is None:
+            # conversations whose signals can differ anywhere downstream:
+            # in a dirty (day, bucket) now (added/edited rows) or recorded
+            # in the materialized raw tier under a dirty/stale key
+            # (removed rows — the old side survives only on disk).
+            # localCheckpoint materializes the (small: ~#edited convs) set
+            # BEFORE we delete/overwrite the tier files it was read from.
+            aff = fingerprint_src.where(key_col.isin(dirty)).select("conv_id")
+            if tier_exists:
+                old_tier = spark.read.parquet(tier_path)
+                old_key = F.concat(
+                    F.col("day").cast("string"),
+                    F.lit("|"),
+                    _bucket().cast("string"),
+                )
+                aff = aff.unionByName(
+                    old_tier.where(old_key.isin(dirty + stale)).select(
+                        "conv_id"
+                    )
+                )
+            affected_convs = aff.distinct().localCheckpoint()
+
+        for d in deleted_days:
+            fs_delete(spark, f"{tier_path}/day={d}")
+
         if changed:
             if parent is None:
-                src = signals.where(
-                    F.to_date("ts").cast("string").isin(changed)
-                )
-                out = rollup_tier(src, unit)
+                if tier_exists and affected_convs is not None:
+                    # recompute changed days only for affected convs;
+                    # untouched convs' rows survive from disk (their
+                    # (day, bucket) fingerprints are clean by definition,
+                    # so the stored rows are still exact).
+                    part = rollup_tier(
+                        signals.where(day_col.isin(changed)).join(
+                            affected_convs, "conv_id", "left_semi"
+                        ),
+                        unit,
+                    )
+                    keep = (
+                        spark.read.parquet(tier_path)
+                        .where(F.col("day").cast("string").isin(changed))
+                        .join(affected_convs, "conv_id", "left_anti")
+                        .drop("day")
+                        .localCheckpoint()
+                    )
+                    out = part.unionByName(keep.select(*part.columns))
+                else:
+                    out = rollup_tier(
+                        signals.where(day_col.isin(changed)), unit
+                    )
             else:
-                parent_path = os.path.join(root, f"tier={parent}")
+                parent_path = f"{root}/tier={parent}"
                 lower = spark.read.parquet(parent_path)
-                lower = lower.where(F.col("day").isin(changed)).drop("day")
+                lower = lower.where(
+                    F.col("day").cast("string").isin(changed)
+                ).drop("day")
                 out = reaggregate(lower, unit)
             out = out.withColumn(
                 "day", F.to_date(F.col("first_ts")).cast("string")
@@ -148,26 +307,37 @@ def incremental_rollup(
 
         n_rows = (
             spark.read.parquet(tier_path).count()
-            if os.path.exists(tier_path)
+            if fs_exists(spark, tier_path)
             else 0
         )
         wall = time.time() - t0
+        changed_set = set(changed)
         write_manifest_entry(
+            spark,
             root,
             name,
             {
-                d: {
-                    "src": current[d],
+                k: {
+                    "src": current[k],
                     "tier": name,
-                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "written_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
                 }
-                for d in changed
+                for k in current
+                if k.split("|")[0] in changed_set
             },
+            remove=stale,
         )
         metrics[name] = {
             "row_count": n_rows,
             "changed_partitions": len(changed),
-            "total_partitions": len(current),
+            "stale_partitions": len(deleted_days),
+            "total_partitions": len(current_days),
             "wall_sec": round(wall, 3),
         }
+        if parent is None and affected_convs is not None:
+            # lineage: how many conversations the backfill actually
+            # touched (cheap count on the localCheckpointed set).
+            metrics[name]["affected_convs"] = affected_convs.count()
     return metrics

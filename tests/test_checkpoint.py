@@ -49,8 +49,63 @@ def test_append_day_recomputes_only_that_day(spark, tiny_transcripts, tmp_path):
     for stats in m.values():
         assert stats["changed_partitions"] == 1
         assert stats["total_partitions"] == 4
-    manifest = load_manifest(root, "1m")
-    assert "2024-02-01" in manifest
+    manifest = load_manifest(spark, root, "1m")
+    assert any(k.startswith("2024-02-01|") for k in manifest)
+
+
+def test_deleted_day_removes_tier_partition_and_manifest(
+    spark, tiny_transcripts, tmp_path
+):
+    """A day deleted from the source is detected as stale: its tier
+    partitions are deleted, its manifest entry dropped, and later days
+    recompute (lag signals cross day boundaries). Result equals a fresh
+    rollup of the truncated source."""
+    import os
+
+    root = str(tmp_path / "wh")
+    incremental_rollup(spark, _sig(tiny_transcripts), root)
+    days = sorted(
+        r[0]
+        for r in tiny_transcripts.select(
+            F.to_date("ts").cast("string")
+        ).distinct().collect()
+    )
+    drop_day = days[0]
+    truncated = tiny_transcripts.where(F.to_date("ts").cast("string") != drop_day)
+    m = incremental_rollup(spark, _sig(truncated), root)
+    assert m["1m"]["stale_partitions"] == 1
+    assert not os.path.exists(f"{root}/tier=1m/day={drop_day}")
+    assert not any(
+        k.startswith(f"{drop_day}|") for k in load_manifest(spark, root, "1m")
+    )
+    # tier content equals a from-scratch rollup of the truncated source
+    disk = spark.read.parquet(f"{root}/tier=1m").drop("day")
+    mem = rollup_tier(_sig(truncated), "minute")
+    assert disk.exceptAll(mem).count() == 0 and mem.exceptAll(disk).count() == 0
+
+
+def test_backfill_recomputes_only_affected_convs(spark, tiny_transcripts, tmp_path):
+    """Editing one conversation in day 1 recomputes later days only for
+    that conversation: untouched convs' later-day rows survive from disk
+    (verified by value equality with a fresh rollup — the merge path
+    keep ∪ partial must be lossless)."""
+    root = str(tmp_path / "wh")
+    incremental_rollup(spark, _sig(tiny_transcripts), root)
+    # edit conv 'a' on the earliest day: shift one text payload
+    edited = tiny_transcripts.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "a") & (F.col("turn_idx") == 0),
+            F.lit("hello world EDITED"),
+        ).otherwise(F.col("text")),
+    )
+    m = incremental_rollup(spark, _sig(edited), root)
+    assert m["1m"]["changed_partitions"] >= 1
+    # the backfill scope is one conversation, not the corpus
+    assert m["1m"]["affected_convs"] == 1
+    disk = spark.read.parquet(f"{root}/tier=1m").drop("day")
+    mem = rollup_tier(_sig(edited), "minute")
+    assert disk.exceptAll(mem).count() == 0 and mem.exceptAll(disk).count() == 0
 
 
 def test_run_pipeline_metrics(spark, tiny_transcripts, tmp_path):
