@@ -59,6 +59,62 @@ from aroma_spark.sources.transcripts import load_table
 
 # ---------------------------------------------------------------- helpers
 
+# Deterministic on-disk fixtures for the annotation readers (S2-S4):
+# both engines parse the same bytes, so the readers get real oracle rows
+# instead of unit-only coverage. Written idempotently by queries() AND
+# oracle_sql() (whichever the driver calls first). Start times strictly
+# increase within each file so line order == start_time order and the
+# oracle can reconstruct seq_idx without relying on reader row order.
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+
+BREAKFAST_FIXTURES = {
+    "P03_cam01_cereals.txt": [
+        "1.0-30.5 pour_milk",
+        "30.5-70.25 stir_cereals",
+        "70.25-120.125 sil",
+    ],
+    "P03_cam01_coffee.txt": [
+        "0.5-14.5 take_cup",
+        "14.5-99.9 pour_coffee",
+    ],
+    "P15_webcam02_friedegg.txt": [
+        "2.25-18.0 crack_egg",
+        "18.0-36.75 fry_egg",
+        "36.75-60.5 put_egg2plate",
+        "60.5-61.0 sil",
+    ],
+}
+
+MULTITHUMOS_FIXTURES = {
+    "BasketballDunk.txt": [
+        "video_test_0000004 3.5 7.25",
+        "video_test_0000004 11.0 13.75",
+        "video_test_0000903 0.25 2.5",
+    ],
+    "CliffDiving.txt": [
+        "video_test_0000004 20.5 24.125",
+        "video_test_0000131 5.0 9.875",
+    ],
+}
+
+CLASSLIST_FIXTURE = ["7 BasketballDunk", "12 CliffDiving", "45 Diving"]
+
+
+def _ensure_reader_fixtures() -> str:
+    bdir = os.path.join(FIXTURE_DIR, "breakfast")
+    mdir = os.path.join(FIXTURE_DIR, "multithumos")
+    os.makedirs(bdir, exist_ok=True)
+    os.makedirs(mdir, exist_ok=True)
+    for name, lines in BREAKFAST_FIXTURES.items():
+        with open(os.path.join(bdir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    for name, lines in MULTITHUMOS_FIXTURES.items():
+        with open(os.path.join(mdir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(os.path.join(FIXTURE_DIR, "classlist.txt"), "w") as f:
+        f.write("\n".join(CLASSLIST_FIXTURE) + "\n")
+    return FIXTURE_DIR
+
 SIG_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL}),
 sig AS (
@@ -276,6 +332,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features
 
+    # --- annotation readers S2-S4 over shared on-disk fixtures ---
+    def read_breakfast(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.sources.readers import read_breakfast_annotations
+
+        d = _ensure_reader_fixtures()
+        return read_breakfast_annotations(spark, f"{d}/breakfast/*.txt")
+
+    q["read_breakfast"] = read_breakfast
+
+    def read_multithumos(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.sources.readers import read_multithumos_annotations
+
+        d = _ensure_reader_fixtures()
+        idx = {a: i for i, a in enumerate(sorted(MULTITHUMOS_FIXTURES))}
+        action_index = {k[: -len(".txt")]: v for k, v in idx.items()}
+        return read_multithumos_annotations(
+            spark, f"{d}/multithumos/*.txt", action_index
+        )
+
+    q["read_multithumos"] = read_multithumos
+
+    def read_classlist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.sources.readers import read_class_list
+
+        d = _ensure_reader_fixtures()
+        return read_class_list(spark, f"{d}/classlist.txt")
+
+    q["read_classlist"] = read_classlist
+
     # --- sessionization (asynchronous-series segmentation) ---
     from aroma_spark.operators.sessions import session_stats, with_session_ids
 
@@ -459,6 +544,49 @@ SELECT conv_id, session_idx,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
        CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
 FROM s GROUP BY conv_id, session_idx"""
+
+    # ---- annotation readers over the shared fixture files ----
+    fx = _ensure_reader_fixtures()
+    o["read_breakfast"] = f"""
+WITH raw AS (
+  SELECT column0 AS times, column1 AS action, filename
+  FROM read_csv('{fx}/breakfast/*.txt', header=false, delim=' ',
+                columns={{'column0':'VARCHAR','column1':'VARCHAR'}}, filename=true)
+),
+p AS (SELECT regexp_extract(filename, '([^/]+)\\.txt$', 1) AS stem, * FROM raw)
+SELECT regexp_extract(stem, '^([^_]+)_', 1) AS person_id,
+       regexp_extract(stem, '_([^_]+)$', 1) AS cooking_activity,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY filename
+         ORDER BY CAST(string_split(times, '-')[1] AS DOUBLE)) - 1 AS INT) AS seq_idx,
+       action,
+       CAST(string_split(times, '-')[1] AS REAL) AS start_time,
+       CAST(string_split(times, '-')[2] AS REAL) AS end_time
+FROM p"""
+
+    o["read_multithumos"] = f"""
+WITH raw AS (
+  SELECT column0 AS video_id, column1 AS s, column2 AS e, filename
+  FROM read_csv('{fx}/multithumos/*.txt', header=false, delim=' ',
+                columns={{'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR'}}, filename=true)
+),
+p AS (SELECT regexp_extract(filename, '([^/]+)\\.txt$', 1) AS action, * FROM raw),
+idx AS (SELECT action, CAST(ROW_NUMBER() OVER (ORDER BY action) - 1 AS INT) AS action_index
+        FROM (SELECT DISTINCT action FROM p))
+SELECT p.action, p.video_id,
+       CAST(p.s AS REAL) AS start_time, CAST(p.e AS REAL) AS end_time,
+       idx.action_index
+FROM p JOIN idx ON p.action = idx.action"""
+
+    o["read_classlist"] = f"""
+WITH raw AS (
+  SELECT column0 AS id, column1 AS name
+  FROM read_csv('{fx}/classlist.txt', header=false, delim=' ',
+                columns={{'column0':'VARCHAR','column1':'VARCHAR'}})
+)
+SELECT name AS token,
+       CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS index
+FROM raw"""
 
     # ragged->padded parity: grid of (conv, pos in [0, global max)) with
     # -1.0 pad; t_sec = epoch_us/1e6 is exact (epoch µs < 2^53).

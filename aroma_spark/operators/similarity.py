@@ -101,14 +101,151 @@ def lsh_signatures(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 1,
 ) -> DataFrame:
-    """(id, sig): n_planes sign bits from fixed random hyperplanes."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig + bit.cast("long") * F.lit(2**p).cast("long")
-    return vectors.select(F.col(id_col).alias(id_col), sig.alias("sig"))
+    """(id, band, sig): per band, ``n_planes`` sign bits from fixed
+    random hyperplanes (band b uses planes b*n_planes..b*n_planes+n-1).
+
+    Banding is the standard recall lever (Charikar 2002 / LSH banding):
+    a pair is a candidate if ANY band's signature matches — recall
+    1-(1-s^b)^L for bit-agreement probability s. One band keeps the
+    legacy behavior."""
+
+    def band_sig(band: int) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(dim, band * n_planes + i)]
+            )
+            bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            sig = sig + bit.cast("long") * F.lit(2**i).cast("long")
+        return sig
+
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_sig(b) for b in range(n_bands)])).alias(
+            "band", "sig"
+        ),
+    )
+
+
+def lsh_signatures_arrow(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Arrow-vectorized banded signatures: one (batch x L*b) matmul per
+    Arrow batch instead of L*b Catalyst fold expressions.
+
+    Same hyperplanes as :func:`lsh_signatures`; sign bits may differ
+    from the Catalyst path only where a dot product is within float
+    round-off of zero (matmul reassociates the sum) — immaterial for
+    bucketing, so this is the path for large band counts, while the
+    Catalyst path stays bit-reproducible for the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(n_bands * n_planes)]
+    ).T  # (dim, L*b)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (V @ planes) >= 0  # (n, L*b)
+            sigs = (
+                bits.reshape(len(V), n_bands, n_planes) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(V)
+                    ),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, band int, sig long"
+    )
+
+
+def brute_force_pairs(
+    vectors: DataFrame,
+    min_cosine: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ground truth — quadratic work; recall
+    measurement and ground-truth only.
+
+    Broadcast-corpus shape: the normalized corpus matrix rides into an
+    Arrow ``mapInPandas`` closure; each task matmuls its block of rows
+    against the whole matrix (vectorized, one matmul per batch). Memory
+    = corpus matrix per executor — correct while the measured corpus is
+    dimension-table-sized, which is the only sanctioned use."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = vectors.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    M = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(V @ M.T, 6)
+            bid = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(
+                (S >= min_cosine) & (bid[:, None] < ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": bid[ii], "id_b": ids[jj], "cosine": S[ii, jj]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, "id_a long, id_b long, cosine double"
+    )
+
+
+def ann_recall(
+    vectors: DataFrame,
+    n_planes: int,
+    dim: int = 64,
+    min_cosine: float = 0.5,
+    truth: DataFrame | None = None,
+    n_bands: int = 1,
+) -> float | None:
+    """Recall of the LSH-bucketed pair search against exact ground truth.
+
+    Pass a persisted ``truth`` (from :func:`brute_force_pairs`) when
+    sweeping several (n_bands, n_planes) settings so the quadratic pass
+    runs once.
+    """
+    if truth is None:
+        truth = brute_force_pairs(vectors, min_cosine)
+    t = truth.select("id_a", "id_b")
+    n_truth = t.count()
+    if not n_truth:
+        return None
+    got = lsh_ann_pairs(
+        vectors, n_planes, dim, min_cosine, n_bands=n_bands
+    ).select("id_a", "id_b")
+    hits = t.join(got, ["id_a", "id_b"], "left_semi").count()
+    return hits / n_truth
 
 
 def lsh_ann_pairs(
@@ -118,21 +255,36 @@ def lsh_ann_pairs(
     min_cosine: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Candidate pairs from identical LSH signatures, verified by exact
-    cosine — the bucketed near-dup path for embedding columns."""
-    sigs = lsh_signatures(vectors, n_planes, dim, id_col, vec_col)
-    v = vectors.select(F.col(id_col), F.col(vec_col))
-    tagged = v.join(sigs, id_col)
-    a = tagged.select(
-        F.col("sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
-    )
-    b = tagged.select(
-        F.col("sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
-    )
-    return (
-        a.join(b, "sig")
+    """Candidate pairs from identical LSH signatures in ANY band,
+    verified by exact cosine — the bucketed near-dup path for embedding
+    columns. Candidates only ever meet inside a (band, sig) bucket join;
+    the distinct() dedups pairs that collide in several bands before the
+    (more expensive) cosine verification.
+
+    Single-band signatures use the Catalyst fold (bit-reproducible vs
+    the DuckDB oracle); multi-band uses the Arrow matmul path (the
+    per-band Catalyst expression count would explode codegen)."""
+    if n_bands > 1:
+        sigs = lsh_signatures_arrow(
+            vectors, n_planes, dim, id_col, vec_col, n_bands
+        )
+    else:
+        sigs = lsh_signatures(vectors, n_planes, dim, id_col, vec_col, n_bands)
+    a = sigs.select("band", "sig", F.col(id_col).alias("id_a"))
+    b = sigs.select("band", "sig", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -72,6 +72,34 @@ def main() -> None:
             sec, _ = _run(qs[name], spark, sf_dir)
             queries[name] = round(sec, 3)
 
+    # ANN recall vs exact ground truth (VERDICT r1 item 8): quantifies
+    # the n_planes knob. Ground truth is one quadratic pass, persisted
+    # across the sweep.
+    t0 = time.time()
+    from aroma_spark.operators.similarity import ann_recall, brute_force_pairs
+    from aroma_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_cos = 0.5
+    truth = brute_force_pairs(emb, min_cos).persist()
+    n_truth = truth.count()
+    ann = {
+        "min_cosine": min_cos,
+        "n_true_pairs": n_truth,
+        "recall": {
+            f"bands{L}_planes{b}": (
+                round(r, 4)
+                if (r := ann_recall(emb, b, 64, min_cos, truth, n_bands=L))
+                is not None
+                else None
+            )
+            for (L, b) in ((1, 8), (8, 4), (32, 8))
+        },
+        "sec": None,
+    }
+    truth.unpersist()
+    ann["sec"] = round(time.time() - t0, 3)
+
     points_per_sec = total_points / lattice_sec if lattice_sec else 0.0
     out = {
         "metric": "rolled-up points/sec across raw->1m->1h->1d tiers",
@@ -80,6 +108,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "total_rollup_points": total_points,
+        "ann_recall": ann,
         "wall_sec_total": round(time.time() - t0_all, 3),
     }
     spark.stop()

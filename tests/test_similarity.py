@@ -61,3 +61,41 @@ def test_lsh_pairs_verified_by_cosine(spark, vecs):
     got = set(zip(pairs.id_a, pairs.id_b))
     assert (0, 1) in got
     assert all(c >= 0.9 for c in pairs.cosine)
+
+
+def test_banded_lsh_recall_dominates_single_band(spark):
+    """Banded OR-of-signatures must recover strictly more true pairs
+    than one wide signature on a corpus of near-duplicate clusters, and
+    the Arrow matmul signature path agrees with the Catalyst fold."""
+    import numpy as np
+
+    from aroma_spark.operators.similarity import (
+        ann_recall,
+        brute_force_pairs,
+        lsh_signatures,
+        lsh_signatures_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 jittered copies -> true near-dup pairs
+            v = b + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = brute_force_pairs(vecs, 0.9).persist()
+    assert truth.count() >= 20
+    r1 = ann_recall(vecs, 12, 16, 0.9, truth, n_bands=1)
+    r8 = ann_recall(vecs, 6, 16, 0.9, truth, n_bands=8)
+    assert r8 > r1
+    assert r8 > 0.9
+    # arrow path == catalyst path bit-for-bit on this data
+    cat = lsh_signatures(vecs, 6, 16, n_bands=2).toPandas()
+    arr = lsh_signatures_arrow(vecs, 6, 16, n_bands=2).toPandas()
+    key = ["vec_id", "band"]
+    cat = cat.sort_values(key).reset_index(drop=True)
+    arr = arr.sort_values(key).reset_index(drop=True)
+    assert (cat.sig.to_numpy() == arr.sig.to_numpy()).all()

@@ -46,6 +46,58 @@ def test_streaming_rollup_matches_batch(spark, tiny_transcripts, stream_dir, tmp
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_streaming_signals_state_survives_restart(spark, tmp_path):
+    """Two separate availableNow runs over one checkpoint dir: the second
+    run starts a NEW query (process restart) and must resume the keyed
+    state — the appended turn's inter_time references the previous run's
+    last ts, not 0."""
+    in_dir = str(tmp_path / "in")
+    rows1 = [
+        ("a", 0, "user", "hi", None, "2024-01-01 00:00:00"),
+        ("a", 1, "assistant", "yo", None, "2024-01-01 00:00:30"),
+    ]
+    spark.createDataFrame(
+        rows1,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink: the fault-tolerant path that supports checkpoint
+        # recovery (memory sink does not).
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (
+            streaming_signals(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_restart"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    first = run_once().collect()
+    assert {r["turn_idx"] for r in first} == {0, 1}
+
+    # process "restart": append one turn, start a brand-new query against
+    # the same checkpoint.
+    rows2 = [("a", 2, "user", "back", None, "2024-01-01 00:01:30")]
+    spark.createDataFrame(
+        rows2,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(in_dir)
+
+    second = run_once().where("turn_idx = 2").collect()
+    assert len(second) == 1
+    r = second[0]
+    # 60s since the previous run's last turn — only possible if state
+    # (last ts of conv 'a') survived the restart.
+    assert r["inter_time_us"] == 60_000_000
+
+
 def test_streaming_signals_stateful(spark, tiny_transcripts, stream_dir, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     _run_stream(streaming_signals(stream), tmp_path, "sig")
