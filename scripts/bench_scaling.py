@@ -59,14 +59,12 @@ def job(i):
     return m
 
 job(0)  # warmup: JIT, codegen, page cache
-best = None
-for i in range(2):
+runs = []
+for i in range(3):
     m = job(i + 1)
-    if best is None or m["wall_sec"] < best["wall_sec"]:
-        best = m
-print(json.dumps({{"cores": cores, "points": best["total_rollup_points"],
-                   "wall": best["wall_sec"],
-                   "pps": best["points_per_sec"]}}))
+    runs.append({{"cores": cores, "points": m["total_rollup_points"],
+                  "wall": m["wall_sec"], "pps": m["points_per_sec"]}})
+print(json.dumps(runs))
 spark.stop()
 """
 
@@ -83,22 +81,35 @@ def run(cores: int, n_turns: int, input_path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     input_path = f"/tmp/aroma_scaling_dense_{n_turns}"
     levels = (2, 8, 32)
     results: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(repeats):
         for cores in levels:
-            res = run(cores, n_turns, input_path)
-            results[cores].append(res)
-            print(f"cores={cores}: {res['pps']:.0f} pts/s ({res['wall']:.1f}s)", flush=True)
+            for res in run(cores, n_turns, input_path):
+                results[cores].append(res)
+                print(
+                    f"cores={cores}: {res['pps']:.0f} pts/s ({res['wall']:.1f}s)",
+                    flush=True,
+                )
 
     best = {c: max(x["pps"] for x in results[c]) for c in levels}
+    med = {c: _median([x["pps"] for x in results[c]]) for c in levels}
     eff_primary = (best[8] / best[2]) / 4.0
+    eff_primary_med = (med[8] / med[2]) / 4.0
     eff_stress = (best[32] / best[8]) / 4.0
+    eff_stress_med = (med[32] / med[8]) / 4.0
     points = results[2][0]["points"]
+    n_runs = len(results[2])
 
     md = f"""# BENCH — scaling efficiency (N vs 4N)
 
@@ -106,16 +117,18 @@ Identical flagship rollup job (normalize + dedup -> per-conversation
 signal window -> raw->1m->1h->1d checkpointed tier lattice, parquet
 writes + lineage manifests) on identical pre-materialized parquet input
 ({n_turns:,} synthetic turns, dense span), fresh JVM per level, warmup
-run inside each JVM, best of {2 * repeats} measured runs.
+run inside each JVM, {n_runs} measured runs per level — best AND median
+reported (the median guards against the claim resting on best-case
+runs; this shared-host box shows high run-to-run variance).
 
-| level | rolled-up points | wall (s) | points/sec |
+| level | rolled-up points | best pts/s | median pts/s |
 |---|---|---|---|
-| local[2]  | {points:,} | {min(x['wall'] for x in results[2]):.2f} | {best[2]:,.0f} |
-| local[8]  | {points:,} | {min(x['wall'] for x in results[8]):.2f} | {best[8]:,.0f} |
-| local[32] | {points:,} | {min(x['wall'] for x in results[32]):.2f} | {best[32]:,.0f} |
+| local[2]  | {points:,} | {best[2]:,.0f} | {med[2]:,.0f} |
+| local[8]  | {points:,} | {best[8]:,.0f} | {med[8]:,.0f} |
+| local[32] | {points:,} | {best[32]:,.0f} | {med[32]:,.0f} |
 
-**Primary (N=2 -> 4N=8): efficiency {eff_primary:.3f}** (criterion >= 0.8)
-Stress (N=8 -> 4N=32): efficiency {eff_stress:.3f}
+**Primary (N=2 -> 4N=8): efficiency {eff_primary:.3f} best / {eff_primary_med:.3f} median** (criterion >= 0.8)
+Stress (N=8 -> 4N=32): efficiency {eff_stress:.3f} best / {eff_stress_med:.3f} median
 
 The primary pair is the honest single-box proxy for "N vs 4N
 executors": real executors each bring their own memory bandwidth and
@@ -130,7 +143,10 @@ Raw runs: {json.dumps(results)}
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md)
-    print(f"primary={eff_primary:.3f} stress={eff_stress:.3f} -> {out_path}")
+    print(
+        f"primary={eff_primary:.3f} (med {eff_primary_med:.3f}) "
+        f"stress={eff_stress:.3f} (med {eff_stress_med:.3f}) -> {out_path}"
+    )
 
 
 if __name__ == "__main__":
