@@ -102,25 +102,41 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int
+) -> DataFrame:
+    """(id, m0..m{k-1}): all k salted-md5 min-hashes in ONE aggregation.
+
+    The shingle stream is shuffled exactly once at its natural size —
+    the earlier explode(sequence(0,k-1)) shape materialized k x the
+    shingle rows before the (doc, hash_idx) shuffle (same pattern as
+    the SimHash fix; map-side partials combine per doc)."""
+    sh = word_shingles(df, id_col, text_col)
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
     """(id, hash_idx, minhash): k salted-md5 min-hashes per document.
 
     min over fixed-width lowercase hex strings == min over the 128-bit
-    values — portable across engines with zero custom hashing.
+    values — portable across engines with zero custom hashing. Long form
+    is unpivoted (stack) from the single wide aggregation.
     """
-    sh = word_shingles(df, id_col, text_col)
-    hashed = sh.select(
+    wide = _minhash_wide(df, id_col, text_col, n_hashes)
+    stack = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
+    return wide.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx"),
-        "shingle",
-    ).select(
-        id_col,
-        "hash_idx",
-        F.md5(F.concat_ws(":", F.col("hash_idx"), F.col("shingle"))).alias("h"),
+        F.expr(f"stack({n_hashes}, {stack}) AS (hash_idx, minhash)"),
     )
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
 
 
 def minhash_band_keys(
@@ -130,21 +146,22 @@ def minhash_band_keys(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """(id, band, band_key): LSH bucket keys — md5 of the ordered band slice."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    sig = sig.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
-    return (
-        sig.groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.array_sort(
-                        F.collect_list(F.struct("hash_idx", "minhash"))
-                    ).getField("minhash"),
-                )
-            ).alias("band_key")
-        )
+    """(id, band, band_key): LSH bucket keys — md5 of the ordered band
+    slice, computed directly from the wide min-hash row (no second
+    shuffle; the old long-form path re-grouped by (id, band))."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    return wide.select(id_col, *band_cols).select(
+        id_col, F.expr(f"stack({n_bands}, {stack}) AS (band, band_key)")
     )
 
 

@@ -234,7 +234,18 @@ def incremental_rollup(
         tier_path = f"{root}/tier={name}"
         tier_exists = fs_exists(spark, tier_path)
 
-        if parent is None and (dirty or stale) and affected_convs is None:
+        # the affected-conv set only feeds the partial-recompute merge,
+        # which needs an existing tier AND at least one clean key to
+        # preserve — a fresh run (or full invalidation) must NOT pay the
+        # extra raw-corpus distinct (measured: it halved 8-core
+        # throughput on a 40M-turn fresh rollup).
+        need_partial = (
+            parent is None
+            and tier_exists
+            and (dirty or stale)
+            and len(dirty) < len(current)
+        )
+        if need_partial and affected_convs is None:
             # conversations whose signals can differ anywhere downstream:
             # in a dirty (day, bucket) now (added/edited rows) or recorded
             # in the materialized raw tier under a dirty/stale key

@@ -24,19 +24,24 @@ def read_breakfast_annotations(spark: SparkSession, path_glob: str) -> DataFrame
     breakfast.py:565-566). Returns (person_id, cooking_activity,
     seq_idx, action, start_time, end_time).
     """
+    # wholetext + posexplode makes line order CONTRACTUAL (a plain
+    # spark.read.text gives per-split order only, which holds for small
+    # files but is not a guarantee once a file splits). Annotation files
+    # are KB-sized, so one-task-per-file is the right trade.
     lines = (
-        spark.read.text(path_glob)
+        spark.read.text(path_glob, wholetext=True)
         .select(
             F.input_file_name().alias("file"),
-            F.trim(F.col("value")).alias("line"),
+            F.posexplode(F.split("value", r"\r?\n")).alias("line_no", "raw"),
         )
+        .select("file", "line_no", F.trim("raw").alias("line"))
         .where(F.col("line") != "")
     )
     stem = F.regexp_extract(F.col("file"), r"([^/]+)\.txt$", 1)
     times = F.split(F.element_at(F.split("line", " "), 1), "-")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+    w = Window.partitionBy("file").orderBy("line_no")
     return lines.select(
         F.regexp_extract(stem, r"^([^_]+)_", 1).alias("person_id"),
         F.regexp_extract(stem, r"_([^_]+)$", 1).alias("cooking_activity"),
