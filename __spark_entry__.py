@@ -422,6 +422,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "embeddings"), n_planes=6, dim=64, min_cosine=0.15
     )
 
+    # IVF: the scale path for ANN — assign once, probe a few lists
+    def ivf_assign_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import ivf_assign
+
+        return ivf_assign(load_table(spark, sf, "embeddings"), n_centroids=16)
+
+    q["ivf_assign"] = ivf_assign_q
+
+    def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        return ivf_topk(
+            emb, emb.where(F.col("vec_id") < 10),
+            k=5, n_centroids=16, n_probe=4,
+        )
+
+    q["ivf_topk"] = ivf_topk_q
+
+    # --- temporal joins: as-of (union-marker, one shuffle) + banded range ---
+    def asof_join_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import asof_join
+
+        t = transcripts_from_events(spark, sf).select("conv_id", "turn_idx", "ts")
+        tier = rollup_lattice(_signals(spark, sf))["1h"].select(
+            "conv_id",
+            (F.col("bucket_ts") + F.expr("interval 1 hour")).alias("closed_ts"),
+            "n_points",
+            "sum_latency_us",
+        )
+        # enrich each turn with the latest *completed* hour's rollup
+        return asof_join(
+            t, tier, by="conv_id", left_ts="ts", right_ts="closed_ts",
+            value_cols=["n_points", "sum_latency_us"],
+        )
+
+    q["asof_join_1h"] = asof_join_1h
+
+    def session_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import interval_join
+        from aroma_spark.operators.sessions import session_stats
+
+        t = transcripts_from_events(spark, sf).select("conv_id", "turn_idx", "ts")
+        ivl = session_stats(
+            transcripts_from_events(spark, sf), "30 minutes"
+        ).select("conv_id", "session_idx", "session_start", "session_end")
+        return interval_join(t, ivl, by="conv_id", ts_col="ts", band="hour")
+
+    q["session_interval_join"] = session_interval_join
+
+    # --- deterministic hash split (train/val/test) ---
+    def doc_split(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.splits import with_split
+
+        return with_split(
+            load_table(spark, sf, "documents"), "doc_id"
+        ).select("doc_id", "split")
+
+    q["doc_split"] = doc_split
+
+    def doc_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.splits import split_counts
+
+        return split_counts(load_table(spark, sf, "documents"), "doc_id")
+
+    q["doc_split_counts"] = doc_split_counts
+
     return q
 
 
@@ -789,4 +856,78 @@ pairs AS (
   FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.15"""
+
+    ivf_assign_sql = f"""
+c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+sc AS (SELECT e.vec_id, c.centroid_id,
+              round({_cos('e.embedding', 'c.cv')}, 6) AS cent_cosine
+       FROM embeddings e, c),
+asg AS (SELECT vec_id, centroid_id, cent_cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cent_cosine DESC, centroid_id) AS rn
+        FROM sc)
+""".strip()
+    o["ivf_assign"] = f"""WITH {ivf_assign_sql}
+SELECT vec_id, centroid_id, cent_cosine FROM asg WHERE rn = 1"""
+
+    o["ivf_topk"] = f"""WITH {ivf_assign_sql},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+qp AS (SELECT q.query_id, q.qv, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY round({_cos('q.qv', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+       FROM q, c),
+probed AS (SELECT query_id, qv, centroid_id FROM qp WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_cos('p.qv', 'e.embedding')}, 6) AS cosine
+  FROM probed p
+  JOIN asg a ON a.centroid_id = p.centroid_id AND a.rn = 1
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    # as-of: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # engine's union-marker window implementation
+    o["asof_join_1h"] = f"""{SIG_SQL},
+tier AS (
+  SELECT conv_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS closed_ts,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+  FROM sig GROUP BY 1, 2
+)
+SELECT s.conv_id, s.turn_idx, s.ts,
+       r.closed_ts AS matched_ts, r.n_points, r.sum_latency_us
+FROM sig s ASOF LEFT JOIN tier r
+  ON s.conv_id = r.conv_id AND s.ts >= r.closed_ts"""
+
+    o["session_interval_join"] = f"""{sess_core},
+ivl AS (SELECT conv_id, session_idx,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY conv_id, session_idx)
+SELECT t.conv_id, t.turn_idx, t.ts,
+       i.session_idx, i.session_start, i.session_end
+FROM s t JOIN ivl i
+  ON t.conv_id = i.conv_id
+ AND t.ts BETWEEN i.session_start AND i.session_end"""
+
+    split_u = (
+        "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) / 4294967296.0"
+    )
+    o["doc_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {split_u} < 0.8 THEN 'train'
+            WHEN {split_u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+    o["doc_split_counts"] = f"""
+WITH s AS ({o["doc_split"]})
+SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+FROM s GROUP BY split"""
     return o

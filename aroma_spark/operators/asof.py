@@ -1,0 +1,164 @@
+"""As-of and interval (range) joins — the temporal joins a time-series
+rollup engine needs that Spark lacks as primitives.
+
+The reference has no general joins (SURVEY.md §2.3); its nearest analog
+is per-sequence time ordering + lag-diff (reference:
+src/aroma/preprocessing/intertimes.py:83-104). LOCF gap-fill is already
+an as-of join of a regular grid against the irregular series
+(operators/gapfill.py); this module exposes the general form.
+
+Scale design (100 TB):
+
+- ``asof_join`` is NOT a join at all: both sides are unioned with a
+  side marker and resolved by ONE window pass over ``(by, ts)`` —
+  a single hash exchange + sort, no build side, no range cross
+  product. This is the classic union-marker as-of (same dataflow as
+  a sort-merge as-of in kdb/pandas ``merge_asof``), and it reuses the
+  engine's canonical conv_id partitioning.
+- ``interval_join`` is a *banded* range join: intervals explode to the
+  fixed-width time bands they cover, events map to their single band,
+  and candidates only meet inside an equi-join on ``(by, band)`` —
+  never an unbounded theta join. Band width trades explode factor
+  against candidate-filter selectivity; each (event, interval) pair
+  meets at most once (an event has exactly one band), so no dedup
+  pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_R = "__asof_is_r"
+_P = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str] = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Left as-of join: each left row gets the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (direction='backward'; ties at
+    equal ts match) or the smallest ``right_ts`` >= ``left_ts``
+    ('forward'), within the same ``by`` keys. Unmatched left rows keep
+    NULL values (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
+
+    ``right`` must be unique per ``(by, right_ts)`` — true of every
+    rollup tier (one row per (conv_id, bucket_ts)); a duplicate would
+    make the matched row order-dependent.
+
+    ``tolerance_us``: optional max distance in microseconds; matches
+    farther than this resolve to NULL (pandas ``merge_asof`` semantics).
+
+    One shuffle total: union -> window over (by, ts). The payload rides
+    as a struct so a NULL *value* inside a matched right row is
+    preserved (LOCF on bare columns would skip it).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in (*by_cols, right_ts)
+        ]
+    for c in (matched_ts_col, *value_cols):
+        if c in left.columns:
+            raise ValueError(f"column {c!r} already exists on the left side")
+
+    r = right.select(
+        *by_cols,
+        F.col(right_ts).alias(_T),
+        F.struct(
+            F.col(right_ts).alias(matched_ts_col),
+            *[F.col(c) for c in value_cols],
+        ).alias(_P),
+        F.lit(1).alias(_R),
+    )
+    l = left.withColumn(_T, F.col(left_ts)).withColumn(_R, F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => <= matches
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(_T).asc(), F.col(_R).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last(_P, ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(_T).asc(), F.col(_R).asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first(_P, ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"unknown direction: {direction!r}")
+
+    out = u.withColumn(_P, matched).where(F.col(_R) == 0)
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col(_P)[matched_ts_col])
+        )
+        out = out.withColumn(
+            _P, F.when(gap <= F.lit(tolerance_us), F.col(_P))
+        )
+    return out.select(
+        *left.columns,
+        F.col(_P)[matched_ts_col].alias(matched_ts_col),
+        *[F.col(_P)[c].alias(c) for c in value_cols],
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    by: str | list[str] = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    band: str = "hour",
+) -> DataFrame:
+    """Inner join of point events against intervals containing them
+    (``start_col <= ts <= end_col``, both ends inclusive), banded so
+    candidates only meet inside an equi-join.
+
+    ``band`` is a ``date_trunc`` unit ('minute'/'hour'/'day'): each
+    interval explodes to the bands it covers; each event lands in
+    exactly one band, so every qualifying (event, interval) pair is
+    produced exactly once with no distinct() pass. Pick the band near
+    the median interval length — too narrow multiplies the interval
+    side, too wide weakens candidate pruning.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    ivl_cols = [c for c in intervals.columns if c not in by_cols]
+    clash = set(ivl_cols) & set(events.columns)
+    if clash:
+        raise ValueError(f"interval columns collide with events: {sorted(clash)}")
+
+    ivl = intervals.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.date_trunc(band, F.col(start_col)),
+                F.date_trunc(band, F.col(end_col)),
+                F.expr(f"interval 1 {band}"),
+            )
+        ),
+    )
+    ev = events.withColumn("__band", F.date_trunc(band, F.col(ts_col)))
+    return (
+        ev.join(ivl, [*by_cols, "__band"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__band")
+    )

@@ -75,6 +75,149 @@ def brute_force_topk(
     )
 
 
+def _centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
+    vectors. A production IVF trains centroids by k-means over a sample
+    (IVFADC, Jégou et al. 2011); a fixed pick keeps the quantizer
+    bit-reproducible across engines while exercising the identical
+    assign/probe dataflow. Swap this function for a trained codebook
+    without touching the rest of the index."""
+    return vectors.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector goes to its max-cosine centroid
+    (ties broken by centroid id). One broadcast of the (tiny) codebook +
+    one pass over the corpus — the inverted-file build step. At 100 TB
+    the output is the thing to persist, bucketed by ``centroid_id``, so
+    probes become partition-pruned scans."""
+    from pyspark.sql import Window
+
+    cents = _centroids(vectors, n_centroids, id_col, vec_col)
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "centroid_id",
+            F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias(
+                "cent_cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cent_cosine"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "centroid_id", "cent_cosine")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k ANN: probe the ``n_probe`` nearest inverted lists per
+    query, score candidates exactly, keep the top ``k``.
+
+    Scale shape: the corpus is touched once to build the assignment
+    (reusable across queries); the candidate join shuffles only
+    (query x probed-list) rows — cost scales with n_probe/n_centroids
+    of the corpus, not all of it. Recall < 1 by design; measure with
+    :func:`ivf_recall` and tune (n_centroids, n_probe)."""
+    from pyspark.sql import Window
+
+    assign = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    cents = _centroids(vectors, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("q_cosine"), F.asc("centroid_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias(
+                "q_cosine"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        probed.join(assign, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(vb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> float | None:
+    """Fraction of exact top-k neighbor pairs the IVF probe recovers."""
+    truth = brute_force_topk(vectors, queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.count()
+    if not n_truth:
+        return None
+    got = ivf_topk(vectors, queries, k, n_centroids, n_probe).select(
+        "query_id", "neighbor_id"
+    )
+    return truth.join(got, ["query_id", "neighbor_id"], "left_semi").count() / n_truth
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

@@ -1,0 +1,75 @@
+"""Deterministic dataset splits for training-data pipelines.
+
+The reference splits by *fixed membership lists* (DATASET_SPLITS,
+reference: src/aroma/datasets/breakfast.py:112-134) and by id prefix
+(multithumos.py:545-574) — both covered by operators/vocab filters.
+This module adds the split primitive a 100 TB corpus needs: a
+*hash-based* split, where membership is a pure function of the row key,
+so it is stable across runs, machines, and engine versions, needs no
+membership table, and never shuffles — the split column is a map-side
+expression the optimizer can push around freely.
+
+The hash is md5 over ``salt || ':' || key`` (first 8 hex digits as a
+uniform u32), portable to any engine with md5 — the DuckDB oracle
+computes the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_hash(key: Column, salt: str) -> Column:
+    """Uniform value in [0, 1) from md5(salt:key) — stable everywhere."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashing ``key_col``.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; assignment
+    uses cumulative thresholds in the given order). Rows sharing a key
+    always land in the same split — hash the *document* key to prevent
+    near-duplicate leakage across train/test, or a group key (e.g.
+    conv_id) to keep whole conversations together.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    u = _unit_hash(F.col(key_col), salt)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append((acc, name))
+    for bound, name in reversed(cases):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_counts(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(split, n_rows, n_keys) — the balance check for a hash split."""
+    with_s = with_split(df, key_col, weights, salt)
+    return with_s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(key_col).cast("long").alias("n_keys"),
+    )

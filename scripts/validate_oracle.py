@@ -58,7 +58,8 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = np.array_equal(av.astype(float), bv.astype(float), equal_nan=True)
         else:
-            ok = (pd.Series(av).fillna("\0") == pd.Series(bv).fillna("\0")).all() if av.dtype == object else np.array_equal(av, bv)
+            # null-aware equality (NaT==NaT, None==None) for datetime/object
+            ok = bool(np.asarray((av == bv) | (pd.isna(av) & pd.isna(bv))).all())
         if not ok:
             bad = np.nonzero(~((av == bv) | (pd.isna(av) & pd.isna(bv))))[0][:3]
             errs.append(f"col {c}: first diffs at {bad}: spark={av[bad]} duck={bv[bad]}")

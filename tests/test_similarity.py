@@ -99,3 +99,53 @@ def test_banded_lsh_recall_dominates_single_band(spark):
     cat = cat.sort_values(key).reset_index(drop=True)
     arr = arr.sort_values(key).reset_index(drop=True)
     assert (cat.sig.to_numpy() == arr.sig.to_numpy()).all()
+
+
+@pytest.fixture(scope="module")
+def big_vecs(spark):
+    """40 vectors in 8 dims: enough that IVF probing prunes real work."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assign_is_argmax_centroid(spark, big_vecs):
+    from aroma_spark.operators.similarity import ivf_assign
+
+    got = ivf_assign(big_vecs, n_centroids=4, vec_col="embedding").collect()
+    assert len(got) == 40  # every vector assigned exactly once
+    vecs_pd = {r.vec_id: np.array(r.embedding) for r in big_vecs.collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for r in got:
+        v = vecs_pd[r.vec_id]
+        best = max(
+            range(4), key=lambda c: (cos(v, vecs_pd[c]), -c)
+        )
+        assert r.centroid_id == best, (r.vec_id, r.centroid_id, best)
+
+
+def test_ivf_full_probe_equals_exact(spark, big_vecs):
+    """Probing every list must reproduce the brute-force result."""
+    from aroma_spark.operators.similarity import ivf_topk
+
+    q = big_vecs.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(big_vecs, q, k=5)
+    ivf = ivf_topk(big_vecs, q, k=5, n_centroids=4, n_probe=4)
+    e = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact.collect()}
+    g = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in ivf.collect()}
+    assert e == g
+
+
+def test_ivf_partial_probe_recall(spark, big_vecs):
+    from aroma_spark.operators.similarity import ivf_recall
+
+    q = big_vecs.where(F.col("vec_id") < 3)
+    r_full = ivf_recall(big_vecs, q, k=5, n_centroids=4, n_probe=4)
+    r_one = ivf_recall(big_vecs, q, k=5, n_centroids=4, n_probe=1)
+    assert r_full == 1.0
+    assert r_one is not None and 0.0 < r_one <= 1.0

@@ -1,0 +1,58 @@
+"""Hash-based train/val/test splits: determinism, balance, leakage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.splits import split_counts, with_split
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+
+
+def test_split_deterministic_and_total(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in with_split(d, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in with_split(d, "doc_id").collect()}
+    assert a == b
+    assert len(a) == 500
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_split_proportions(spark):
+    got = {r.split: r.n_rows for r in split_counts(_docs(spark, 2000), "doc_id").collect()}
+    assert abs(got["train"] - 1600) < 120
+    assert abs(got.get("val", 0) - 200) < 80
+    assert abs(got.get("test", 0) - 200) < 80
+
+
+def test_split_group_key_no_leakage(spark):
+    # hashing a group key keeps all rows of a group in one split
+    d = _docs(spark, 300).withColumn("grp", F.col("doc_id") % 30)
+    s = with_split(d, "grp")
+    n = (
+        s.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n == 0
+
+
+def test_split_salt_changes_assignment(spark):
+    d = _docs(spark, 400)
+    a = {r.doc_id: r.split for r in with_split(d, "doc_id", salt="s1").collect()}
+    b = {r.doc_id: r.split for r in with_split(d, "doc_id", salt="s2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_split_bad_weights(spark):
+    try:
+        with_split(_docs(spark, 1), "doc_id", weights={"a": 0.5, "b": 0.2})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
