@@ -172,3 +172,14 @@ def filter_by_prefix(df: DataFrame, col: str, prefix: str) -> DataFrame:
     """Prefix predicate (reference: src/aroma/datasets/multithumos.py:545-574);
     ``LIKE 'p%'`` is pushed to the parquet scan as a StringStartsWith."""
     return df.where(F.col(col).startswith(prefix))
+
+
+def vocab_equal(a: DataFrame, b: DataFrame) -> bool:
+    """``Vocabulary.equal`` analog (reference: src/aroma/utils/vocab.py:
+    57-73 — equal iff same token->count mapping AND same index order).
+
+    Distributed set-difference on the full (token, count, index) rows:
+    two exceptAll's, no collect of the vocabularies themselves."""
+    cols = ["token", "count", "index"]
+    a, b = a.select(*cols), b.select(*cols)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -120,3 +120,17 @@ def prepare_event_order(df: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("video_id").orderBy("start_time", "action_index")
     return df.withColumn("event_idx", (F.row_number().over(w) - 1).cast("int"))
+
+
+def sort_by_entity(
+    df: DataFrame, entity_col: str = "video_id", descending: bool = False
+) -> DataFrame:
+    """O3: deterministic output ordering by entity id, with the
+    reference's optional descending mode (reference:
+    src/aroma/datasets/multithumos.py:528-542, ``descending`` flag).
+
+    A global ``orderBy`` is a range-partitioned sort — only for final
+    exports; inside the pipeline, per-partition order comes from the
+    window exchanges instead."""
+    col = F.col(entity_col)
+    return df.orderBy(col.desc() if descending else col.asc())

@@ -29,3 +29,26 @@ def test_vocab_state_roundtrip(spark, tmp_path):
     save_vocab(v, p)
     back = load_vocab(spark, p)
     assert sorted(back.collect()) == sorted(v.collect())
+
+
+def test_sort_by_entity_desc(spark):
+    from aroma_spark.sources.readers import sort_by_entity
+
+    df = spark.createDataFrame(
+        [("v2", 1), ("v1", 2), ("v3", 3)], "video_id string, x int"
+    )
+    asc = [r.video_id for r in sort_by_entity(df).collect()]
+    desc = [r.video_id for r in sort_by_entity(df, descending=True).collect()]
+    assert asc == ["v1", "v2", "v3"]
+    assert desc == ["v3", "v2", "v1"]
+
+
+def test_vocab_equal(spark, tiny_transcripts):
+    from aroma_spark.operators.vocab import build_vocab, vocab_equal
+
+    a = build_vocab(tiny_transcripts, "role", order="count")
+    b = build_vocab(tiny_transcripts, "role", order="count")
+    c = build_vocab(tiny_transcripts, "role", order="token")
+    assert vocab_equal(a, b)
+    # same counts, different index order -> not equal (reference semantics)
+    assert not vocab_equal(a, c)
