@@ -43,19 +43,40 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan has fewer splits than cores.
+
+    The shingle/token explode + per-doc hash aggregation do ~50x the
+    scan's work, all inside the scan stage — a small single-file input
+    (one split) would run it on one core. At real scale the scan already
+    has >= parallelism splits and this is a no-op; the guard keeps the
+    full-corpus shuffle from ever firing there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document.
 
     0-based array indexing (Spark SQL); the DuckDB oracle uses 1-based —
     kept in lockstep in __spark_entry__.
+
+    The words array is materialized once per row and sliced per shingle
+    — the lambda must not re-split the text per element (no common-
+    subexpression elimination inside higher-order functions; measured
+    O(len^2) per doc, 3x the stage time at sf0.1).
     """
+    df = _spread_small_input(df)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.expr(
-        f"transform(sequence(0, size(split(lower(trim({text_col})), '\\\\s+')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {n})))"
+        f"transform(sequence(0, size(__words) - {n}), "
+        f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
     )
     return (
-        df.where(F.size(words) >= n)
+        df.withColumn("__words", words)
+        .where(F.size("__words") >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
@@ -204,7 +225,7 @@ def simhash(
     once at its natural size (the earlier explode(sequence(0,31)) shape
     amplified the shuffle 32x; map-side partial agg now combines per
     doc before the exchange)."""
-    words = df.select(
+    words = _spread_small_input(df).select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
