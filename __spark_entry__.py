@@ -489,6 +489,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_split_counts"] = doc_split_counts
 
+    # --- sequence packing (training-data op: docs -> fixed token budgets) ---
+    def pack_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.packing import pack_chunks
+
+        return pack_chunks(
+            load_table(spark, sf, "documents"), budget=256, n_buckets=8
+        )
+
+    q["pack_chunks"] = pack_chunks_q
+
+    def pack_nextfit_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.packing import pack_nextfit
+
+        return pack_nextfit(
+            load_table(spark, sf, "documents"), budget=256, n_buckets=8
+        )
+
+    q["pack_nextfit"] = pack_nextfit_q
+
+    def pack_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.packing import pack_nextfit, packing_stats
+
+        return packing_stats(
+            pack_nextfit(
+                load_table(spark, sf, "documents"), budget=256, n_buckets=8
+            ),
+            budget=256,
+        )
+
+    q["pack_stats"] = pack_stats_q
+
+    # --- dedup closure: LSH pairs -> connected components -> survivors ---
+    def doc_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.clusters import connected_components
+
+        pairs = minhash_lsh_pairs(load_table(spark, sf, "documents"))
+        return connected_components(pairs)
+
+    q["doc_dup_clusters"] = doc_dup_clusters
+
+    def doc_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.clusters import dedup_survivors
+
+        docs = load_table(spark, sf, "documents")
+        return dedup_survivors(docs, minhash_lsh_pairs(docs))
+
+    q["doc_dedup_survivors"] = doc_dedup_survivors
+
+    # --- deterministic stratified sampling (hash-threshold, no RNG) ---
+    def doc_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.splits import stratified_sample
+
+        return stratified_sample(
+            load_table(spark, sf, "documents"),
+            "doc_id",
+            "lang",
+            {"en": 0.25, "fr": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0},
+        ).select("doc_id", "lang")
+
+    q["doc_sample_by_lang"] = doc_sample_by_lang
+
     return q
 
 
@@ -930,4 +991,111 @@ WITH s AS ({o["doc_split"]})
 SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
 FROM s GROUP BY split"""
+
+    # sequence packing: bucketed token streams, budget 256, 8 buckets
+    pack_base = """
+t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+'))
+              END AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS BIGINT) AS bucket
+  FROM documents
+),
+f AS (SELECT * FROM t WHERE n_tokens > 0)"""
+    o["pack_chunks"] = f"""WITH {pack_base},
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM f
+),
+seg AS (
+  SELECT *, unnest(generate_series(CAST(cum_before // 256 AS BIGINT),
+                                   CAST((cum_before + n_tokens - 1) // 256
+                                        AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id, bucket, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(cum_before, seq_id * 256) - cum_before AS BIGINT) AS doc_offset,
+       CAST(GREATEST(cum_before, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_offset,
+       CAST(LEAST(cum_before + n_tokens, (seq_id + 1) * 256)
+            - GREATEST(cum_before, seq_id * 256) AS BIGINT) AS seg_len
+FROM seg"""
+
+    # next-fit fill recurrence as a rank-by-rank recursive CTE
+    pack_nextfit_sql = f"""WITH RECURSIVE {pack_base},
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                 AS BIGINT) AS rn
+  FROM f
+),
+packrec AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS offset_in_bin,
+         n_tokens AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN p.fill + r.n_tokens <= 256 THEN p.bin_idx
+              ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + r.n_tokens <= 256 THEN p.fill
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + r.n_tokens <= 256 THEN p.fill + r.n_tokens
+              ELSE r.n_tokens END
+  FROM packrec p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1
+)
+SELECT doc_id, bucket, n_tokens, bin_idx, offset_in_bin FROM packrec"""
+    o["pack_nextfit"] = pack_nextfit_sql
+    o["pack_stats"] = f"""WITH nf AS ({pack_nextfit_sql})
+SELECT bucket, bin_idx, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+       CAST(256 - sum(n_tokens) AS BIGINT) AS waste_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / 256.0 AS fill_ratio
+FROM nf GROUP BY bucket, bin_idx"""
+
+    # connected components over the minhash pair graph: component = min
+    # reachable id (recursive transitive closure — tractable at oracle sf)
+    cc_sql = f"""WITH RECURSIVE {minhash_sql},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src
+),
+comp AS (
+  SELECT node, LEAST(node, min(r)) AS component FROM reach GROUP BY node
+)"""
+    o["doc_dup_clusters"] = (
+        cc_sql + "\nSELECT CAST(node AS BIGINT) AS doc_id,"
+        " CAST(component AS BIGINT) AS component FROM comp"
+    )
+    o["doc_dedup_survivors"] = (
+        cc_sql
+        + """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node AND c.node <> c.component
+WHERE c.node IS NULL"""
+    )
+
+    sample_u = (
+        "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) / 4294967296.0"
+    )
+    o["doc_sample_by_lang"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {sample_u} < CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.5
+                             WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                             WHEN 'zh' THEN 1.0 ELSE 0.0 END"""
     return o

@@ -61,6 +61,32 @@ def with_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5-hash(key) < fraction[stratum]``.
+
+    Unlike ``df.sample``, membership is a pure function of the key —
+    reproducible across runs/engines (the DuckDB oracle computes the
+    identical sample), stable under repartitioning, and free of RNG
+    state. Sampling by a *group* key (conv_id) keeps groups intact.
+    A map-side filter: no shuffle, pushes to the scan.
+    """
+    u = _unit_hash(F.col(key_col), salt)
+    frac = F.lit(float(default_fraction))
+    for name, f in fractions.items():
+        frac = F.when(F.col(strata_col) == name, F.lit(float(f))).otherwise(
+            frac
+        )
+    return df.where(u < frac)
+
+
 def split_counts(
     df: DataFrame,
     key_col: str,

@@ -6,12 +6,19 @@ to 4N executors — evidenced by running the identical full rollup job
 checkpointed parquet writes) on identical pre-materialized input at two
 parallelism levels, fresh JVM per run, warmup inside each JVM.
 
+Emulation fidelity: each level's JVM is bound with ``taskset -c 0..N-1``
+to exactly N cores. Without the binding, a local[2] run on a 32-core
+box free-rides on the 30 idle cores for parallel GC, JIT compilation,
+netty shuffle IO and parquet writer flush threads — inflating the
+small-N baseline and understating scaling in a way a real 2-core
+executor never sees. With the binding, "local[N] on N cores" is the
+honest single-box proxy for an N-core cluster slice.
+
 Levels:
-- primary  N=2 : local[2] vs local[8]  — the honest single-box proxy;
-  each real cluster executor brings its own memory bandwidth, while
-  cores on one box share it, so wider local runs understate cluster
-  scaling. 2->8 keeps the box unsaturated.
-- stress   N=8 : local[8] vs local[32] — reported for transparency;
+- primary  N=2 : 2 cores vs 8 cores  — keeps the box unsaturated; each
+  real cluster executor brings its own memory bandwidth, while cores on
+  one box share it, so wider local runs understate cluster scaling.
+- stress   N=8 : 8 cores vs 32 cores — reported for transparency;
   bounded by single-host DRAM bandwidth, a lower bound on cluster
   efficiency.
 
@@ -29,26 +36,34 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from aroma_spark.session import get_spark
+from aroma_spark.synth import synth_transcripts
+
+if not os.path.exists({input_path!r} + "/_SUCCESS"):
+    spark = get_spark("scaling-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    # gap_divisor densifies the span so day-partition commit overhead
+    # does not mask the parallel work (steady-state runs touch few days)
+    df = synth_transcripts(spark, n_turns={n_turns},
+                           n_convs=max(64, {n_turns} // 500),
+                           seed=42, partitions=128, gap_divisor=50)
+    df.write.mode("overwrite").parquet({input_path!r})
+    spark.stop()
+"""
+
 JOB = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from aroma_spark.session import get_spark
-from aroma_spark.synth import synth_transcripts
 from aroma_spark.plans.pipeline import run_pipeline
 
 cores = {cores}
-n_turns = {n_turns}
 spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
                   shuffle_partitions=4 * cores)
 spark.sparkContext.setLogLevel("ERROR")
-# input materialized once, shared by every level (identical bytes);
-# gap_divisor densifies the span so day-partition commit overhead does
-# not mask the parallel work (steady-state runs touch few days anyway)
-if not os.path.exists({input_path!r} + "/_SUCCESS"):
-    df = synth_transcripts(spark, n_turns=n_turns,
-                           n_convs=max(64, n_turns // 500),
-                           seed=42, partitions=128, gap_divisor=50)
-    df.write.mode("overwrite").parquet({input_path!r})
 src = spark.read.parquet({input_path!r})
 
 def job(i):
@@ -60,7 +75,7 @@ def job(i):
 
 job(0)  # warmup: JIT, codegen, page cache
 runs = []
-for i in range(3):
+for i in range({runs_per_jvm}):
     m = job(i + 1)
     runs.append({{"cores": cores, "points": m["total_rollup_points"],
                   "wall": m["wall_sec"], "pps": m["points_per_sec"]}})
@@ -69,15 +84,12 @@ spark.stop()
 """
 
 
-def run(cores: int, n_turns: int, input_path: str) -> dict:
-    code = JOB.format(repo=REPO, cores=cores, n_turns=n_turns, input_path=input_path)
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
+def run(cores: int, input_path: str, runs_per_jvm: int = 3) -> list[dict]:
+    code = JOB.format(
+        repo=REPO, cores=cores, input_path=input_path, runs_per_jvm=runs_per_jvm
     )
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -91,11 +103,19 @@ def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     input_path = f"/tmp/aroma_scaling_dense_{n_turns}"
+    subprocess.run(
+        [sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns,
+                                          input_path=input_path)],
+        check=True,
+        cwd=REPO,
+    )
     levels = (2, 8, 32)
     results: dict[int, list[dict]] = {c: [] for c in levels}
+    # outer repeats interleave the levels so slow box noise (a noisy
+    # neighbor burst) cannot bias one level's whole sample
     for _ in range(repeats):
         for cores in levels:
-            for res in run(cores, n_turns, input_path):
+            for res in run(cores, input_path):
                 results[cores].append(res)
                 print(
                     f"cores={cores}: {res['pps']:.0f} pts/s ({res['wall']:.1f}s)",
@@ -121,11 +141,16 @@ run inside each JVM, {n_runs} measured runs per level — best AND median
 reported (the median guards against the claim resting on best-case
 runs; this shared-host box shows high run-to-run variance).
 
+Each level is pinned with ``taskset -c 0..N-1`` to exactly N cores:
+without the pin, a local[2] JVM on a 32-core box silently uses the 30
+idle cores for parallel GC / JIT / shuffle IO threads, inflating the
+small-N baseline in a way a real 2-core executor never sees.
+
 | level | rolled-up points | best pts/s | median pts/s |
 |---|---|---|---|
-| local[2]  | {points:,} | {best[2]:,.0f} | {med[2]:,.0f} |
-| local[8]  | {points:,} | {best[8]:,.0f} | {med[8]:,.0f} |
-| local[32] | {points:,} | {best[32]:,.0f} | {med[32]:,.0f} |
+| 2 cores  | {points:,} | {best[2]:,.0f} | {med[2]:,.0f} |
+| 8 cores  | {points:,} | {best[8]:,.0f} | {med[8]:,.0f} |
+| 32 cores | {points:,} | {best[32]:,.0f} | {med[32]:,.0f} |
 
 **Primary (N=2 -> 4N=8): efficiency {eff_primary:.3f} best / {eff_primary_med:.3f} median** (criterion >= 0.8)
 Stress (N=8 -> 4N=32): efficiency {eff_stress:.3f} best / {eff_stress_med:.3f} median

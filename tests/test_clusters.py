@@ -1,0 +1,64 @@
+"""Connected components / dedup survivors vs a union-find oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from aroma_spark.operators.clusters import connected_components, dedup_survivors
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+EDGES = [
+    (1, 2), (2, 3),          # chain -> {1,2,3}
+    (10, 11),                # pair -> {10,11}
+    (20, 21), (21, 22), (20, 22),  # triangle -> {20,21,22}
+    (30, 31), (32, 33), (31, 32),  # two pairs bridged -> {30..33}
+    (40, 41), (41, 40),      # duplicate edge both ways
+]
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return spark.createDataFrame(EDGES, "doc_a long, doc_b long")
+
+
+def test_connected_components(spark, pairs):
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(EDGES)
+
+
+def test_long_chain_converges(spark):
+    # diameter 9: exercises multi-round propagation
+    chain = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_dedup_survivors(spark, pairs):
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 30, 31, 32, 33, 40, 41, 99]],
+        "doc_id long",
+    )
+    kept = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
+    # cluster minima + the unpaired doc survive
+    assert kept == {1, 10, 20, 30, 40, 99}

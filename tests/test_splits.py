@@ -56,3 +56,24 @@ def test_split_bad_weights(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    import hashlib
+
+    from aroma_spark.operators.splits import stratified_sample
+
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    fr = {"en": 0.1, "fr": 0.9}
+    got = {r.doc_id for r in stratified_sample(d, "doc_id", "lang", fr).collect()}
+    # pure function of the key: python twin agrees row-for-row
+    for i in range(2000):
+        u = int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        keep = u < fr["en" if i % 2 == 0 else "fr"]
+        assert (i in got) == keep
+    # unknown strata fall back to default_fraction=0.0
+    d2 = d.withColumn("lang", F.lit("zz"))
+    assert stratified_sample(d2, "doc_id", "lang", fr).count() == 0
