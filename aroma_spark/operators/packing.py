@@ -84,10 +84,10 @@ def pack_chunks(
     t = t.select(
         "*", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before")
     )
-    first_seq = (F.col("cum_before") / budget).cast("long")
-    last_seq = ((F.col("cum_before") + F.col("n_tokens") - 1) / budget).cast(
-        "long"
-    )
+    # integer `div`, not double division + cast: a double mantissa loses
+    # exactness past 2^53, which a per-bucket token offset can reach
+    first_seq = F.expr(f"cum_before div {budget}")
+    last_seq = F.expr(f"(cum_before + n_tokens - 1) div {budget}")
     seg = t.select(
         "*", F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
     )

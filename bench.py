@@ -67,6 +67,8 @@ def main() -> None:
         "sessionize",
         "doc_minhash_pairs",
         "ann_topk",
+        "pack_nextfit",
+        "doc_dup_clusters",
     ):
         if name in qs:
             sec, _ = _run(qs[name], spark, sf_dir)
