@@ -46,6 +46,38 @@ def normalize(df: DataFrame, dedup: bool = True) -> DataFrame:
     return out
 
 
+def normalize_for_rollup(df: DataFrame, dedup: bool = True) -> DataFrame:
+    """Full-record-dedup normalization for pipelines that drop the text
+    payload right after signal derivation (the rollup job keeps only
+    ``text_len``).
+
+    Semantics match ``normalize(df, dedup)`` followed by replacing
+    ``text`` with ``length(text)`` — but the payload is replaced by
+    ``(xxhash64(text), length(text))`` *before* the distinct exchange,
+    so the dedup shuffle (the single largest shuffle in the engine at
+    10^12 turns) carries ~16 bytes per row instead of the text. Distinct
+    on the hash equals distinct on the value unless two different texts
+    inside the same ``(conv_id, turn_idx, role, tool, ts)`` group
+    collide on 64 bits — groups hold a handful of rows, so the expected
+    corpus-wide collision count at 10^12 turns is ~0 (pairs x 2^-64).
+    NULL text hashes to the seed and keeps ``text_len`` NULL, so NULL
+    and empty-string rows stay distinct, as in the exact path.
+    """
+    text = F.col("text").cast("string")
+    out = df.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.xxhash64(text).alias("__text_hash"),
+        F.length(text).alias("text_len"),
+        F.col("tool").cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    if dedup:
+        out = out.dropDuplicates()
+    return out.drop("__text_hash")
+
+
 def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal.
 

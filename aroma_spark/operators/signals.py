@@ -32,12 +32,20 @@ def with_signals(df: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     ts_us = F.unix_micros(F.col("ts"))
+    if "text" in df.columns:
+        text_len = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+        carried = list(df.columns)
+    else:
+        # pruned frames (normalize_for_rollup) pre-compute text_len so
+        # the payload never reaches the dedup exchange
+        text_len = F.coalesce(F.col("text_len"), F.lit(0)).cast("long")
+        carried = [c for c in df.columns if c != "text_len"]
     return df.select(
-        "*",
+        *carried,
         F.coalesce(ts_us - F.lag(ts_us, 1).over(w), F.lit(0))
         .cast("long")
         .alias("inter_time_us"),
-        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("text_len"),
+        text_len.alias("text_len"),
         F.when((F.col("tool").isNotNull()) & (F.col("tool") != ""), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")

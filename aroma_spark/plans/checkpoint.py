@@ -174,6 +174,7 @@ def incremental_rollup(
     root: str,
     tiers: dict[str, tuple[str, str | None]] | None = None,
     source: DataFrame | None = None,
+    timings: dict | None = None,
 ) -> dict[str, dict]:
     """Compute/refresh the tier lattice under ``root``, skipping
     unchanged day partitions. Returns per-tier metrics.
@@ -199,7 +200,10 @@ def incremental_rollup(
     tiers = tiers or TIER_SPECS
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     fingerprint_src = source if source is not None else signals
+    t_fp = time.time()
     current = partition_fingerprints(fingerprint_src)
+    if timings is not None:
+        timings["fingerprint_wall"] = round(time.time() - t_fp, 3)
     current_days = sorted({k.split("|")[0] for k in current})
     metrics: dict[str, dict] = {}
     day_col = F.to_date("ts").cast("string")

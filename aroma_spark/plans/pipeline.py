@@ -12,7 +12,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aroma_spark.operators.normalize import normalize
+from aroma_spark.operators.normalize import normalize_for_rollup
 from aroma_spark.operators.signals import with_signals
 from aroma_spark.plans.checkpoint import incremental_rollup
 
@@ -32,7 +32,10 @@ def run_pipeline(
     reads orders of magnitude fewer rows.
     """
     t0 = time.time()
-    sig = with_signals(normalize(transcripts, dedup=dedup))
+    # normalize_for_rollup replaces the text payload with
+    # (xxhash64, length) BEFORE the dedup exchange — the engine's
+    # largest shuffle carries ~16B/row instead of the text
+    sig = with_signals(normalize_for_rollup(transcripts, dedup=dedup))
     # nothing downstream needs the text payload (the tier aggregates
     # text_len, blobs encode inter_time_us): prune it before the fan-out
     # — caching the payload column measurably destroyed scaling.
@@ -45,7 +48,10 @@ def run_pipeline(
         sig = sig.persist()
     # change detection fingerprints the raw source (narrow scan); the
     # dedup+window pipeline runs once, inside the 1m tier.
-    metrics = incremental_rollup(spark, sig, out_root, source=transcripts)
+    timings: dict = {}
+    metrics = incremental_rollup(
+        spark, sig, out_root, source=transcripts, timings=timings
+    )
     blob_stats = None
     if encode_blobs:
         # north_rule: delta-of-delta timestamps + Gorilla XOR signals in
@@ -83,11 +89,14 @@ def run_pipeline(
             else None,
             "wall_sec": round(time.time() - t_b, 3),
         }
-        sig.unpersist()
+        # blocking so repeated invocations in one session (benchmarks,
+        # notebooks) never stack cached copies of the signal frame
+        sig.unpersist(blocking=True)
     total_points = sum(m["row_count"] for m in metrics.values())
     wall = time.time() - t0
     return {
         "tiers": metrics,
+        "fingerprint_wall": timings.get("fingerprint_wall"),
         "codec_blobs": blob_stats,
         "total_rollup_points": total_points,
         "wall_sec": round(wall, 3),

@@ -102,6 +102,33 @@ def main() -> None:
     truth.unpersist()
     ann["sec"] = round(time.time() - t0, 3)
 
+    # surface the committed two-parallelism scaling measurement
+    # (scripts/bench_scaling.py -> BENCH/BASELINE.md) in the round JSON
+    scaling = None
+    try:
+        raw = None
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "BASELINE.md")) as f:
+            for line in f:
+                if line.startswith("Raw runs:"):
+                    raw = json.loads(line[len("Raw runs:"):].strip())
+        if raw:
+            med = {
+                c: sorted(x["pps"] for x in rs)[len(rs) // 2]
+                for c, rs in raw.items()
+            }
+            best = {c: max(x["pps"] for x in rs) for c, rs in raw.items()}
+            scaling = {
+                "levels_pps_median": med,
+                "levels_pps_best": best,
+                "efficiency_2to8_median": round((med["8"] / med["2"]) / 4, 3),
+                "efficiency_2to8_best": round((best["8"] / best["2"]) / 4, 3),
+                "efficiency_8to32_median": round((med["32"] / med["8"]) / 4, 3),
+                "criterion": ">=0.8 N->4N",
+            }
+    except Exception:
+        pass
+
     points_per_sec = total_points / lattice_sec if lattice_sec else 0.0
     out = {
         "metric": "rolled-up points/sec across raw->1m->1h->1d tiers",
@@ -111,6 +138,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "total_rollup_points": total_points,
         "ann_recall": ann,
+        "scaling": scaling,
         "wall_sec_total": round(time.time() - t0_all, 3),
     }
     spark.stop()

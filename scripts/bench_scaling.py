@@ -61,8 +61,32 @@ from aroma_spark.session import get_spark
 from aroma_spark.plans.pipeline import run_pipeline
 
 cores = {cores}
+local_dir = f"/dev/shm/aroma_spark_local_{{cores}}"
+shutil.rmtree(local_dir, ignore_errors=True)
+# Measured on this sandbox (see BENCH/BASELINE.md methodology): first
+# write to any new page costs ~0.6us/KB single-threaded and COLLAPSES
+# ~8x under concurrent faulting — a near-serial kernel resource that
+# acts as a hidden Amdahl term. The harness therefore (a) fixes the
+# heap (-Xms=-Xmx) and pre-touches it at startup (unmeasured) so
+# measured runs never grow the heap, (b) keeps the heap small enough
+# (16g) that pre-touch over prewarmed pages takes seconds, (c) keeps
+# glibc from returning Arrow/numpy buffers to the kernel between Python
+# worker batches (MALLOC_* below), and (d) stages shuffle dirs + input
+# on tmpfs so no disk I/O enters the measurement.
 spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
-                  shuffle_partitions=4 * cores)
+                  shuffle_partitions=4 * cores,
+                  extra_conf={{
+                      "spark.driver.memory": "16g",
+                      "spark.driver.extraJavaOptions":
+                          "-Xms16g -XX:+AlwaysPreTouch",
+                      "spark.local.dir": local_dir,
+                      "spark.executorEnv.MALLOC_MMAP_THRESHOLD_":
+                          "1073741824",
+                      "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "-1",
+                      # default 30min means shuffle files of finished
+                      # runs linger in local.dir for the whole level
+                      "spark.cleaner.periodicGC.interval": "1min",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 src = spark.read.parquet({input_path!r})
 
@@ -76,21 +100,50 @@ def job(i):
 job(0)  # warmup: JIT, codegen, page cache
 runs = []
 for i in range({runs_per_jvm}):
+    # drop the previous run's shuffle files (ContextCleaner reclaims on
+    # driver GC) so runs don't see monotonically growing local dirs;
+    # outside the measured window.
+    spark._jvm.System.gc()
+    time.sleep(3)
     m = job(i + 1)
     runs.append({{"cores": cores, "points": m["total_rollup_points"],
-                  "wall": m["wall_sec"], "pps": m["points_per_sec"]}})
+                  "wall": m["wall_sec"], "pps": m["points_per_sec"],
+                  "phases": dict(
+                      {{t: v["wall_sec"] for t, v in m["tiers"].items()}},
+                      fingerprint=m.get("fingerprint_wall"),
+                      blobs=(m["codec_blobs"] or {{}}).get("wall_sec"))}})
 print(json.dumps(runs))
 spark.stop()
+shutil.rmtree(local_dir, ignore_errors=True)
 """
 
 
-def run(cores: int, input_path: str, runs_per_jvm: int = 3) -> list[dict]:
+def run(cores: int, input_path: str, runs_per_jvm: int = 5) -> list[dict]:
     code = JOB.format(
         repo=REPO, cores=cores, input_path=input_path, runs_per_jvm=runs_per_jvm
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+PREWARM = r"""
+import mmap, time
+# Touch GBs of anonymous memory once, single-threaded, then free it.
+# First-ever touch of a page on this sandbox goes through a slow
+# hypervisor path (~3x slower than re-touch); after this pass the guest
+# kernel owns the pages and every later fault (JVM pre-touch, tmpfs
+# shuffle writes) takes the fast path. Single-threaded on purpose:
+# concurrent faulting collapses ~8x under kernel contention.
+t0 = time.time()
+CHUNK = 8 * 1024**3
+for _ in range(6):
+    mm = mmap.mmap(-1, CHUNK)
+    for off in range(0, CHUNK, 4096):
+        mm[off] = 1
+    mm.close()
+print(f"prewarmed 48GB in {time.time()-t0:.0f}s", flush=True)
+"""
 
 
 def _median(xs: list[float]) -> float:
@@ -102,13 +155,15 @@ def _median(xs: list[float]) -> float:
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    input_path = f"/tmp/aroma_scaling_dense_{n_turns}"
+    # input on tmpfs: identical bytes for every level, zero disk reads
+    input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
     subprocess.run(
         [sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns,
                                           input_path=input_path)],
         check=True,
         cwd=REPO,
     )
+    subprocess.run([sys.executable, "-c", PREWARM], check=True)
     levels = (2, 8, 32)
     results: dict[int, list[dict]] = {c: [] for c in levels}
     # outer repeats interleave the levels so slow box noise (a noisy
@@ -144,7 +199,14 @@ runs; this shared-host box shows high run-to-run variance).
 Each level is pinned with ``taskset -c 0..N-1`` to exactly N cores:
 without the pin, a local[2] JVM on a 32-core box silently uses the 30
 idle cores for parallel GC / JIT / shuffle IO threads, inflating the
-small-N baseline in a way a real 2-core executor never sees.
+small-N baseline in a way a real 2-core executor never sees. All I/O
+cost is kept inside the pinned budget: shuffle dirs and input live on
+tmpfs (page dirtying happens on the pinned cores, where a real
+executor's kernel writeback would also run), the heap is fixed and
+pre-touched at JVM startup (unmeasured), the machine's memory is
+prewarmed once single-threaded, and glibc malloc is pinned so Python
+workers reuse Arrow buffers — see DESIGN_SCALE.md "Sandbox memory
+pathology" for the measured page-dirty-path numbers motivating this.
 
 | level | rolled-up points | best pts/s | median pts/s |
 |---|---|---|---|

@@ -10,6 +10,7 @@ Usage: python scripts/validate_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import sys
 import time
@@ -36,7 +37,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            df[c] = s.astype(str)
+            # Spark DATE arrives as datetime.date objects while DuckDB
+            # returns datetime64 — unify on datetime64[us] so a date
+            # column compares equal across engines
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, dt.date) and not isinstance(v, dt.datetime)
+                for v in non_null
+            ):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.astype(str)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         elif pd.api.types.is_bool_dtype(s):

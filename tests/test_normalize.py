@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from aroma_spark.operators.normalize import (
     dedup_exact,
     normalize,
+    normalize_for_rollup,
     sequence_content_hash,
 )
 
@@ -41,6 +42,39 @@ def test_normalize_casts_and_dedups(spark):
     assert out.count() == 1
     assert dict(out.dtypes)["turn_idx"] == "int"
     assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_normalize_for_rollup_matches_exact_path(spark):
+    """The hash-pruned dedup (pipeline fast path) keeps exactly the rows
+    the exact full-record DISTINCT keeps — including the NULL-vs-empty
+    text distinction — while never shuffling the payload."""
+    rows = [
+        ("c1", 0, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("c1", 0, "user", "hello", None, "2024-01-01 00:00:00"),  # dup
+        ("c1", 1, "user", None, None, "2024-01-01 00:00:01"),
+        ("c1", 1, "user", "", None, "2024-01-01 00:00:01"),  # NULL != ""
+        ("c1", 2, "tool", "x", "fn_a", "2024-01-01 00:00:02"),
+        ("c1", 2, "tool", "y", "fn_a", "2024-01-01 00:00:02"),  # texts differ
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    exact = (
+        normalize(df)
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("text_len"), "tool", "ts",
+        )
+        .collect()
+    )
+    pruned = normalize_for_rollup(df).collect()
+    key = lambda r: (
+        r.conv_id, r.turn_idx, r.role,
+        -1 if r.text_len is None else r.text_len, str(r.tool), str(r.ts),
+    )
+    assert sorted(map(key, pruned)) == sorted(map(key, exact))
+    assert len(pruned) == 5
 
 
 def test_sequence_content_hash_detects_duplicate_conversations(spark):
