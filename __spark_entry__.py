@@ -489,6 +489,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_split_counts"] = doc_split_counts
 
+    # --- decontamination: train-vs-test n-gram overlap ---
+    def doc_decontam(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.decontam import ngram_overlap
+        from aroma_spark.operators.splits import with_split
+
+        docs = with_split(load_table(spark, sf, "documents"), "doc_id")
+        return ngram_overlap(
+            docs.where(F.col("split") == "train"),
+            docs.where(F.col("split") == "test"),
+            n=3,
+        )
+
+    q["doc_decontam"] = doc_decontam
+
+    # --- repetition score: duplicate n-gram fraction (quality signal) ---
+    def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import repetition_score
+
+        return repetition_score(load_table(spark, sf, "documents")).select(
+            "doc_id", "n_grams_total", "n_grams_distinct", "repetition"
+        )
+
+    q["doc_repetition"] = doc_repetition
+
     # --- sequence packing (training-data op: docs -> fixed token budgets) ---
     def pack_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.packing import pack_chunks
@@ -991,6 +1015,50 @@ WITH s AS ({o["doc_split"]})
 SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
 FROM s GROUP BY split"""
+
+    # decontamination: distinct 3-gram overlap of train docs vs the test
+    # split's shingle set (split rule identical to doc_split)
+    o["doc_decontam"] = f"""
+WITH s AS (SELECT doc_id, text,
+       CASE WHEN {split_u} < 0.8 THEN 'train'
+            WHEN {split_u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+       FROM documents),
+w AS (SELECT doc_id, split,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM s),
+sh AS (SELECT DISTINCT doc_id, split,
+       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+h AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS overlap
+FROM sh c LEFT JOIN h ON c.shingle = h.shingle
+WHERE c.split = 'train'
+GROUP BY c.doc_id"""
+
+    # repetition: duplicate 3-gram fraction, pure per-row list ops
+    o["doc_repetition"] = """
+WITH w AS (SELECT doc_id,
+       regexp_split_to_array(lower(trim(COALESCE(text,''))), '\\s+') AS ws
+       FROM documents),
+g AS (SELECT doc_id,
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [] END AS grams FROM w)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams_total,
+       CAST(CASE WHEN len(grams) > 0 THEN len(list_distinct(grams))
+            ELSE 0 END AS BIGINT) AS n_grams_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 6)
+            ELSE 0.0 END AS repetition
+FROM g"""
 
     # sequence packing: bucketed token streams, budget 256, 8 buckets
     pack_base = """

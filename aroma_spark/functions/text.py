@@ -95,6 +95,45 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_score(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document: ``1 - distinct/total``
+    n-grams — the standard boilerplate/looping detector (high values
+    flag templated or degenerate text; Gopher/MassiveText-style
+    repetition filters are thresholds on exactly this family).
+
+    Pure per-row Catalyst — the gram array is built and both sizes
+    taken inside one projection; no explode, no shuffle, scales as a
+    map-only pass. The words array materializes once per row (same
+    O(len) discipline as ``dedup.word_shingles``).
+    """
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    out = df.withColumn("__words", words)
+    grams = F.expr(
+        f"transform(sequence(0, size(__words) - {n}), "
+        f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
+    )
+    total = F.when(F.size("__words") >= n, F.size("__words") - (n - 1)).otherwise(0)
+    out = out.withColumn("n_grams_total", total.cast("long")).withColumn(
+        "n_grams_distinct",
+        F.when(
+            F.col("n_grams_total") > 0, F.size(F.array_distinct(grams))
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return out.drop("__words").withColumn(
+        "repetition",
+        F.when(
+            F.col("n_grams_total") > 0,
+            F.round(
+                1.0 - F.col("n_grams_distinct") / F.col("n_grams_total"), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID with CJK-char shortcut; 'und' when no
     marker hits. Pure substring counting — engine-portable."""

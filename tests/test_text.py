@@ -56,3 +56,47 @@ def test_fingerprint_normalization(spark):
     assert out.loc[0].fp_exact != out.loc[1].fp_exact
     assert out.loc[0].fp_norm == out.loc[1].fp_norm
     assert out.loc[2].fp_norm != out.loc[0].fp_norm
+
+
+def test_repetition_score(spark):
+    from aroma_spark.functions.text import repetition_score
+
+    rows = [
+        (0, "a b c a b c a b c"),  # 7 grams, 3 distinct -> 4/7
+        (1, "one two three four"),  # 2 grams, all distinct -> 0
+        (2, "x y"),  # too short -> 0 grams
+        (3, None),
+        (4, "w w w w w"),  # 3 grams, 1 distinct -> 2/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_score(df).toPandas().set_index("doc_id")
+    assert out.loc[0].n_grams_total == 7 and out.loc[0].n_grams_distinct == 3
+    assert abs(out.loc[0].repetition - round(4 / 7, 6)) < 1e-9
+    assert out.loc[1].repetition == 0.0
+    assert out.loc[2].n_grams_total == 0 and out.loc[2].repetition == 0.0
+    assert out.loc[3].n_grams_total == 0 and out.loc[3].repetition == 0.0
+    assert abs(out.loc[4].repetition - round(2 / 3, 6)) < 1e-9
+
+
+def test_ngram_overlap_decontamination(spark):
+    from aroma_spark.operators.decontam import contaminated_docs, ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),  # shares "the quick brown"
+            (1, "totally novel text here now"),
+            (2, "xx"),  # too short: excluded
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    out = ngram_overlap(corpus, heldout, n=3).toPandas().set_index("doc_id")
+    assert set(out.index) == {0, 1}
+    assert out.loc[0].n_grams == 3 and out.loc[0].n_hit == 1
+    assert abs(out.loc[0].overlap - round(1 / 3, 6)) < 1e-9
+    assert out.loc[1].n_hit == 0 and out.loc[1].overlap == 0.0
+    bad = contaminated_docs(corpus, heldout, max_overlap=0.1, n=3).toPandas()
+    assert list(bad.doc_id) == [0]
