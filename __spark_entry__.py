@@ -205,9 +205,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["codec_roundtrip"] = lambda spark, sf: codec_roundtrip(_signals(spark, sf))
 
     # --- dedup / ordering (SURVEY §2.6: O1/O2) ---
-    q["dedup_exact"] = lambda spark, sf: dedup_exact(
-        transcripts_from_events(spark, sf)
-    )
+    # The derived transcripts are unique by construction (turn_idx is a
+    # row_number), so a deterministic duplicated slice is unioned in
+    # first — the DISTINCT provably removes rows (spark_rows < input
+    # rows), making the oracle row a hard signal instead of a copy test.
+    def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+        t = transcripts_from_events(spark, sf)
+        dup_slice = t.where(
+            (F.col("turn_idx") < 3) & F.col("conv_id").endswith("7")
+        )
+        return dedup_exact(t.unionByName(dup_slice))
+
+    q["dedup_exact"] = dedup_exact_q
 
     # --- vocab (SURVEY §2.3/2.4/2.6: A1, O4, O6, J1) ---
     q["vocab_role"] = lambda spark, sf: build_vocab(
@@ -372,9 +381,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- training-data ops: documents (task brief: dedup + text analysis) ---
-    q["doc_exact_dedup"] = lambda spark, sf: exact_text_dedup(
-        load_table(spark, sf, "documents")
-    )
+    # Same non-vacuity treatment: the sf0.001/sf0.01 corpora contain zero
+    # duplicate texts, so re-inject every 13th document under a shifted id
+    # — the group-by provably collapses copies (n_copies=2 survivors keep
+    # the original min id).
+    def doc_exact_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+        d = load_table(spark, sf, "documents")
+        dup = d.where(F.col("doc_id") % 13 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        return exact_text_dedup(d.unionByName(dup))
+
+    q["doc_exact_dedup"] = doc_exact_dedup_q
     q["doc_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=0.2
     )
@@ -640,9 +658,11 @@ SELECT conv_id, CAST(ts AS DATE) AS day,
        ts, inter_time_us
 FROM sig"""
 
-    o["dedup_exact"] = (
-        f"WITH t AS ({TRANSCRIPTS_SQL})\nSELECT DISTINCT * FROM t"
-    )
+    o["dedup_exact"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+u AS (SELECT * FROM t
+      UNION ALL
+      SELECT * FROM t WHERE turn_idx < 3 AND conv_id LIKE '%7')
+SELECT DISTINCT * FROM u"""
 
     vocab_core = f"""WITH t AS ({TRANSCRIPTS_SQL}),
 c AS (SELECT role AS token, CAST(count(*) AS BIGINT) AS count FROM t WHERE role IS NOT NULL GROUP BY role)"""
@@ -776,9 +796,14 @@ FROM g"""
 
     # ---- documents / embeddings (training-data ops) ----
     o["doc_exact_dedup"] = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+)
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(COALESCE(text,'')) AS text_hash,
        CAST(count(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY md5(COALESCE(text,''))"""
+FROM u GROUP BY md5(COALESCE(text,''))"""
 
     # word 3-gram shingles, distinct per doc (1-based list indexing)
     shingle_sql = """
