@@ -110,9 +110,15 @@ def repetition_score(
     """
     words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     out = df.withColumn("__words", words)
+    # the gram expression guards itself (empty array for short docs):
+    # size(__words) < n would otherwise build a descending sequence whose
+    # slice(..., i+1, n) with i = -1 errors — relying on the outer
+    # CaseWhen's non-strict branch evaluation is optimizer-fragile
     grams = F.expr(
+        f"if(size(__words) >= {n}, "
         f"transform(sequence(0, size(__words) - {n}), "
-        f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
+        f"i -> concat_ws(' ', slice(__words, i + 1, {n}))), "
+        f"array())"
     )
     total = F.when(F.size("__words") >= n, F.size("__words") - (n - 1)).otherwise(0)
     out = out.withColumn("n_grams_total", total.cast("long")).withColumn(

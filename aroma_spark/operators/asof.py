@@ -117,6 +117,31 @@ def asof_join(
     )
 
 
+_BAND_SECONDS = (("minute", 60), ("hour", 3600), ("day", 86400))
+
+
+def _pick_band(
+    intervals: DataFrame, start_col: str, end_col: str, max_fanout: int = 32
+) -> str:
+    """Smallest date_trunc unit whose p95 interval span covers at most
+    ``max_fanout`` bands; 'day' as the wide fallback. One approximate-
+    quantile job over the (small) interval side — never the event side."""
+    spans = intervals.select(
+        (
+            (F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col)))
+            / 1e6
+        ).alias("__span_s")
+    )
+    q = spans.approxQuantile("__span_s", [0.95], 0.01)
+    if not q:
+        return "hour"
+    p95 = q[0]
+    for unit, sec in _BAND_SECONDS:
+        if p95 / sec <= max_fanout:
+            return unit
+    return "day"
+
+
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,
@@ -125,6 +150,7 @@ def interval_join(
     start_col: str = "session_start",
     end_col: str = "session_end",
     band: str = "hour",
+    max_bands_per_interval: int = 1024,
 ) -> DataFrame:
     """Inner join of point events against intervals containing them
     (``start_col <= ts <= end_col``, both ends inclusive), banded so
@@ -135,7 +161,14 @@ def interval_join(
     exactly one band, so every qualifying (event, interval) pair is
     produced exactly once with no distinct() pass. Pick the band near
     the median interval length — too narrow multiplies the interval
-    side, too wide weakens candidate pruning.
+    side, too wide weakens candidate pruning. ``band='auto'`` picks the
+    smallest unit whose p95 interval span covers <= 32 bands (one small
+    quantile job over the interval side only).
+
+    ``max_bands_per_interval`` guards the explode: a months-long
+    interval at ``band='hour'`` would silently fan out thousands of
+    rows — any interval over the cap fails the job with a clear error
+    instead (raise the cap or widen the band deliberately).
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     ivl_cols = [c for c in intervals.columns if c not in by_cols]
@@ -143,15 +176,25 @@ def interval_join(
     if clash:
         raise ValueError(f"interval columns collide with events: {sorted(clash)}")
 
-    ivl = intervals.withColumn(
-        "__band",
-        F.explode(
-            F.sequence(
-                F.date_trunc(band, F.col(start_col)),
-                F.date_trunc(band, F.col(end_col)),
-                F.expr(f"interval 1 {band}"),
-            )
-        ),
+    if band == "auto":
+        band = _pick_band(intervals, start_col, end_col)
+
+    seq = F.sequence(
+        F.date_trunc(band, F.col(start_col)),
+        F.date_trunc(band, F.col(end_col)),
+        F.expr(f"interval 1 {band}"),
+    )
+    guarded = F.expr(
+        f"if(size(__bands) <= {int(max_bands_per_interval)}, __bands, "
+        f"raise_error(concat('interval_join: interval spans ', "
+        f"cast(size(__bands) as string), ' {band} bands, over "
+        f"max_bands_per_interval={int(max_bands_per_interval)}; widen the "
+        f"band or raise the cap')))"
+    )
+    ivl = (
+        intervals.withColumn("__bands", seq)
+        .withColumn("__band", F.explode(guarded))
+        .drop("__bands")
     )
     ev = events.withColumn("__band", F.date_trunc(band, F.col(ts_col)))
     return (

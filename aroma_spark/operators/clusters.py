@@ -34,9 +34,14 @@ def connected_components(
     right_col: str = "doc_b",
     id_out: str = "doc_id",
     component_out: str = "component",
+    max_iterations: int = MAX_ITERATIONS,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
-    id reachable, so labels are deterministic and engine-portable."""
+    id reachable, so labels are deterministic and engine-portable.
+
+    Raises ``RuntimeError`` if propagation has not converged after
+    ``max_iterations`` rounds (component diameter exceeds the budget) —
+    stale labels must never be returned silently."""
     edges = (
         pairs.select(
             F.col(left_col).alias("src"), F.col(right_col).alias("dst")
@@ -55,7 +60,8 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(MAX_ITERATIONS):
+    changed = 0
+    for _ in range(max_iterations):
         # neighbor's current label, folded with own label
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -84,6 +90,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations"
+        )
     return labels.select(
         F.col("node").alias(id_out), F.col("label").alias(component_out)
     )

@@ -125,8 +125,12 @@ def pack_nextfit(
     """
     t = _with_tokens(df, key_col, text_col, n_buckets)
 
+    # the key column keeps its source type (string doc ids pack the same
+    # as numeric ones) — hardcoding long here crashed in the Arrow
+    # serializer for any non-long key
+    key_type = df.schema[key_col].dataType.simpleString()
     schema = (
-        f"{key_col} long, bucket long, n_tokens long, "
+        f"{key_col} {key_type}, bucket long, n_tokens long, "
         "bin_idx long, offset_in_bin long"
     )
 

@@ -145,3 +145,70 @@ def test_interval_join_collision_guard(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_interval_join_span_guard(spark):
+    # pathological months-long interval at band='hour' must fail loudly,
+    # not fan out thousands of rows
+    import pytest
+    from pyspark.errors import PySparkException
+
+    ivl = spark.createDataFrame(
+        [("a", 0, "2024-01-01 00:00:00", "2024-06-01 00:00:00")],
+        "conv_id string, ivl_id int, session_start string, session_end string",
+    ).select(
+        "conv_id", "ivl_id",
+        F.to_timestamp("session_start").alias("session_start"),
+        F.to_timestamp("session_end").alias("session_end"),
+    )
+    ev = spark.createDataFrame(
+        [("a", 0, "2024-01-15 00:00:00")], "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(PySparkException, match="max_bands_per_interval"):
+        interval_join(ev, ivl, by="conv_id", ts_col="ts", band="hour").collect()
+    # same data passes with a band wide enough for the span
+    out = interval_join(ev, ivl, by="conv_id", ts_col="ts", band="day")
+    assert out.count() == 1
+
+
+def test_interval_join_auto_band(spark):
+    from aroma_spark.operators.asof import _pick_band
+
+    def ivl_of(hours):
+        return spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00",
+              f"2024-01-01 {hours:02d}:00:00" if hours < 24
+              else "2024-01-03 00:00:00")],
+            "conv_id string, s string, e string",
+        ).select(
+            F.to_timestamp("s").alias("session_start"),
+            F.to_timestamp("e").alias("session_end"),
+        )
+
+    # 10-minute intervals -> minute bands; 2-day intervals -> day bands
+    short = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:10:00")], "s string, e string"
+    ).select(
+        F.to_timestamp("s").alias("session_start"),
+        F.to_timestamp("e").alias("session_end"),
+    )
+    assert _pick_band(short, "session_start", "session_end") == "minute"
+    assert _pick_band(ivl_of(48), "session_start", "session_end") == "day"
+    # auto band end-to-end produces the same pairs as an explicit band
+    ivl = spark.createDataFrame(
+        [("a", 0, "2024-01-01 00:30:00", "2024-01-01 00:45:00")],
+        "conv_id string, ivl_id int, ss string, se string",
+    ).select(
+        "conv_id", "ivl_id",
+        F.to_timestamp("ss").alias("session_start"),
+        F.to_timestamp("se").alias("session_end"),
+    )
+    ev = spark.createDataFrame(
+        [("a", 0, "2024-01-01 00:40:00"), ("a", 1, "2024-01-01 00:50:00")],
+        "conv_id string, turn_idx int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        r["turn_idx"]
+        for r in interval_join(ev, ivl, by="conv_id", ts_col="ts", band="auto").collect()
+    )
+    assert got == [0]

@@ -62,3 +62,16 @@ def test_dedup_survivors(spark, pairs):
     kept = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
     # cluster minima + the unpaired doc survive
     assert kept == {1, 10, 20, 30, 40, 99}
+
+
+def test_non_convergence_raises(spark):
+    # a 12-node path graph needs 11 propagation rounds; a budget of 3
+    # must fail loudly instead of returning stale labels
+    import pytest
+    from aroma_spark.operators.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)

@@ -108,3 +108,17 @@ def test_packing_stats(spark, docs):
     }
     assert sum(n for n, _ in stats.values()) == packed.count()
     assert all(f > 0 for _, f in stats.values())
+
+
+def test_pack_nextfit_string_keys(spark):
+    # key_col type must flow into the Arrow schema (was hardcoded long)
+    from aroma_spark.operators.packing import pack_nextfit
+
+    docs = spark.createDataFrame(
+        [("doc-a", "one two three"), ("doc-b", "four five"), ("doc-c", "six")],
+        "doc_key string, text string",
+    )
+    out = pack_nextfit(docs, budget=4, n_buckets=1, key_col="doc_key")
+    rows = {r["doc_key"]: r for r in out.collect()}
+    assert set(rows) == {"doc-a", "doc-b", "doc-c"}
+    assert all(r["offset_in_bin"] + r["n_tokens"] <= 4 for r in rows.values())
