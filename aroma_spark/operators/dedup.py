@@ -30,6 +30,44 @@ from pyspark.sql import functions as F
 N_HASHES = 12
 BAND_SIZE = 4  # -> 3 bands
 
+# Giant-bucket cap: joins keyed on a shingle or LSH band key go
+# quadratic in the bucket size, and template/boilerplate text floods
+# single buckets at corpus scale ("of the and" appears in everything).
+# Keys over the cap are dropped from the candidate join — standard
+# practice (they carry no dedup signal; a shingle shared by millions of
+# docs identifies nothing). The default sits far above any oracle
+# fixture's max document frequency, so the driver-checked queries stay
+# hash-exact; at 100 TB set it to ~(corpus_docs * 1e-5) or measure with
+# :func:`giant_buckets`.
+MAX_KEY_DF = 10_000
+
+
+def giant_buckets(keyed: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """(key..., n_docs) for join keys whose bucket exceeds ``cap`` — the
+    keys the guarded joins will drop. One map-side-combined aggregation;
+    the result is pathological-keys-sized (tiny), which is what makes
+    the broadcast anti-join in the guarded paths map-side."""
+    return (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > cap)
+    )
+
+
+def _drop_giant_buckets(
+    keyed: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Remove rows whose join key exceeds the document-frequency cap.
+
+    No silent data loss: only *join keys* are dropped, never documents —
+    every doc keeps its other shingles/bands. Callers wanting the count
+    of dropped keys run :func:`giant_buckets` (same plan, one aggregate).
+    """
+    if cap is None:
+        return keyed
+    big = giant_buckets(keyed, key_cols, cap).select(*key_cols)
+    return keyed.join(F.broadcast(big), key_cols, "left_anti")
+
 
 def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep min(id) per distinct text (hash-group, no pairwise compare)."""
@@ -87,14 +125,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int | None = MAX_KEY_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for all candidate pairs.
 
     inverted-index self-join: pairs only materialize when they share at
     least one shingle. For web scale, run it AFTER MinHash-LSH bucketing
     (minhash_lsh_pairs) to bound the candidate set.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap *before* the self-join (the giant-bucket guard — one
+    stopword shingle would otherwise go quadratic). Jaccard is then
+    measured over the sub-cap shingle universe (sizes and intersections
+    both filtered, so the ratio stays internally consistent); ``None``
+    disables the guard.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    sh = word_shingles(df, id_col, text_col, n)
+    sh = _drop_giant_buckets(sh, ["shingle"], max_shingle_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -192,14 +239,19 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = MAX_KEY_DF,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
 
-    The join is per band_key — the only shuffle key. A pathological
-    bucket (common template text) is the skew risk; AQE skew-join
-    handles it, or pre-filter giant buckets.
+    The join is per band_key — the only shuffle key. ``max_bucket_size``
+    drops (band, band_key) buckets larger than the cap before the
+    self-join (the giant-bucket guard: one template-text bucket of n
+    docs costs n^2 pairs — at the cap that is already 10^8 for the
+    default; beyond it the bucket is noise, not dedup signal). AQE
+    skew-join only rebalances tasks, it cannot shrink the pair count.
     """
     bands = minhash_band_keys(df, id_col, text_col, n_hashes, band_size)
+    bands = _drop_giant_buckets(bands, ["band", "band_key"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band", "band_key"])

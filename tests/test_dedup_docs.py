@@ -63,3 +63,54 @@ def test_simhash_identical_and_distance(spark, docs):
     pairs = simhash_near_pairs(docs, max_hamming=0).toPandas()
     assert {(0, 1)} <= set(zip(pairs.doc_a, pairs.doc_b))
     assert (pairs.hamming == 0).all()
+
+
+@pytest.fixture(scope="module")
+def template_corpus(spark):
+    """Synthetic boilerplate flood: every doc shares the same template
+    shingles (the giant bucket) plus unique filler; docs 0/1 are true
+    near-dups sharing rare content shingles too."""
+    template = "all rights reserved terms of service apply to this site"
+    rows = [(0, f"alpha beta gamma delta unique phrase one {template}"),
+            (1, f"alpha beta gamma delta unique phrase two {template}")]
+    rows += [
+        (i, f"filler{i} words{i} only{i} here{i} now{i} {template}")
+        for i in range(2, 42)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_giant_bucket_guard_jaccard(spark, template_corpus):
+    # unguarded: the template shingles make every pair a candidate
+    raw = ngram_jaccard_pairs(
+        template_corpus, threshold=0.01, max_shingle_df=None
+    )
+    assert raw.count() == 42 * 41 // 2  # quadratic blow-up
+    # guarded (cap < 42): template shingles dropped, only the true
+    # near-dup pair survives via its rare content shingles
+    guarded = ngram_jaccard_pairs(
+        template_corpus, threshold=0.01, max_shingle_df=10
+    ).toPandas()
+    assert set(zip(guarded.doc_a, guarded.doc_b)) == {(0, 1)}
+
+
+def test_giant_bucket_guard_minhash(spark, template_corpus):
+    from aroma_spark.operators.dedup import giant_buckets, minhash_band_keys
+
+    # with a low cap the flooded band buckets are dropped; the candidate
+    # set collapses from ~all-pairs to just pairs sharing rare bands
+    guarded = minhash_lsh_pairs(template_corpus, max_bucket_size=10)
+    unguarded = minhash_lsh_pairs(template_corpus, max_bucket_size=None)
+    assert guarded.count() < unguarded.count()
+    # the dropped keys are observable, not silent
+    bands = minhash_band_keys(template_corpus)
+    big = giant_buckets(bands, ["band", "band_key"], 10).toPandas()
+    assert len(big) > 0 and (big.n_docs > 10).all()
+
+
+def test_guard_cap_above_max_df_is_exact(spark, docs):
+    # cap above the corpus max document frequency == unguarded results
+    a = ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=None).toPandas()
+    b = ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=10_000).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b", "jaccard"]].values))
+    assert key(a) == key(b)
