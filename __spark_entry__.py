@@ -459,6 +459,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk"] = ivf_topk_q
 
+    # trained-codebook IVF: spherical k-means quantizer (deterministic
+    # seeded-sample Lloyd) — no SQL oracle (iterative algorithm), so the
+    # driver records the weaker rows-only check; recall vs the exact
+    # baseline is measured in bench.py alongside the LSH recall.
+    def ivf_topk_trained_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import ivf_topk, kmeans_codebook
+
+        emb = load_table(spark, sf, "embeddings")
+        cb = kmeans_codebook(emb, n_centroids=16)
+        return ivf_topk(
+            emb, emb.where(F.col("vec_id") < 10),
+            k=5, n_centroids=16, n_probe=4, centroids=cb,
+        )
+
+    q["ivf_topk_trained"] = ivf_topk_trained_q
+
     # --- temporal joins: as-of (union-marker, one shuffle) + banded range ---
     def asof_join_1h(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.asof import asof_join

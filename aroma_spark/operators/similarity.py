@@ -92,20 +92,78 @@ def _centroids(
     )
 
 
+def kmeans_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 8192,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF codebook: spherical k-means on a deterministic
+    hash-sample — (centroid_id, cent_vec), drop-in for the placeholder
+    quantizer via the ``centroids=`` parameter of :func:`ivf_assign` /
+    :func:`ivf_topk`.
+
+    Scale shape: the sample is picked by md5-hash order (sort+limit
+    collapses to TakeOrdered — no full sort), so it is a uniform,
+    engine-portable pseudo-random subset bounded at ``sample_size``
+    rows; Lloyd runs on the driver in numpy over that bounded sample
+    (standard IVF practice — IVFADC, Jégou et al. 2011, trains on a
+    sample, not the corpus). Init = first k sample vectors in hash
+    order; empty clusters keep their previous centroid; all updates are
+    deterministic numpy, so the codebook is reproducible run-to-run."""
+    import numpy as np
+
+    sample = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit("kmeans:"), F.col(id_col).cast("string"))))
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        # spherical k-means: assign to max-cosine centroid, re-center,
+        # re-normalize; ties break to the lowest centroid id (argmax)
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(j), [float(v) for v in C[j]]) for j in range(k)],
+        "centroid_id int, cent_vec array<double>",
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector goes to its max-cosine centroid
     (ties broken by centroid id). One broadcast of the (tiny) codebook +
     one pass over the corpus — the inverted-file build step. At 100 TB
     the output is the thing to persist, bucketed by ``centroid_id``, so
-    probes become partition-pruned scans."""
+    probes become partition-pruned scans.
+
+    ``centroids``: optional trained codebook (centroid_id, cent_vec)
+    from :func:`kmeans_codebook`; default is the bit-reproducible
+    placeholder quantizer (lowest-id vectors) the DuckDB oracle mirrors."""
     from pyspark.sql import Window
 
-    cents = _centroids(vectors, n_centroids, id_col, vec_col)
+    cents = (
+        centroids.select("centroid_id", "cent_vec")
+        if centroids is not None
+        else _centroids(vectors, n_centroids, id_col, vec_col)
+    )
     scored = (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
@@ -135,6 +193,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k ANN: probe the ``n_probe`` nearest inverted lists per
     query, score candidates exactly, keep the top ``k``.
@@ -146,10 +205,14 @@ def ivf_topk(
     :func:`ivf_recall` and tune (n_centroids, n_probe)."""
     from pyspark.sql import Window
 
-    assign = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
+    assign = ivf_assign(vectors, n_centroids, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
     )
-    cents = _centroids(vectors, n_centroids, id_col, vec_col)
+    cents = (
+        centroids.select("centroid_id", "cent_vec")
+        if centroids is not None
+        else _centroids(vectors, n_centroids, id_col, vec_col)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -204,18 +267,23 @@ def ivf_recall(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    truth: DataFrame | None = None,
 ) -> float | None:
-    """Fraction of exact top-k neighbor pairs the IVF probe recovers."""
-    truth = brute_force_topk(vectors, queries, k).select(
-        "query_id", "neighbor_id"
-    )
-    n_truth = truth.count()
+    """Fraction of exact top-k neighbor pairs the IVF probe recovers.
+
+    Pass a persisted ``truth`` (from :func:`brute_force_topk`) when
+    sweeping codebooks/probe settings so the exact pass runs once."""
+    if truth is None:
+        truth = brute_force_topk(vectors, queries, k)
+    t = truth.select("query_id", "neighbor_id")
+    n_truth = t.count()
     if not n_truth:
         return None
-    got = ivf_topk(vectors, queries, k, n_centroids, n_probe).select(
+    got = ivf_topk(vectors, queries, k, n_centroids, n_probe, centroids=centroids).select(
         "query_id", "neighbor_id"
     )
-    return truth.join(got, ["query_id", "neighbor_id"], "left_semi").count() / n_truth
+    return t.join(got, ["query_id", "neighbor_id"], "left_semi").count() / n_truth
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:

@@ -149,3 +149,60 @@ def test_ivf_partial_probe_recall(spark, big_vecs):
     r_one = ivf_recall(big_vecs, q, k=5, n_centroids=4, n_probe=1)
     assert r_full == 1.0
     assert r_one is not None and 0.0 < r_one <= 1.0
+
+
+def test_kmeans_codebook_deterministic_and_valid(spark, big_vecs):
+    from aroma_spark.operators.similarity import ivf_topk, kmeans_codebook
+
+    cb1 = kmeans_codebook(big_vecs, n_centroids=4, sample_size=40).toPandas()
+    cb2 = kmeans_codebook(big_vecs, n_centroids=4, sample_size=40).toPandas()
+    assert len(cb1) == 4
+    # reproducible run-to-run (deterministic hash-sample + numpy Lloyd)
+    for a, b in zip(
+        cb1.sort_values("centroid_id").cent_vec, cb2.sort_values("centroid_id").cent_vec
+    ):
+        assert np.allclose(a, b, atol=0, rtol=0)
+    # unit-norm centroids (spherical k-means)
+    for v in cb1.cent_vec:
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    # full probe with the trained codebook still reproduces brute force
+    q = big_vecs.where(F.col("vec_id") < 3)
+    cb = kmeans_codebook(big_vecs, n_centroids=4, sample_size=40)
+    exact = brute_force_topk(big_vecs, q, k=5)
+    ivf = ivf_topk(big_vecs, q, k=5, n_probe=4, centroids=cb)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    g = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    assert e == g
+
+
+def test_kmeans_codebook_beats_placeholder_recall(spark):
+    """On clustered data a trained quantizer should recall at least as
+    well as the lowest-id placeholder at the same probe budget."""
+    from aroma_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_recall,
+        kmeans_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 12))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            v = c + rng.normal(scale=0.15, size=12)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where(F.col("vec_id") % 12 == 0)
+    truth = brute_force_topk(vecs, q, k=5).persist()
+    truth.count()
+    cb = kmeans_codebook(vecs, n_centroids=8, sample_size=96)
+    r_trained = ivf_recall(vecs, q, k=5, n_centroids=8, n_probe=2,
+                           centroids=cb, truth=truth)
+    r_placeholder = ivf_recall(vecs, q, k=5, n_centroids=8, n_probe=2,
+                               truth=truth)
+    truth.unpersist()
+    assert r_trained is not None and r_placeholder is not None
+    assert r_trained >= r_placeholder
+    assert r_trained > 0.8
