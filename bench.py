@@ -5,10 +5,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 rolled-up points/sec across the raw->1m->1h->1d lattice (BASELINE.json):
 total tier output rows / wall time of the full pipeline.
 
-Set BENCH_SCALING=1 to also run the flagship job at local[8] vs
-local[32] and report scaling efficiency (sandbox proxy for N vs 4N
-executors; results also land in BENCH/BASELINE.md via
-scripts/bench_scaling.py).
+Measurement discipline (round-3 fix for the phantom-regression problem):
+EVERY timed query gets one warmup run (JIT/codegen/page-cache — this
+box's first-touch page path is slow and wildly noisy, see
+DESIGN_SCALE.md "Sandbox memory pathology") and then the reported number
+is the MEDIAN of ``BENCH_RUNS`` measured runs — the same discipline
+scripts/bench_scaling.py already applies to the scaling criterion.
+
+Set BENCH_RUNS to trade precision for wall time (default 3).
 """
 
 from __future__ import annotations
@@ -22,12 +26,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from aroma_spark.session import get_spark
+from scripts.bench_scaling import _median
+
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
-def _run(fn, *args):
-    t0 = time.time()
-    n = fn(*args).count()
-    return time.time() - t0, n
+def _timed_median(fn, n_runs: int = N_RUNS) -> tuple[float, object]:
+    """One warmup + median of ``n_runs`` timed executions of ``fn``."""
+    fn()  # warmup: codegen, broadcast, shuffle-file and page cache
+    times, result = [], None
+    for _ in range(n_runs):
+        t0 = time.time()
+        result = fn()
+        times.append(time.time() - t0)
+    return _median(times), result
 
 
 def rollup_pipeline_points(spark, sf_dir: str) -> int:
@@ -51,13 +63,10 @@ def main() -> None:
     qs = entrymod.queries()
     t0_all = time.time()
 
-    # headline: full tier lattice — one warmup (JIT/codegen/page cache,
-    # this box's first-touch page path is slow and noisy) then the
-    # measured steady-state run
-    rollup_pipeline_points(spark, sf_dir)
-    t0 = time.time()
-    total_points = rollup_pipeline_points(spark, sf_dir)
-    lattice_sec = time.time() - t0
+    # headline: full tier lattice
+    lattice_sec, total_points = _timed_median(
+        lambda: rollup_pipeline_points(spark, sf_dir)
+    )
     queries["rollup_lattice"] = round(lattice_sec, 3)
 
     for name in (
@@ -74,14 +83,22 @@ def main() -> None:
         "doc_dup_clusters",
     ):
         if name in qs:
-            sec, _ = _run(qs[name], spark, sf_dir)
+            sec, _ = _timed_median(lambda q=qs[name]: q(spark, sf_dir).count())
             queries[name] = round(sec, 3)
 
     # ANN recall vs exact ground truth (VERDICT r1 item 8): quantifies
     # the n_planes knob. Ground truth is one quadratic pass, persisted
     # across the sweep.
     t0 = time.time()
-    from aroma_spark.operators.similarity import ann_recall, brute_force_pairs
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.similarity import (
+        ann_recall,
+        brute_force_pairs,
+        brute_force_topk,
+        ivf_recall,
+        kmeans_codebook,
+    )
     from aroma_spark.sources.transcripts import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -105,6 +122,35 @@ def main() -> None:
     truth.unpersist()
     ann["sec"] = round(time.time() - t0, 3)
 
+    # IVF recall at equal probe budgets: placeholder quantizer (the
+    # oracle-mirrored lowest-id codebook) vs the trained k-means one
+    # (VERDICT r2 item 5 — recall of the IVF path, measured every bench).
+    # Queries are DISJOINT from the placeholder's centroid ids (0..15):
+    # a query that *is* a centroid probes its own list first and recalls
+    # its neighborhood for free, which inflated the placeholder number.
+    t0 = time.time()
+    qd = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    topk_truth = brute_force_topk(emb, qd, k=5).persist()
+    topk_truth.count()
+    cb = kmeans_codebook(emb, n_centroids=16)
+
+    def _r(n_probe, cents):
+        r = ivf_recall(emb, qd, 5, 16, n_probe, centroids=cents, truth=topk_truth)
+        return round(r, 4) if r is not None else None
+
+    ivf = {
+        "k": 5,
+        "n_centroids": 16,
+        "queries": "vec_id in [100,110) — disjoint from placeholder centroids",
+        "recall_placeholder_probe4": _r(4, None),
+        "recall_kmeans_probe4": _r(4, cb),
+        "recall_placeholder_probe8": _r(8, None),
+        "recall_kmeans_probe8": _r(8, cb),
+        "sec": None,
+    }
+    topk_truth.unpersist()
+    ivf["sec"] = round(time.time() - t0, 3)
+
     # surface the committed two-parallelism scaling measurement
     # (scripts/bench_scaling.py -> BENCH/BASELINE.md) in the round JSON
     scaling = None
@@ -116,10 +162,7 @@ def main() -> None:
                 if line.startswith("Raw runs:"):
                     raw = json.loads(line[len("Raw runs:"):].strip())
         if raw:
-            med = {
-                c: sorted(x["pps"] for x in rs)[len(rs) // 2]
-                for c, rs in raw.items()
-            }
+            med = {c: _median([x["pps"] for x in rs]) for c, rs in raw.items()}
             best = {c: max(x["pps"] for x in rs) for c, rs in raw.items()}
             scaling = {
                 "levels_pps_median": med,
@@ -129,8 +172,8 @@ def main() -> None:
                 "efficiency_8to32_median": round((med["32"] / med["8"]) / 4, 3),
                 "criterion": ">=0.8 N->4N",
             }
-    except Exception:
-        pass
+    except Exception as e:  # parse drift must be visible, not a null blob
+        print(f"bench: scaling summary unavailable: {e!r}", file=sys.stderr)
 
     points_per_sec = total_points / lattice_sec if lattice_sec else 0.0
     out = {
@@ -138,9 +181,12 @@ def main() -> None:
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "queries": queries,
+        "runs_per_query": N_RUNS,
+        "timing": "median of runs after one warmup run per query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "total_rollup_points": total_points,
         "ann_recall": ann,
+        "ivf_recall": ivf,
         "scaling": scaling,
         "wall_sec_total": round(time.time() - t0_all, 3),
     }
