@@ -595,6 +595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dedup_survivors"] = doc_dedup_survivors
 
+    # --- curation flagship: the full end-to-end training-data pipeline
+    # (exact dedup -> LSH closure -> quality gates -> split -> decontam
+    # -> packing), checked per-stage against a single DuckDB program ---
+    def curate_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.plans.curate import curate_stats
+
+        return curate_stats(load_table(spark, sf, "documents"))
+
+    q["curate_stats"] = curate_stats_q
+
     # --- deterministic stratified sampling (hash-threshold, no RNG) ---
     def doc_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.splits import stratified_sample
@@ -1196,6 +1206,101 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id
 FROM documents d
 LEFT JOIN comp c ON d.doc_id = c.node AND c.node <> c.component
 WHERE c.node IS NULL"""
+    )
+
+    # curation flagship: the whole chain as ONE DuckDB program — per-stage
+    # survivor sets as CTEs, the same recursive closure and next-fit
+    # recurrences as the standalone oracles, integer-safe decontam gate
+    o["curate_stats"] = f"""WITH RECURSIVE
+d0 AS (SELECT doc_id, text FROM documents),
+ex AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY md5(COALESCE(text,''))),
+d1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN ex USING (doc_id)),
+w1 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM d1),
+sh1 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM w1, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+mh AS (SELECT doc_id, i AS hash_idx, min(md5(i || ':' || shingle)) AS minhash
+       FROM sh1, UNNEST(range(0, 12)) AS t(i) GROUP BY doc_id, i),
+bands AS (SELECT doc_id, CAST(hash_idx // 4 AS INT) AS band,
+                 md5(string_agg(minhash, '|' ORDER BY hash_idx)) AS band_key
+          FROM mh GROUP BY doc_id, hash_idx // 4),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (SELECT src AS node, dst AS r FROM edges
+          UNION SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+comp AS (SELECT node, LEAST(node, min(r)) AS component FROM reach GROUP BY node),
+d2 AS (SELECT d1.doc_id, d1.text FROM d1
+       LEFT JOIN comp c ON d1.doc_id = c.node AND c.node <> c.component
+       WHERE c.node IS NULL),
+qs AS (SELECT doc_id, text,
+        CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+')) END AS n_tokens,
+        length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[A-Za-z]', '', 'g')) AS n_alpha,
+        length(COALESCE(text,'')) AS n_chars,
+        regexp_split_to_array(lower(trim(COALESCE(text,''))), '\\s+') AS ws
+       FROM d2),
+qr AS (SELECT doc_id, text,
+        ((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+         + COALESCE(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars END, 0.0)
+         + (CASE WHEN n_tokens > 0 AND CAST(n_alpha AS DOUBLE)/n_tokens >= 2.0
+                  AND CAST(n_alpha AS DOUBLE)/n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+        ) / 3.0 AS quality_score,
+        CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS n_g,
+        CASE WHEN len(ws) >= 3
+             THEN len(list_distinct(list_transform(range(1, len(ws)-1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+             ELSE 0 END AS n_gd
+       FROM qs),
+d3 AS (SELECT doc_id, text FROM qr
+       WHERE quality_score >= 0.5
+         AND (CASE WHEN n_g > 0 THEN round(1.0 - CAST(n_gd AS DOUBLE)/n_g, 6)
+              ELSE 0.0 END) <= 0.2),
+d4 AS (SELECT doc_id, text FROM d3 WHERE {{SPLIT_U}} < 0.8),
+hold AS (SELECT doc_id FROM d3 WHERE {{SPLIT_U}} >= 0.9),
+hsh AS (SELECT DISTINCT s.shingle FROM sh1 s JOIN hold h ON s.doc_id = h.doc_id),
+ov AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN hs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       FROM sh1 s JOIN d4 ON s.doc_id = d4.doc_id
+       LEFT JOIN hsh hs ON s.shingle = hs.shingle
+       GROUP BY s.doc_id),
+d5 AS (SELECT d4.doc_id, d4.text FROM d4
+       LEFT JOIN ov ON d4.doc_id = ov.doc_id AND ov.n_hit * 2 > ov.n_grams
+       WHERE ov.doc_id IS NULL),
+pt AS (SELECT doc_id,
+         CAST(CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(COALESCE(text,'')), '\\s+'))
+              END AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS BIGINT) AS bucket
+       FROM d5),
+pr AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS BIGINT) AS rn
+       FROM pt WHERE n_tokens > 0),
+packrec AS (
+  SELECT bucket, rn, n_tokens, CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill
+  FROM pr WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.n_tokens,
+         CASE WHEN p.fill + r.n_tokens <= 256 THEN p.bin_idx
+              ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + r.n_tokens <= 256 THEN p.fill + r.n_tokens
+              ELSE r.n_tokens END
+  FROM packrec p JOIN pr r ON r.bucket = p.bucket AND r.rn = p.rn + 1
+),
+pk AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT DISTINCT bucket, bin_idx FROM packrec))
+SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM d0
+UNION ALL SELECT 'exact', CAST(count(*) AS BIGINT) FROM d1
+UNION ALL SELECT 'near', CAST(count(*) AS BIGINT) FROM d2
+UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM d3
+UNION ALL SELECT 'train', CAST(count(*) AS BIGINT) FROM d4
+UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) FROM d5
+UNION ALL SELECT 'packed', n FROM pk""".replace(
+        "{SPLIT_U}",
+        "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) / 4294967296.0",
     )
 
     sample_u = (
