@@ -67,6 +67,61 @@ def streaming_rollup_1m(transcripts: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def streaming_session_stats(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.session_stats``: native
+    ``session_window`` aggregation keyed by conversation.
+
+    Boundary parity with batch: the batch rule breaks a session only
+    when the inter-turn gap is *strictly greater* than ``gap``
+    (sessions.py:33), while ``session_window`` treats a turn landing
+    exactly at ``last_ts + gap`` as a new session (window end is
+    exclusive) — so the streaming gap is widened by one microsecond,
+    making merge-iff-diff<=gap identical in both engines.
+
+    Output matches the batch columns except ``session_idx`` (a global
+    per-conversation ordinal is unknowable mid-stream; join parity
+    checks on (conv_id, session_start) instead). Sessions emit once the
+    watermark passes their close (append mode); state per open session
+    is O(1) aggregates, evicted at emission.
+    """
+    from aroma_spark.operators.sessions import _interval_to_us
+
+    gap_plus = f"{_interval_to_us(gap) + 1} microseconds"
+    t = transcripts.withWatermark("ts", watermark)
+    return (
+        t.groupBy(
+            F.col("conv_id"), F.session_window("ts", gap_plus).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("duration_us"),
+            F.sum(
+                F.when(
+                    (F.col("tool").isNotNull()) & (F.col("tool") != ""), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tool_calls"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "session_start",
+            "session_end",
+            "duration_us",
+            "n_tool_calls",
+        )
+    )
+
+
 def streaming_signals(transcripts: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming inter-times: state = last (ts, turn_idx) per
     conversation; each micro-batch diffs its (sorted) turns against it.

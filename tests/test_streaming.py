@@ -106,3 +106,71 @@ def test_streaming_signals_stateful(spark, tiny_transcripts, stream_dir, tmp_pat
         "conv_id", "turn_idx", "ts", "inter_time_us", "text_len", "tool_call"
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_session_window_parity_across_restart(spark, tmp_path):
+    """Session state must survive a query restart AND the emitted
+    sessions must match the batch sessionizer: conv a's turns arrive in
+    two separate availableNow runs over one checkpoint; flush rows
+    advance the watermark so closed sessions emit (append mode)."""
+    from aroma_spark.operators.sessions import session_stats
+    from aroma_spark.streaming.stream import streaming_session_stats
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def append(rows):
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (
+            streaming_session_stats(stream, gap="30 minutes", watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: conv a opens a session; nothing can emit yet
+    append([("a", 0, "user", "hi", None, "2024-01-01 00:00:00")])
+    run_once()
+
+    # run 2 (new query, same checkpoint): a turn 10 min later must MERGE
+    # into run 1's open session — only possible if state was recovered;
+    # plus a turn >30m later opening session 2, plus a far-future flush
+    append([
+        ("a", 1, "tool", "r", "fn_x", "2024-01-01 00:10:00"),
+        ("a", 2, "user", "later", None, "2024-01-01 01:00:00"),
+        ("zz", 0, "user", "flush1", None, "2024-01-03 00:00:00"),
+    ])
+    run_once()
+
+    # run 3: another flush pushes the watermark past conv a's sessions
+    append([("zz", 1, "user", "flush2", None, "2024-01-05 00:00:00")])
+    run_once()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .where("conv_id = 'a'")
+        .select("conv_id", "n_turns", "session_start", "session_end",
+                "duration_us", "n_tool_calls")
+    )
+    batch_rows = spark.createDataFrame(
+        [("a", 0, "user", "hi", None, "2024-01-01 00:00:00"),
+         ("a", 1, "tool", "r", "fn_x", "2024-01-01 00:10:00"),
+         ("a", 2, "user", "later", None, "2024-01-01 01:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = session_stats(batch_rows, "30 minutes").select(
+        "conv_id", "n_turns", "session_start", "session_end",
+        "duration_us", "n_tool_calls",
+    )
+    assert got.count() == 2  # both conv-a sessions closed and emitted
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
