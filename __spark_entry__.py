@@ -283,6 +283,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latency_percentiles_1d"] = latency_pct
 
+    # --- OHLC tier: first/last/min/max latency per (conv, hour) under
+    # the stable turn order (argmin/argmax over unique turn_idx) ---
+    def ohlc_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import rollup_ohlc
+
+        return rollup_ohlc(_signals(spark, sf), "hour")
+
+    q["ohlc_1h"] = ohlc_1h
+
+    # --- power-of-two latency histogram per hour (exact integer bins) ---
+    def latency_hist_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import latency_histogram
+
+        return latency_histogram(_signals(spark, sf), "hour")
+
+    q["latency_hist_1h"] = latency_hist_1h
+
+    # --- trailing 1h sliding-window stats per turn (time-range frame) ---
+    def rolling_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.rolling import rolling_window_stats
+
+        return rolling_window_stats(_signals(spark, sf), "1 hour")
+
+    q["rolling_1h"] = rolling_1h
+
+    # --- sequence-level dedup fingerprint (reference's whole-sequence
+    # equality, breakfast.py:597-618, as a per-conversation sha256 over
+    # the turn-ordered content; ts pre-cast to integer micros so both
+    # engines hash identical bytes) ---
+    def conv_content_hash_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.normalize import sequence_content_hash
+
+        t = transcripts_from_events(spark, sf).withColumn(
+            "ts", F.unix_micros("ts")
+        )
+        return sequence_content_hash(t)
+
+    q["conv_content_hash"] = conv_content_hash_q
+
     # --- retention: tier-scoped pruning (north_rule retention tiers) ---
     def retention_1d(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import retention_prune
@@ -643,6 +682,46 @@ FROM sig GROUP BY conv_id, date_trunc('day', ts)"""
     o["retention_1d"] = (
         _rollup_sql("day") + "\nHAVING date_trunc('day', ts) >= TIMESTAMP '2024-01-15'"
     )
+
+    o["ohlc_1h"] = f"""{SIG_SQL}
+SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(arg_min(inter_time_us, turn_idx) AS BIGINT) AS open,
+       CAST(arg_max(inter_time_us, turn_idx) AS BIGINT) AS close,
+       CAST(min(inter_time_us) AS BIGINT) AS low,
+       CAST(max(inter_time_us) AS BIGINT) AS high
+FROM sig GROUP BY conv_id, date_trunc('hour', ts)"""
+
+    # bin = binary digit count of the value (floor(log2)+1), v<=0 -> 0:
+    # exact integer formatting on both engines, no float log
+    o["latency_hist_1h"] = f"""{SIG_SQL}
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       CAST(CASE WHEN inter_time_us <= 0 THEN 0
+            ELSE length(format('{{:b}}', inter_time_us)) END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM sig GROUP BY 1, 2"""
+
+    o["rolling_1h"] = f"""{SIG_SQL}
+SELECT conv_id, turn_idx, ts,
+       CAST(count(*) OVER w AS BIGINT) AS w_n_turns,
+       CAST(sum(inter_time_us) OVER w AS BIGINT) AS w_sum_latency_us,
+       CAST(max(inter_time_us) OVER w AS BIGINT) AS w_max_latency_us,
+       CAST(sum(text_len) OVER w AS BIGINT) AS w_sum_text_len,
+       CAST(sum(tool_call) OVER w AS BIGINT) AS w_tool_calls
+FROM sig
+WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+    o["conv_content_hash"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+p AS (SELECT conv_id, turn_idx,
+        concat_ws(chr(1), CAST(turn_idx AS VARCHAR), COALESCE(role, chr(0)),
+                  COALESCE(text, chr(0)), COALESCE(tool, chr(0)),
+                  CAST(epoch_us(ts) AS VARCHAR)) AS pt
+      FROM t)
+SELECT conv_id,
+       sha256(string_agg(pt, chr(2) ORDER BY turn_idx)) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM p GROUP BY conv_id"""
 
     o["gapfill_1h"] = f"""{SIG_SQL},
 tier AS (

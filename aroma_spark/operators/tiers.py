@@ -175,3 +175,69 @@ def retention_prune(tier: DataFrame, keep_after: str) -> DataFrame:
     partitions at scan time — no data read outside the horizon.
     """
     return tier.where(F.col("bucket_ts") >= F.to_timestamp(F.lit(keep_after)))
+
+
+def rollup_ohlc(
+    signals: DataFrame, unit: str = "hour", value_col: str = "inter_time_us"
+) -> DataFrame:
+    """OHLC-style tier: first/last/min/max of ``value_col`` per
+    (conversation, bucket) under the stable turn order — the candlestick
+    aggregate every time-series store ships for downsampled charting.
+
+    Open/close are argmin/argmax over the UNIQUE per-conversation
+    ``turn_idx`` (min/max of a (turn_idx, value) struct — deterministic
+    under any partitioning, unlike bare first()/last(), which are
+    order-dependent in a shuffle). Composable across tiers the same way
+    as the main lattice: open-of-opens by min turn, close-of-closes by
+    max turn — all partials are (turn_idx, value) pairs.
+    """
+    v = F.col(value_col).cast("long")
+    pair = F.struct(F.col("turn_idx").cast("long").alias("t"), v.alias("v"))
+    return (
+        signals.groupBy(
+            "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min(pair).alias("__o"),
+            F.max(pair).alias("__c"),
+            F.min(v).cast("long").alias("low"),
+            F.max(v).cast("long").alias("high"),
+        )
+        .select(
+            "conv_id",
+            "bucket_ts",
+            "n_points",
+            F.col("__o.v").alias("open"),
+            F.col("__c.v").alias("close"),
+            "low",
+            "high",
+        )
+    )
+
+
+def latency_histogram(
+    signals: DataFrame, unit: str = "hour", value_col: str = "inter_time_us"
+) -> DataFrame:
+    """Power-of-two latency histogram per time bucket — the heatmap
+    behind latency observability UIs, downsampled like any other tier.
+
+    Bin = number of binary digits of the value (floor(log2(v))+1 for
+    v>0; 0 for v=0), computed by exact integer->binary string length —
+    no float log2, so the bin edges are bit-exact on every engine.
+    Counts are integers: re-aggregation to coarser time buckets is
+    exact (sum of counts), same algebra as the main lattice.
+    """
+    v = F.col(value_col).cast("long")
+    bin_col = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(v.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        signals.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    )
