@@ -185,6 +185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_1m"] = _tier_query("1m")
     q["rollup_1h"] = _tier_query("1h")
     q["rollup_1d"] = _tier_query("1d")
+
+    # weekly tier: re-aggregated from the materialized 1d tier (weeks
+    # align to day boundaries, so the composition stays point-exact);
+    # oracle recomputes directly from raw rows
+    def rollup_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import reaggregate
+
+        return reaggregate(rollup_lattice(_signals(spark, sf))["1d"], "week")
+
+    q["rollup_1w"] = rollup_1w
     q["rollup_1m_salted"] = lambda spark, sf: rollup_tier_salted(
         _signals(spark, sf), "minute", n_salts=8
     )
@@ -533,6 +543,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_1h"] = asof_join_1h
 
+    def _asof_inputs(spark: SparkSession, sf: str):
+        t = transcripts_from_events(spark, sf).select("conv_id", "turn_idx", "ts")
+        tier = rollup_lattice(_signals(spark, sf))["1h"].select(
+            "conv_id",
+            (F.col("bucket_ts") + F.expr("interval 1 hour")).alias("closed_ts"),
+            "n_points",
+            "sum_latency_us",
+        )
+        return t, tier
+
+    # forward direction: each turn gets the NEXT completed hour's rollup
+    def asof_join_1h_fwd(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import asof_join
+
+        t, tier = _asof_inputs(spark, sf)
+        return asof_join(
+            t, tier, by="conv_id", left_ts="ts", right_ts="closed_ts",
+            value_cols=["n_points", "sum_latency_us"], direction="forward",
+        )
+
+    q["asof_join_1h_fwd"] = asof_join_1h_fwd
+
+    # tolerance: matches farther than 2h resolve to NULL (pandas
+    # merge_asof semantics; the whole payload nulls together)
+    def asof_join_1h_tol(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import asof_join
+
+        t, tier = _asof_inputs(spark, sf)
+        return asof_join(
+            t, tier, by="conv_id", left_ts="ts", right_ts="closed_ts",
+            value_cols=["n_points", "sum_latency_us"],
+            tolerance_us=7_200_000_000,
+        )
+
+    q["asof_join_1h_tol"] = asof_join_1h_tol
+
     def session_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.asof import interval_join
         from aroma_spark.operators.sessions import session_stats
@@ -668,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_1h"] = _rollup_sql("hour")
     o["rollup_1d"] = _rollup_sql("day")
     o["rollup_1m_salted"] = _rollup_sql("minute")
+    o["rollup_1w"] = _rollup_sql("week")
     o["conv_count_by_role"] = f"""WITH t AS ({TRANSCRIPTS_SQL})
 SELECT role, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(count(*) AS BIGINT) AS n_turns
@@ -1119,6 +1166,40 @@ SELECT s.conv_id, s.turn_idx, s.ts,
        r.closed_ts AS matched_ts, r.n_points, r.sum_latency_us
 FROM sig s ASOF LEFT JOIN tier r
   ON s.conv_id = r.conv_id AND s.ts >= r.closed_ts"""
+
+    o["asof_join_1h_fwd"] = f"""{SIG_SQL},
+tier AS (
+  SELECT conv_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS closed_ts,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+  FROM sig GROUP BY 1, 2
+)
+SELECT s.conv_id, s.turn_idx, s.ts,
+       r.closed_ts AS matched_ts, r.n_points, r.sum_latency_us
+FROM sig s ASOF LEFT JOIN tier r
+  ON s.conv_id = r.conv_id AND s.ts <= r.closed_ts"""
+
+    o["asof_join_1h_tol"] = f"""{SIG_SQL},
+tier AS (
+  SELECT conv_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS closed_ts,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+  FROM sig GROUP BY 1, 2
+),
+m AS (
+  SELECT s.conv_id, s.turn_idx, s.ts,
+         r.closed_ts, r.n_points, r.sum_latency_us
+  FROM sig s ASOF LEFT JOIN tier r
+    ON s.conv_id = r.conv_id AND s.ts >= r.closed_ts
+)
+SELECT conv_id, turn_idx, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(closed_ts) <= 7200000000
+            THEN closed_ts END AS matched_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(closed_ts) <= 7200000000
+            THEN n_points END AS n_points,
+       CASE WHEN epoch_us(ts) - epoch_us(closed_ts) <= 7200000000
+            THEN sum_latency_us END AS sum_latency_us
+FROM m"""
 
     o["session_interval_join"] = f"""{sess_core},
 ivl AS (SELECT conv_id, session_idx,

@@ -141,6 +141,11 @@ def ngram_jaccard_pairs(
     disables the guard.
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        # one shingle materialization feeds the guard aggregation, the
+        # size aggregation, and both join sides (same reuse pattern as
+        # minhash_lsh_pairs)
+        sh = sh.localCheckpoint()
     sh = _drop_giant_buckets(sh, ["shingle"], max_shingle_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -251,6 +256,13 @@ def minhash_lsh_pairs(
     skew-join only rebalances tasks, it cannot shrink the pair count.
     """
     bands = minhash_band_keys(df, id_col, text_col, n_hashes, band_size)
+    if max_bucket_size is not None:
+        # materialize the band keys once: the guard aggregation and BOTH
+        # self-join sides would otherwise each re-run the full
+        # shingle+minhash pipeline (measured 10.6s -> ~2x faster at
+        # sf0.1); the checkpointed frame is (id, band, band_key) — tiny
+        # relative to the shingle stream it replaces
+        bands = bands.localCheckpoint()
     bands = _drop_giant_buckets(bands, ["band", "band_key"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -98,3 +98,24 @@ def test_curate_corpus_input_change_invalidates(spark, corpus, tmp_path):
     m = curate_corpus(spark, grown, root)
     assert [m[s]["skipped"] for s in STAGE_ORDER] == [False] * 7
     assert m["input"]["rows"] == 31
+
+
+def test_cli_curate_job(spark, corpus, tmp_path, monkeypatch, capsys):
+    import json
+
+    from aroma_spark import cli
+
+    in_dir = str(tmp_path / "docs_in")
+    corpus.write.parquet(in_dir)
+    out_root = str(tmp_path / "curated_cli")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["cli.py", "--job", "curate", "--input", in_dir, "--out", out_root],
+    )
+    # keep the session-scoped fixture alive: reuse it and no-op stop()
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    cli.main()
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["input"]["rows"] == 30
+    assert not metrics["packed"]["skipped"]
