@@ -302,6 +302,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ohlc_1h"] = ohlc_1h
 
+    # composition proof: the 1d OHLC re-aggregated from materialized 1h
+    # partials must equal the oracle's direct day computation (same
+    # point-exactness argument as the main lattice)
+    def ohlc_1d_from_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import (
+            ohlc_finalize,
+            reaggregate_ohlc,
+            rollup_ohlc,
+        )
+
+        h = rollup_ohlc(_signals(spark, sf), "hour", keep_partials=True)
+        return ohlc_finalize(reaggregate_ohlc(h, "day"))
+
+    q["ohlc_1d_from_1h"] = ohlc_1d_from_1h
+
     # --- power-of-two latency histogram per hour (exact integer bins) ---
     def latency_hist_1h(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import latency_histogram
@@ -738,6 +753,15 @@ SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
        CAST(min(inter_time_us) AS BIGINT) AS low,
        CAST(max(inter_time_us) AS BIGINT) AS high
 FROM sig GROUP BY conv_id, date_trunc('hour', ts)"""
+
+    o["ohlc_1d_from_1h"] = f"""{SIG_SQL}
+SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(arg_min(inter_time_us, turn_idx) AS BIGINT) AS open,
+       CAST(arg_max(inter_time_us, turn_idx) AS BIGINT) AS close,
+       CAST(min(inter_time_us) AS BIGINT) AS low,
+       CAST(max(inter_time_us) AS BIGINT) AS high
+FROM sig GROUP BY conv_id, date_trunc('day', ts)"""
 
     # bin = binary digit count of the value (floor(log2)+1), v<=0 -> 0:
     # exact integer formatting on both engines, no float log

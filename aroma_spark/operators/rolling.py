@@ -18,6 +18,15 @@ so the shuffled data stays integral.
 No reference analog (the reference's only window math is the lag-diff
 inter-times, src/aroma/preprocessing/intertimes.py:83-104); this is the
 natural generalization for the task brief's async-telemetry tier.
+
+Skew note: a range-frame window serializes per conversation (the frame
+needs the conversation's full trailing history, so salting cannot
+apply). A pathological conversation with ~10^8 turns would be one long
+task; the chunked-window pattern of ``signals.with_signals_chunked``
+(chunk by (conv, day), repair the boundary with a bounded overlap — for
+a trailing window, one window-length of tail rows) applies if that
+regime ever materializes. At this engine's observed conversation sizes
+the plain range frame rides the shared conv_id exchange.
 """
 
 from __future__ import annotations

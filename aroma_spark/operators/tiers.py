@@ -177,8 +177,43 @@ def retention_prune(tier: DataFrame, keep_after: str) -> DataFrame:
     return tier.where(F.col("bucket_ts") >= F.to_timestamp(F.lit(keep_after)))
 
 
+def reaggregate_ohlc(lower: DataFrame, unit: str) -> DataFrame:
+    """Compose OHLC partials into a coarser bucket: open-of-opens by min
+    turn, close-of-closes by max turn, min/max fold — the same exact
+    re-aggregation algebra as the main lattice (requires a lower tier
+    built with ``keep_partials=True``)."""
+    return (
+        lower.groupBy(
+            "conv_id", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.min("__o").alias("__o"),
+            F.max("__c").alias("__c"),
+            F.min("low").cast("long").alias("low"),
+            F.max("high").cast("long").alias("high"),
+        )
+    )
+
+
+def ohlc_finalize(tier: DataFrame) -> DataFrame:
+    """Strip the (turn, value) partial structs into plain open/close."""
+    return tier.select(
+        "conv_id",
+        "bucket_ts",
+        "n_points",
+        F.col("__o.v").alias("open"),
+        F.col("__c.v").alias("close"),
+        "low",
+        "high",
+    )
+
+
 def rollup_ohlc(
-    signals: DataFrame, unit: str = "hour", value_col: str = "inter_time_us"
+    signals: DataFrame,
+    unit: str = "hour",
+    value_col: str = "inter_time_us",
+    keep_partials: bool = False,
 ) -> DataFrame:
     """OHLC-style tier: first/last/min/max of ``value_col`` per
     (conversation, bucket) under the stable turn order — the candlestick
@@ -189,11 +224,13 @@ def rollup_ohlc(
     under any partitioning, unlike bare first()/last(), which are
     order-dependent in a shuffle). Composable across tiers the same way
     as the main lattice: open-of-opens by min turn, close-of-closes by
-    max turn — all partials are (turn_idx, value) pairs.
+    max turn — all partials are (turn_idx, value) pairs; pass
+    ``keep_partials=True`` to retain them for :func:`reaggregate_ohlc`,
+    then :func:`ohlc_finalize` for the user-facing shape.
     """
     v = F.col(value_col).cast("long")
     pair = F.struct(F.col("turn_idx").cast("long").alias("t"), v.alias("v"))
-    return (
+    tier = (
         signals.groupBy(
             "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
         )
@@ -204,16 +241,8 @@ def rollup_ohlc(
             F.min(v).cast("long").alias("low"),
             F.max(v).cast("long").alias("high"),
         )
-        .select(
-            "conv_id",
-            "bucket_ts",
-            "n_points",
-            F.col("__o.v").alias("open"),
-            F.col("__c.v").alias("close"),
-            "low",
-            "high",
-        )
     )
+    return tier if keep_partials else ohlc_finalize(tier)
 
 
 def latency_histogram(

@@ -81,6 +81,8 @@ def main() -> None:
         "ann_topk",
         "pack_nextfit",
         "doc_dup_clusters",
+        "ohlc_1h",
+        "rolling_1h",
     ):
         if name in qs:
             sec, _ = _timed_median(lambda q=qs[name]: q(spark, sf_dir).count())
