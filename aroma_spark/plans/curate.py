@@ -252,9 +252,14 @@ def curate_corpus(
     so per-stage partial invalidation would be unsound). A stage is only
     trusted if every stage before it is also fresh (``upstream_fresh``),
     which makes a half-written run self-healing rather than silently
-    mixing generations.
+    mixing generations. The fingerprint covers the *parameters* too —
+    rerunning with a different threshold or packing budget must
+    invalidate, not silently reuse the old thresholds' stages.
     """
-    fp = _corpus_fingerprint(docs)
+    fp = (
+        f"{_corpus_fingerprint(docs)}|q={quality_min}|r={repetition_max}"
+        f"|b={pack_budget}|k={pack_buckets}"
+    )
     manifest = load_manifest(spark, out_root, "curate")
     metrics: dict[str, dict] = {}
     frames: dict[str, DataFrame] = {}

@@ -119,3 +119,11 @@ def test_cli_curate_job(spark, corpus, tmp_path, monkeypatch, capsys):
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert metrics["input"]["rows"] == 30
     assert not metrics["packed"]["skipped"]
+
+
+def test_curate_corpus_param_change_invalidates(spark, corpus, tmp_path):
+    # different thresholds/budgets must recompute, not reuse old stages
+    root = str(tmp_path / "curated3")
+    curate_corpus(spark, corpus, root)
+    m = curate_corpus(spark, corpus, root, pack_budget=64)
+    assert [m[s]["skipped"] for s in STAGE_ORDER] == [False] * 7
