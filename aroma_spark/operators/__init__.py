@@ -14,3 +14,20 @@ from aroma_spark.operators.vocab import (  # noqa: F401
     vocab_add,
     vocab_sub,
 )
+from aroma_spark.operators.rolling import rolling_window_stats  # noqa: F401
+from aroma_spark.operators.tiers import (  # noqa: F401
+    latency_histogram,
+    ohlc_finalize,
+    reaggregate_ohlc,
+    rollup_ohlc,
+)
+from aroma_spark.operators.asof import asof_join, interval_join  # noqa: F401
+from aroma_spark.operators.sessions import (  # noqa: F401
+    session_stats,
+    with_session_ids,
+)
+from aroma_spark.plans.curate import (  # noqa: F401
+    curate_corpus,
+    curate_stages,
+    curate_stats,
+)
