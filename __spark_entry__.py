@@ -464,6 +464,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_text_dedup(d.unionByName(dup))
 
     q["doc_exact_dedup"] = doc_exact_dedup_q
+
+    # whitespace/case-normalized exact dedup: catches re-wrapped copies;
+    # a re-cased + re-spaced slice is injected so normalization provably
+    # collapses rows raw-byte dedup would keep
+    def doc_norm_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.dedup import normalized_text_dedup
+
+        d = load_table(spark, sf, "documents")
+        dup = d.where(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.upper(F.concat(F.lit("  "), F.coalesce(F.col("text"), F.lit("")))).alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+        ).select(*d.columns)
+        return normalized_text_dedup(d.unionByName(dup))
+
+    q["doc_norm_dedup"] = doc_norm_dedup_q
     q["doc_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=0.2
     )
@@ -987,6 +1003,18 @@ WITH u AS (
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(COALESCE(text,'')) AS text_hash,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM u GROUP BY md5(COALESCE(text,''))"""
+
+    o["doc_norm_dedup"] = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, upper('  ' || COALESCE(text, '')) AS text
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       md5(trim(regexp_replace(lower(COALESCE(text,'')), '\\s+', ' ', 'g'))) AS norm_hash,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM u GROUP BY md5(trim(regexp_replace(lower(COALESCE(text,'')), '\\s+', ' ', 'g')))"""
 
     # word 3-gram shingles, distinct per doc (1-based list indexing)
     shingle_sql = """

@@ -107,13 +107,50 @@ def dedup_survivors(
     id_col: str = "doc_id",
     left_col: str = "doc_a",
     right_col: str = "doc_b",
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Doc ids kept after near-dup removal: cluster minima survive,
-    all other cluster members drop, unpaired docs pass through.
+    """Doc ids kept after near-dup removal: one survivor per cluster,
+    unpaired docs pass through.
+
+    ``keep='min_id'``: the cluster minimum survives (deterministic,
+    engine-portable — the reference's first-in-sort-order rule,
+    src/aroma/datasets/breakfast.py:606-609).
+    ``keep='best'``: the cluster member with the highest
+    ``quality_col`` survives (ties -> lowest id) — the practical policy
+    when duplicates differ in extraction quality; requires
+    ``quality_col`` on ``docs``.
 
     One anti-join against the (small: only docs in any pair) loser set —
-    the corpus itself is never shuffled.
+    the corpus itself is never shuffled; the 'best' policy adds one
+    join of the component labels against the paired docs' quality
+    (paired-docs-sized, not corpus-sized).
     """
     comp = connected_components(pairs, left_col, right_col, id_col)
-    losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
+    if keep == "min_id":
+        losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
+    elif keep == "best":
+        if not quality_col:
+            raise ValueError("keep='best' requires quality_col")
+        scored = comp.join(docs.select(id_col, quality_col), id_col)
+        w_best = F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).over
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("component")
+        best = scored.withColumn("__best", w_best(w)).where(
+            (F.col(quality_col) == F.col("__best.q"))
+            & (F.col(id_col) == -F.col("__best.neg_id"))
+        )
+        losers = comp.join(
+            best.select(F.col(id_col).alias("__keep")),
+            comp[id_col] == F.col("__keep"),
+            "left_anti",
+        ).select(id_col)
+    else:
+        raise ValueError(f"unknown keep policy: {keep!r}")
     return docs.select(id_col).join(losers, id_col, "left_anti")

@@ -69,6 +69,55 @@ def ngram_overlap(
     )
 
 
+def ngram_overlap_bloom(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected_items: int = 1_000_000,
+    num_bits: int = 8 * 1024 * 1024,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`ngram_overlap` for held-out sets
+    too large to broadcast exactly: the held-out shingle set folds into
+    one ``bloom_filter_agg`` bitmap (num_bits/8 bytes regardless of set
+    size), the corpus stream probes it map-side with ``might_contain``.
+
+    Approximate by construction — false positives OVERCOUNT overlap
+    (never undercount), so a threshold filter built on it is
+    conservative: it can only drop extra docs, never leak a
+    contaminated one. Size ``num_bits`` for the target false-positive
+    rate (~0.5% at 8M bits / 1M items); the exact path remains the
+    oracle-checked default."""
+    c_sh = word_shingles(corpus, id_col, text_col, n)
+    bloom = (
+        word_shingles(heldout, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .agg(
+            F.expr(
+                f"bloom_filter_agg(h, {expected_items}L, {num_bits}L)"
+            ).alias("bf")
+        )
+    )
+    probed = c_sh.crossJoin(F.broadcast(bloom)).select(
+        id_col,
+        F.expr("might_contain(bf, xxhash64(shingle))").alias("__hit"),
+    )
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("__hit").cast("long")).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     heldout: DataFrame,

@@ -81,6 +81,29 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def normalized_text_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup under whitespace/case normalization: lowercase,
+    collapse runs of whitespace to one space, trim — the cheap canonical
+    form that catches re-wrapped / re-cased copies an md5-of-raw-bytes
+    dedup misses, still one hash shuffle and zero pairwise compares
+    (same fp_norm as functions.text.fingerprint)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    return (
+        df.groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(id_col, "norm_hash", "n_copies")
+    )
+
+
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the scan has fewer splits than cores.
 

@@ -123,8 +123,24 @@ def run(cores: int, input_path: str, runs_per_jvm: int = 5) -> list[dict]:
         repo=REPO, cores=cores, input_path=input_path, runs_per_jvm=runs_per_jvm
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # one retry: this sandbox occasionally segfaults a whole JVM/worker
+    # (observed once in _ctypes); the level's 5-run sample is expensive
+    # enough that a transient crash should not kill the measurement —
+    # and NEVER swallow the subprocess stderr (a failed level must show
+    # its reason, same discipline as the bench scaling-summary fix).
+    last_err = None
+    for attempt in range(2):
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-4000:]
+        print(
+            f"level cores={cores} attempt {attempt + 1} failed "
+            f"(exit {out.returncode}); stderr tail:\n{last_err}",
+            file=sys.stderr,
+            flush=True,
+        )
+    raise RuntimeError(f"level cores={cores} failed twice; last stderr above")
 
 
 PREWARM = r"""

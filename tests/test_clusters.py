@@ -75,3 +75,27 @@ def test_non_convergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=3)
+
+
+def test_dedup_survivors_keep_best(spark):
+    from aroma_spark.operators.clusters import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3}: best quality 0.9 tie between 2 and 3 -> lowest id 2
+    # cluster {4}: unpaired via pairs? 4 pairs with nothing -> survives
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            docs, pairs, keep="best", quality_col="quality"
+        ).collect()
+    )
+    assert got == [2, 4, 9]
+    # min_id policy keeps 1 instead
+    got_min = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert got_min == [1, 4, 9]

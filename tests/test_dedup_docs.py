@@ -114,3 +114,17 @@ def test_guard_cap_above_max_df_is_exact(spark, docs):
     b = ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=10_000).toPandas()
     key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b", "jaccard"]].values))
     assert key(a) == key(b)
+
+
+def test_normalized_text_dedup(spark):
+    from aroma_spark.operators.dedup import normalized_text_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "  hello world "), (2, "HELLO\tWORLD"),
+         (3, "different")],
+        "doc_id long, text string",
+    )
+    out = normalized_text_dedup(docs).toPandas()
+    assert len(out) == 2
+    collapsed = out[out.n_copies == 3]
+    assert len(collapsed) == 1 and collapsed.doc_id.iloc[0] == 0

@@ -100,3 +100,28 @@ def test_ngram_overlap_decontamination(spark):
     assert out.loc[1].n_hit == 0 and out.loc[1].overlap == 0.0
     bad = contaminated_docs(corpus, heldout, max_overlap=0.1, n=3).toPandas()
     assert list(bad.doc_id) == [0]
+
+
+def test_ngram_overlap_bloom_superset_of_exact(spark):
+    """Bloom probing may overcount (false positives) but never
+    undercount: n_hit_bloom >= n_hit_exact per doc, and with a
+    roomy filter the two coincide on this corpus."""
+    from aroma_spark.operators.decontam import ngram_overlap, ngram_overlap_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words about spark tiers and lattices here")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    exact = {r["doc_id"]: (r["n_grams"], r["n_hit"])
+             for r in ngram_overlap(corpus, heldout).collect()}
+    bloom = {r["doc_id"]: (r["n_grams"], r["n_hit"])
+             for r in ngram_overlap_bloom(corpus, heldout).collect()}
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d][0] == exact[d][0]
+        assert bloom[d][1] >= exact[d][1]
+    assert bloom == exact  # 8M-bit filter, 4 items: no false positives
