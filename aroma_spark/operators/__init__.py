@@ -26,8 +26,3 @@ from aroma_spark.operators.sessions import (  # noqa: F401
     session_stats,
     with_session_ids,
 )
-from aroma_spark.plans.curate import (  # noqa: F401
-    curate_corpus,
-    curate_stages,
-    curate_stats,
-)
