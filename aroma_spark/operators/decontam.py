@@ -69,45 +69,88 @@ def ngram_overlap(
     )
 
 
+def _bloom_positions(num_bits: int, k: int):
+    """k bit positions per shingle, all hashing JVM-side (salted
+    xxhash64 pmod num_bits) so build and probe can never disagree."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col("shingle"))),
+                F.lit(num_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
 def ngram_overlap_bloom(
     corpus: DataFrame,
     heldout: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    expected_items: int = 1_000_000,
-    num_bits: int = 8 * 1024 * 1024,
+    num_bits: int = 1 << 23,
+    k: int = 4,
 ) -> DataFrame:
     """Bloom-filter variant of :func:`ngram_overlap` for held-out sets
     too large to broadcast exactly: the held-out shingle set folds into
-    one ``bloom_filter_agg`` bitmap (num_bits/8 bytes regardless of set
-    size), the corpus stream probes it map-side with ``might_contain``.
+    a ``num_bits``-bit bitmap (1 MiB at the default 2^23, regardless of
+    set size), which rides into an Arrow ``mapInPandas`` closure; the
+    corpus stream probes it map-side.
+
+    Build cost is bounded by the BITMAP, not the held-out set: the
+    distinct set-bit positions (≤ min(k·|heldout|, num_bits) longs)
+    are the only thing collected. Bit positions are salted xxhash64
+    pmod num_bits computed JVM-side for both build and probe — no
+    Python hashing, engine-consistent by construction; the probe tests
+    bits vectorized in numpy per Arrow batch.
 
     Approximate by construction — false positives OVERCOUNT overlap
-    (never undercount), so a threshold filter built on it is
-    conservative: it can only drop extra docs, never leak a
-    contaminated one. Size ``num_bits`` for the target false-positive
-    rate (~0.5% at 8M bits / 1M items); the exact path remains the
-    oracle-checked default."""
-    c_sh = word_shingles(corpus, id_col, text_col, n)
-    bloom = (
+    (never undercount: every true shingle's bits are set), so a
+    threshold filter built on it is conservative: it can only drop
+    extra docs, never leak a contaminated one. Size ``num_bits``/``k``
+    for the target false-positive rate ((1-e^{-kn/m})^k); the exact
+    path remains the oracle-checked default."""
+    import numpy as np
+    import pandas as pd
+
+    pos_expr = _bloom_positions(num_bits, k)
+    set_bits = (
         word_shingles(heldout, id_col, text_col, n)
-        .select(F.xxhash64("shingle").alias("h"))
-        .agg(
-            F.expr(
-                f"bloom_filter_agg(h, {expected_items}L, {num_bits}L)"
-            ).alias("bf")
+        .select(F.explode(pos_expr).alias("p"))
+        .distinct()
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    bitmap = np.zeros(num_bits // 8, dtype=np.uint8)
+    if len(set_bits):
+        np.bitwise_or.at(
+            bitmap, set_bits >> 3, (1 << (set_bits & 7)).astype(np.uint8)
         )
+
+    c_sh = word_shingles(corpus, id_col, text_col, n).withColumn(
+        "__pos", pos_expr
     )
-    probed = c_sh.crossJoin(F.broadcast(bloom)).select(
-        id_col,
-        F.expr("might_contain(bf, xxhash64(shingle))").alias("__hit"),
-    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def probe(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            P = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)
+            hit = np.all(
+                bitmap[P >> 3] & (1 << (P & 7)).astype(np.uint8) != 0, axis=1
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__hit": hit.astype("int64")}
+            )
+
+    probed = c_sh.mapInPandas(probe, f"{id_col} {id_type}, __hit long")
     return (
         probed.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.col("__hit").cast("long")).cast("long").alias("n_hit"),
+            F.sum("__hit").cast("long").alias("n_hit"),
         )
         .select(
             id_col,
