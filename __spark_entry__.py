@@ -6,10 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 3: 64 registered queries — 63 with hash-compared DuckDB oracles
+Round 3: 65 registered queries — 64 with hash-compared DuckDB oracles
 (including ``curate_stats``, the end-to-end curation pipeline checked
 per-stage as one SQL program) and 1 rows-only (``ivf_topk_trained``,
-iterative k-means has no SQL twin). All 63 validated hash-exact at
+iterative k-means has no SQL twin). All 64 validated hash-exact at
 sf0.01; the doc/dedup family additionally at sf0.1
 (scripts/validate_oracle.py).
 
