@@ -30,16 +30,32 @@ SIGNAL_OUT_SCHEMA = (
 
 
 def streaming_rollup_1m(transcripts: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming 1m tier over an unbounded transcript stream.
+    """Streaming 1m tier — see :func:`streaming_rollup` for wider tiers."""
+    return streaming_rollup(transcripts, "1 minute", watermark)
+
+
+def streaming_rollup(
+    transcripts: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tier of any width ('1 minute'/'1 hour'/'1 day') over an
+    unbounded transcript stream — the streaming twin of the batch
+    lattice's tiers (window width replaces date_trunc; tumbling windows
+    aligned to the epoch coincide with date_trunc buckets for these
+    units).
 
     Counts/sums are the same algebraic partials as the batch tier (no
     inter-time here — that needs keyed state, see streaming_signals);
     watermark bounds state: buckets older than it are finalized and
-    evicted.
+    evicted. Wider tiers hold proportionally FEWER open buckets per
+    conversation, so state shrinks as the tier coarsens — at 10^12
+    turns the 1d streaming tier's state is one row per (conv, open
+    day).
     """
     t = transcripts.withWatermark("ts", watermark)
     return (
-        t.groupBy(F.col("conv_id"), F.window("ts", "1 minute").alias("w"))
+        t.groupBy(F.col("conv_id"), F.window("ts", window).alias("w"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
             F.sum(F.coalesce(F.length("text"), F.lit(0)))

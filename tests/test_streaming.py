@@ -174,3 +174,16 @@ def test_streaming_session_window_parity_across_restart(spark, tmp_path):
     )
     assert got.count() == 2  # both conv-a sessions closed and emitted
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_rollup_1h_matches_batch(spark, tiny_transcripts, stream_dir, tmp_path):
+    from aroma_spark.streaming.stream import streaming_rollup
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    _run_stream(streaming_rollup(stream, "1 hour"), tmp_path, "r1h")
+    got = spark.sql("select * from r1h")
+    want = rollup_tier(with_signals(dedup_exact(tiny_transcripts)), "hour").select(
+        "conv_id", "bucket_ts", "n_points", "sum_text_len", "sum_tool_calls",
+        "first_ts", "last_ts",
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
