@@ -42,6 +42,10 @@ def connected_components(
     Raises ``RuntimeError`` if propagation has not converged after
     ``max_iterations`` rounds (component diameter exceeds the budget) —
     stale labels must never be returned silently."""
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     edges = (
         pairs.select(
             F.col(left_col).alias("src"), F.col(right_col).alias("dst")
@@ -60,15 +64,19 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    changed = 0
+    converged = False
     for _ in range(max_iterations):
-        # neighbor's current label, folded with own label
+        # neighbor's current label, folded with own label; the changed
+        # flag is computed INSIDE the same propagation select (nbr <
+        # label iff this node's label shrinks), so the convergence probe
+        # below is a filter-limit over the just-materialized checkpoint
+        # — no extra join job per iteration (round-3 verdict item 6).
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"
             )
@@ -77,20 +85,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if labels.where(F.col("__changed")).limit(1).count() == 0:
+            converged = True
             break
-    if changed != 0:
+    labels = labels.drop("__changed")
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (component diameter exceeds the budget); raise "
@@ -133,18 +136,17 @@ def dedup_survivors(
         if not quality_col:
             raise ValueError("keep='best' requires quality_col")
         scored = comp.join(docs.select(id_col, quality_col), id_col)
-        w_best = F.max(
-            F.struct(
-                F.col(quality_col).alias("q"),
-                (-F.col(id_col)).alias("neg_id"),
-            )
-        ).over
         from pyspark.sql import Window
 
+        # lexicographic struct-min: (-quality, id) — max quality first,
+        # ties -> lowest id. Works for ANY orderable id type (string doc
+        # ids included); only the quality column must be numeric.
         w = Window.partitionBy("component")
-        best = scored.withColumn("__best", w_best(w)).where(
-            (F.col(quality_col) == F.col("__best.q"))
-            & (F.col(id_col) == -F.col("__best.neg_id"))
+        pick = F.struct(
+            (-F.col(quality_col)).alias("negq"), F.col(id_col).alias("i")
+        )
+        best = scored.withColumn("__best", F.min(pick).over(w)).where(
+            pick == F.col("__best")
         )
         losers = comp.join(
             best.select(F.col(id_col).alias("__keep")),

@@ -39,17 +39,26 @@ def with_session_ids(
     )
 
 
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
 def _interval_to_us(gap: str) -> int:
     qty, unit = gap.split()
-    mult = {
-        "second": 1_000_000,
-        "seconds": 1_000_000,
-        "minute": 60_000_000,
-        "minutes": 60_000_000,
-        "hour": 3_600_000_000,
-        "hours": 3_600_000_000,
-    }[unit]
-    return int(qty) * mult
+    if unit not in _INTERVAL_US:
+        raise ValueError(
+            f"unsupported interval unit {unit!r}; supported: "
+            f"{sorted(set(_INTERVAL_US))}"
+        )
+    return int(qty) * _INTERVAL_US[unit]
 
 
 def session_stats(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:

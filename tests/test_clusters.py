@@ -77,6 +77,32 @@ def test_non_convergence_raises(spark):
         connected_components(chain, max_iterations=3)
 
 
+def test_zero_iteration_budget_rejected(spark, pairs):
+    # max_iterations=0 must not silently return identity labels
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(pairs, max_iterations=0)
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(pairs, max_iterations=-2)
+
+
+def test_dedup_survivors_keep_best_string_ids(spark):
+    # string doc ids: the struct-min tie-break must order them correctly
+    docs = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("z", 0.1)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            docs, pairs, keep="best", quality_col="quality"
+        ).collect()
+    )
+    assert got == ["b", "z"]
+
+
 def test_dedup_survivors_keep_best(spark):
     from aroma_spark.operators.clusters import dedup_survivors
 

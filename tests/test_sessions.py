@@ -48,3 +48,26 @@ def test_exact_gap_does_not_split(spark):
     )
     out = with_session_ids(df, "30 minutes").toPandas()
     assert out.session_idx.tolist() == [0, 0]
+
+
+def test_day_gap_unit(spark):
+    df = _df(
+        spark,
+        [
+            ("c", 0, "user", "a", None, "2024-01-01 00:00:00"),
+            ("c", 1, "user", "b", None, "2024-01-02 00:00:01"),  # > 1 day
+            ("c", 2, "user", "c", None, "2024-01-02 12:00:00"),
+        ],
+    )
+    out = with_session_ids(df, "1 day").toPandas()
+    assert out.session_idx.tolist() == [0, 1, 1]
+
+
+def test_unknown_gap_unit_raises():
+    import pytest
+
+    from aroma_spark.operators.sessions import _interval_to_us
+
+    assert _interval_to_us("2 days") == 2 * 86_400_000_000
+    with pytest.raises(ValueError, match="unsupported interval unit"):
+        _interval_to_us("3 fortnights")
