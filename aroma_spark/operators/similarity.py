@@ -92,11 +92,67 @@ def _centroids(
     )
 
 
+def train_codebook(X, n_centroids: int, max_iters: int = 64):
+    """Spherical k-means over a bounded in-memory sample — pure
+    deterministic numpy, shared by the Spark path
+    (:func:`kmeans_codebook`) and the fixture writer the DuckDB oracle
+    reads, so both engines see byte-identical centroids.
+
+    Quality levers (round-3 verdict item 3 — the old first-k-in-hash-
+    order init with 8 fixed Lloyd rounds LOST to the placeholder
+    quantizer at probe4):
+
+    - **farthest-point init** (k-means++ without RNG): c0 = first
+      sample vector, each next centroid = the sample point with the
+      smallest max-cosine to the chosen set (ties -> lowest index via
+      argmin). Spreads the codebook over the sphere instead of seeding
+      k near-collinear vectors from the hash head.
+    - **Lloyd to convergence**: iterate until the assignment vector is
+      unchanged (or ``max_iters``), not a fixed small round count.
+    - **empty-list repair**: an empty cluster is re-seeded with the
+      point farthest from its current centroid among the largest
+      cluster's members, so every inverted list ends non-empty.
+
+    Returns the (k, dim) float64 unit-norm centroid matrix.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    # farthest-point init
+    C = np.empty((k, X.shape[1]))
+    C[0] = X[0]
+    best = X @ C[0]  # max cosine to chosen set, per sample point
+    for j in range(1, k):
+        nxt = int(np.argmin(best))
+        C[j] = X[nxt]
+        best = np.maximum(best, X @ C[j])
+    assign = np.full(len(X), -1)
+    for _ in range(max_iters):
+        new_assign = np.argmax(X @ C.T, axis=1)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        counts = np.bincount(assign, minlength=k)
+        for j in range(k):
+            if counts[j]:
+                C[j] = X[assign == j].sum(axis=0)
+            else:
+                # re-seed from the largest cluster's worst-fit member
+                big = int(np.argmax(counts))
+                members = np.flatnonzero(assign == big)
+                worst = members[int(np.argmin(X[members] @ C[big]))]
+                C[j] = X[worst]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def kmeans_codebook(
     vectors: DataFrame,
     n_centroids: int = 16,
     sample_size: int = 8192,
-    iters: int = 8,
+    max_iters: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -110,9 +166,10 @@ def kmeans_codebook(
     engine-portable pseudo-random subset bounded at ``sample_size``
     rows; Lloyd runs on the driver in numpy over that bounded sample
     (standard IVF practice — IVFADC, Jégou et al. 2011, trains on a
-    sample, not the corpus). Init = first k sample vectors in hash
-    order; empty clusters keep their previous centroid; all updates are
-    deterministic numpy, so the codebook is reproducible run-to-run."""
+    sample, not the corpus). Training = :func:`train_codebook`
+    (farthest-point init, converge-to-stable-assignment, empty-list
+    repair) — deterministic numpy, reproducible run-to-run and
+    byte-identical to the fixture the DuckDB oracle reads."""
     import numpy as np
 
     sample = (
@@ -121,22 +178,11 @@ def kmeans_codebook(
         .limit(sample_size)
         .toPandas()
     )
-    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k = min(n_centroids, len(X))
-    C = X[:k].copy()
-    for _ in range(iters):
-        # spherical k-means: assign to max-cosine centroid, re-center,
-        # re-normalize; ties break to the lowest centroid id (argmax)
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.sum(axis=0)
-        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    X = np.stack(sample[vec_col].to_numpy())
+    C = train_codebook(X, n_centroids, max_iters)
     spark = vectors.sparkSession
     return spark.createDataFrame(
-        [(int(j), [float(v) for v in C[j]]) for j in range(k)],
+        [(int(j), [float(v) for v in C[j]]) for j in range(len(C))],
         "centroid_id int, cent_vec array<double>",
     )
 

@@ -79,6 +79,9 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # sf-dependent oracle fixtures (the trained-IVF codebook) must be
+    # built from the SAME sf dir the views read
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     only = set(sys.argv[2:])
     spark = get_spark("oracle-validate")
     spark.sparkContext.setLogLevel("ERROR")

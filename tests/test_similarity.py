@@ -206,3 +206,30 @@ def test_kmeans_codebook_beats_placeholder_recall(spark):
     assert r_trained is not None and r_placeholder is not None
     assert r_trained >= r_placeholder
     assert r_trained > 0.8
+
+
+def test_codebook_fixture_matches_spark_path(spark):
+    """The oracle's parquet codebook fixture (duckdb sample ->
+    train_codebook) must be byte-identical to the live Spark path
+    (md5-hash-ordered toPandas sample -> train_codebook): same sample
+    rule, same numpy trainer, so ivf_topk_trained's oracle reads the
+    exact centroids the engine would train."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from aroma_spark.operators.similarity import kmeans_codebook
+    from aroma_spark.sources.transcripts import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = entrymod._ensure_codebook_fixture(sf)
+    fixture = spark.read.parquet(path).toPandas().sort_values("centroid_id")
+    live = (
+        kmeans_codebook(load_table(spark, sf, "embeddings"), n_centroids=16)
+        .toPandas()
+        .sort_values("centroid_id")
+    )
+    assert fixture.centroid_id.tolist() == live.centroid_id.tolist()
+    for a, b in zip(fixture.cent_vec, live.cent_vec):
+        assert np.allclose(a, b, atol=0, rtol=0)

@@ -187,3 +187,37 @@ def test_streaming_rollup_1h_matches_batch(spark, tiny_transcripts, stream_dir, 
         "first_ts", "last_ts",
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_rollup_1d_foreachbatch_matches_batch(
+    spark, tiny_transcripts, stream_dir, tmp_path
+):
+    """foreachBatch micro-batch sink at the widest tier ('1 day'): each
+    micro-batch overwrites the sink in complete mode; after availableNow
+    drains, the sink equals the batch day tier exactly."""
+    from aroma_spark.streaming.stream import streaming_rollup
+
+    out_dir = str(tmp_path / "out_1d")
+    n_batches = {"n": 0}
+
+    def sink(batch_df, _batch_id):
+        n_batches["n"] += 1
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    q = (
+        streaming_rollup(stream, "1 day")
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_1d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches["n"] >= 1
+    got = spark.read.parquet(out_dir)
+    want = rollup_tier(with_signals(dedup_exact(tiny_transcripts)), "day").select(
+        "conv_id", "bucket_ts", "n_points", "sum_text_len", "sum_tool_calls",
+        "first_ts", "last_ts",
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
