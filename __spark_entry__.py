@@ -6,14 +6,15 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 4: 68 registered queries, ALL 68 with hash-compared DuckDB
+Round 4: 71 registered queries, ALL 71 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
-checked per-stage as one SQL program) and ``ivf_topk_trained`` (the
+checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
 materialized to a parquet fixture both engines read and the probe
-oracle-checks exactly like ``ivf_topk``). All validated hash-exact at
-sf0.01; the doc/dedup family additionally at sf0.1
-(scripts/validate_oracle.py). The registry is ordered so the 19 queries
+oracle-checks exactly like ``ivf_topk``), and the downsample family
+(M4, reset-aware counter rate, time-weighted average). All validated
+hash-exact at sf0.01; the doc/dedup family additionally at sf0.1
+(scripts/validate_oracle.py). The registry is ordered so the 22 queries
 without a prior driver-green row land inside the driver's 50-entry
 correctness window (see the rotation note at the end of ``queries()``).
 
@@ -33,6 +34,7 @@ from collections.abc import Callable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 from aroma_spark.sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
@@ -389,6 +391,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rolling_window_stats(_signals(spark, sf), "1 hour")
 
     q["rolling_1h"] = rolling_1h
+
+    # --- M4 chart downsampling (Jugel et al., VLDB 2014): per (conv,
+    # hour) keep only first/last/min/max points — pixel-perfect line
+    # charts from a pure aggregation (parallel, unlike sequential LTTB)
+    def m4_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.downsample import m4_downsample
+
+        return m4_downsample(_signals(spark, sf), "hour")
+
+    q["m4_downsample_1h"] = m4_1h
+
+    # --- reset-aware counter increase (PromQL semantics) over a
+    # deterministic cumulative counter derived from the transcripts
+    # (running text_len mod 10000 — the mod forces resets so the reset
+    # branch is actually exercised by the oracle)
+    def counter_rate_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.downsample import counter_increase
+
+        w = SqlWindow.partitionBy("conv_id").orderBy("turn_idx")
+        ctr = (F.sum("text_len").over(w) % 10000).cast("long")
+        return counter_increase(
+            _signals(spark, sf).withColumn("counter", ctr), "hour"
+        )
+
+    q["counter_rate_1h"] = counter_rate_1h
+
+    # --- LOCF time-weighted average text length per (conv, hour):
+    # integer-exact weighted_sum/duration partials + one rounded division.
+    # value=text_len (bounded) keeps value*duration_us inside int64 —
+    # see the operator docstring's overflow bound
+    def twa_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.downsample import time_weighted_avg
+
+        return time_weighted_avg(_signals(spark, sf), "hour", "text_len")
+
+    q["twa_1h"] = twa_1h
 
     # --- sequence-level dedup fingerprint (reference's whole-sequence
     # equality, breakfast.py:597-618, as a per-conversation sha256 over
@@ -860,10 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round — need driver rows
         "ivf_topk_trained", "doc_decontam_bloom",
         "doc_dedup_survivors_best", "session_interval_join_auto",
+        "m4_downsample_1h", "counter_rate_1h", "twa_1h",
         # core veterans kept in-window (flagship lattice + heavy families)
         "signals", "rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1h",
-        "codec_roundtrip", "dedup_exact", "vocab_role", "encode_roles",
-        "conv_count_by_role", "latency_percentiles_1d", "ohlc_1h",
+        "codec_roundtrip", "dedup_exact",
+        "latency_percentiles_1d", "ohlc_1h",
         "ohlc_1d_from_1h", "latency_hist_1h", "rolling_1h",
         "conv_content_hash", "retention_1d", "session_stats",
         "media_features", "doc_exact_dedup", "doc_norm_dedup",
@@ -940,6 +979,61 @@ SELECT conv_id, turn_idx, ts,
 FROM sig
 WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+    # M4: the four row_number orderings mirror the engine's lexicographic
+    # struct min/max tie-breaks exactly (ts,turn / v,ts,turn)
+    o["m4_downsample_1h"] = f"""{SIG_SQL},
+r AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, ts,
+        CAST(turn_idx AS BIGINT) AS turn_idx,
+        CAST(inter_time_us AS BIGINT) AS value,
+        row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          ORDER BY ts, turn_idx) AS rf,
+        row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          ORDER BY ts DESC, turn_idx DESC) AS rl,
+        row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          ORDER BY inter_time_us, ts, turn_idx) AS rmin,
+        row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          ORDER BY inter_time_us DESC, ts DESC, turn_idx DESC) AS rmax
+      FROM sig)
+SELECT DISTINCT conv_id, bucket_ts, ts, turn_idx, value
+FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1"""
+
+    # counter increase: same derived counter (running text_len mod 1e4),
+    # same PromQL reset rule (decrease -> sample's own value)
+    o["counter_rate_1h"] = f"""{SIG_SQL},
+c AS (SELECT conv_id, turn_idx, ts,
+        CAST(sum(text_len) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             % 10000 AS BIGINT) AS ctr
+      FROM sig),
+d AS (SELECT conv_id, ts, ctr,
+        lag(ctr) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM c)
+SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN ctr < prev THEN ctr
+                     ELSE ctr - prev END) AS BIGINT) AS increase,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ctr < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM d GROUP BY 1, 2"""
+
+    # time-weighted avg: segment-interior LOCF weights, integer partials,
+    # one rounded division (NULL when the bucket has no interior segment)
+    o["twa_1h"] = f"""{SIG_SQL},
+x AS (SELECT conv_id, date_trunc('hour', ts) AS b, text_len AS v,
+        epoch_us(ts) AS tsu,
+        lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts,
+        lead(date_trunc('hour', ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nb
+      FROM sig),
+g AS (SELECT conv_id, b AS bucket_ts,
+        CAST(sum(CASE WHEN nb = b THEN v * (nts - tsu) END) AS BIGINT) AS weighted_sum,
+        CAST(sum(CASE WHEN nb = b THEN nts - tsu END) AS BIGINT) AS duration_us
+      FROM x GROUP BY 1, 2)
+SELECT conv_id, bucket_ts, weighted_sum, duration_us,
+       CASE WHEN duration_us > 0
+            THEN round(CAST(weighted_sum AS DOUBLE) / duration_us, 6)
+       END AS twa
+FROM g"""
 
     o["conv_content_hash"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
 p AS (SELECT conv_id, turn_idx,

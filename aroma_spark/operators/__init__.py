@@ -15,6 +15,11 @@ from aroma_spark.operators.vocab import (  # noqa: F401
     vocab_sub,
 )
 from aroma_spark.operators.rolling import rolling_window_stats  # noqa: F401
+from aroma_spark.operators.downsample import (  # noqa: F401
+    counter_increase,
+    m4_downsample,
+    time_weighted_avg,
+)
 from aroma_spark.operators.tiers import (  # noqa: F401
     latency_histogram,
     ohlc_finalize,

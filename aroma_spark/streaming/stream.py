@@ -138,6 +138,101 @@ def streaming_session_stats(
     )
 
 
+LOCF_STATE_SCHEMA = "last_bucket_us long, last_value double"
+LOCF_OUT_SCHEMA = (
+    "conv_id string, bucket_ts timestamp, value double, "
+    "locf_value double, is_filled boolean"
+)
+
+
+def streaming_locf(
+    samples: DataFrame,
+    interval: str = "1 minute",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming gap-fill (LOCF) — the streaming twin of
+    :func:`aroma_spark.operators.gapfill.gapfill_grid`'s ``locf_value``.
+
+    Input: a stream of (conv_id, ts, value) samples. Output: one row per
+    regular grid bucket per conversation, from the conversation's first
+    sample bucket through its latest — synthesized buckets carry the
+    last observed value forward (``is_filled`` true, ``value`` NULL).
+    Only LOCF is produced: linear interpolation needs the NEXT anchor,
+    which an unbounded stream hasn't seen yet; lerp stays batch-only by
+    design.
+
+    State per conversation is two scalars (last emitted bucket, last
+    value) — bounded, like :func:`streaming_signals`. Bucket value =
+    the sample with the greatest ts in the bucket (ties: greatest
+    value, deterministic). Samples arriving for a bucket at or before
+    the last emitted bucket are dropped (documented divergence from
+    batch, same reconciliation story as streaming_signals; the
+    checkpointed batch lattice is the exactness path).
+    """
+    import pandas as pd
+
+    from aroma_spark.operators.sessions import _interval_to_us
+
+    step_us = _interval_to_us(interval)
+
+    def fn(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        last_bucket_us, last_value = (
+            state.get if state.exists else (None, None)
+        )
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            b = (us // step_us) * step_us
+            d = (
+                pd.DataFrame(
+                    {"b": b, "us": us, "v": pdf["value"].astype("float64")}
+                )
+                .sort_values(["b", "us", "v"])
+                .groupby("b", as_index=False)
+                .last()  # greatest ts (ties: greatest value) per bucket
+            )
+            if last_bucket_us is not None:
+                d = d[d["b"] > last_bucket_us]
+            if not len(d):
+                continue
+            start = (
+                int(d["b"].iloc[0])
+                if last_bucket_us is None
+                else last_bucket_us + step_us
+            )
+            grid = pd.RangeIndex(start, int(d["b"].iloc[-1]) + step_us, step_us)
+            dense = d.set_index("b").reindex(grid)
+            filled = dense["us"].isna()
+            locf = dense["v"].copy()
+            if last_value is not None:
+                locf.iloc[0] = locf.iloc[0] if not filled.iloc[0] else last_value
+            locf = locf.ffill()
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "bucket_ts": pd.to_datetime(grid, unit="us"),
+                    "value": dense["v"].to_numpy(),
+                    "locf_value": locf.to_numpy(),
+                    "is_filled": filled.to_numpy(),
+                }
+            )
+            last_bucket_us = int(grid[-1])
+            last_value = float(locf.iloc[-1])
+        if last_bucket_us is not None:
+            state.update((last_bucket_us, last_value))
+
+    t = samples.withWatermark("ts", watermark)
+    return t.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=LOCF_OUT_SCHEMA,
+        stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_signals(transcripts: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming inter-times: state = last (ts, turn_idx) per
     conversation; each micro-batch diffs its (sorted) turns against it.

@@ -83,6 +83,8 @@ def main() -> None:
         "doc_dup_clusters",
         "ohlc_1h",
         "rolling_1h",
+        "m4_downsample_1h",
+        "twa_1h",
     ):
         if name in qs:
             sec, _ = _timed_median(lambda q=qs[name]: q(spark, sf_dir).count())

@@ -221,3 +221,96 @@ def test_streaming_rollup_1d_foreachbatch_matches_batch(
         "first_ts", "last_ts",
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_locf_matches_batch_gapfill(spark, tiny_transcripts, stream_dir, tmp_path):
+    """Streaming LOCF over (conv_id, ts, value=text_len) equals the batch
+    gapfill_grid locf on the per-minute last-sample tier: same grid span,
+    same carried values, same is_filled flags."""
+    from aroma_spark.operators.gapfill import gapfill_grid
+    from aroma_spark.streaming.stream import streaming_locf
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(stream_dir)
+        .select(
+            "conv_id",
+            "ts",
+            F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("value"),
+        )
+    )
+    q = (
+        streaming_locf(stream, "1 minute")
+        .writeStream.format("memory")
+        .queryName("locf")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_locf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id, bucket_ts, value, locf_value, is_filled from locf")
+
+    # batch twin: last-sample-per-minute tier (greatest ts, ties greatest
+    # value — the same rule streaming_locf applies inside a bucket)
+    src = dedup_exact(tiny_transcripts).select(
+        "conv_id",
+        "ts",
+        F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("value"),
+    )
+    tier = (
+        src.groupBy("conv_id", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(F.max(F.struct(F.unix_micros("ts").alias("us"), F.col("value").alias("v"))).alias("p"))
+        .select("conv_id", "bucket_ts", F.col("p.v").alias("value"))
+    )
+    want = gapfill_grid(tier, "value", "1 minute", "minute").select(
+        "conv_id", "bucket_ts", "value", F.col("locf_value"), "is_filled"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_locf_state_survives_restart(spark, tmp_path):
+    """Second availableNow run over the same checkpoint resumes LOCF
+    state: the gap minutes between run 1's last sample and run 2's new
+    sample are synthesized with run 1's carried value."""
+    from aroma_spark.streaming.stream import streaming_locf
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = "conv_id string, ts timestamp, value double"
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10", 5.0)],
+        "conv_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(in_dir)
+
+    def run():
+        # file sink: the fault-tolerant path that supports checkpoint
+        # recovery (memory sink does not).
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming_locf(stream, "1 minute")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:03:40", 9.0)],
+        "conv_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(in_dir)
+    run()
+
+    rows = {
+        r.bucket_ts.strftime("%H:%M"): (r.locf_value, r.is_filled)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # minutes 00:01 and 00:02 filled with 5.0 from the previous run's
+    # state; 00:03 is the real new sample
+    assert rows["00:01"] == (5.0, True)
+    assert rows["00:02"] == (5.0, True)
+    assert rows["00:03"] == (9.0, False)
