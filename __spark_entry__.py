@@ -6,15 +6,19 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 4: 71 registered queries, ALL 71 with hash-compared DuckDB
+Round 4: 77 registered queries, ALL 77 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
 materialized to a parquet fixture both engines read and the probe
-oracle-checks exactly like ``ivf_topk``), and the downsample family
-(M4, reset-aware counter rate, time-weighted average). All validated
+oracle-checks exactly like ``ivf_topk``), the downsample family
+(M4, reset-aware counter rate, time-weighted average), incremental
+tier maintenance (``tier_refresh_1h`` — the oracle IS the full rebuild,
+so incremental == rebuild is hash-checked — and the retention splice
+``tiered_read``), and the anomaly family (``zscore_1h``,
+``seasonal_profile``). All validated
 hash-exact at sf0.01; the doc/dedup family additionally at sf0.1
-(scripts/validate_oracle.py). The registry is ordered so the 22 queries
+(scripts/validate_oracle.py). The registry is ordered so the 28 queries
 without a prior driver-green row land inside the driver's 50-entry
 correctness window (see the rotation note at the end of ``queries()``).
 
@@ -427,6 +431,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return time_weighted_avg(_signals(spark, sf), "hour", "text_len")
 
     q["twa_1h"] = twa_1h
+
+    # --- incremental tier maintenance (late-data invalidation): the 1h
+    # tier is built WITHOUT a deterministic 12.5% "late" slice
+    # (md5('late:'||conv||':'||turn) first hex in 0..1), then the late
+    # slice is spliced in via incremental_tier_refresh — affected
+    # conversations recomputed from raw (inter-times re-windowed),
+    # untouched conversations' tier rows passed through. The oracle is
+    # the FULL-recompute 1h rollup: incremental == rebuild, exactly.
+    def tier_refresh_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import incremental_tier_refresh
+        from aroma_spark.operators.tiers import rollup_tier
+
+        t_all = transcripts_from_events(spark, sf)
+        late_flag = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("late:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1")
+        base = rollup_tier(with_signals(t_all.where(~late_flag)), "hour")
+        return incremental_tier_refresh(
+            t_all, base, t_all.where(late_flag), "hour"
+        )
+
+    q["tier_refresh_1h"] = tier_refresh_1h
+
+    # --- retention-policy read: 1h resolution inside the trailing 7-day
+    # horizon (anchored at the 1h tier's max bucket, truncated to day),
+    # 1d beyond it, tagged with a tier column — the fine/coarse splice
+    # every retention engine serves; cutoff derived declaratively (no
+    # collect), both predicates partition prunes on the warehouse
+    def tiered_read_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import tiered_read
+
+        return tiered_read(
+            spark, rollup_lattice(_signals(spark, sf)), "1h", "1d", "7 days"
+        )
+
+    q["tiered_read"] = tiered_read_q
+
+    # --- trailing-window z-score anomalies: integer window partials
+    # (n, sum, sumsq) shuffled, z = (n*x - s)/sqrt(n*ssq - s^2) as one
+    # rounded float at the end; |z| > 2 flags the anomaly
+    def zscore_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import rolling_zscore
+
+        return rolling_zscore(_signals(spark, sf), "1 hour", "text_len", 2.0)
+
+    q["zscore_1h"] = zscore_1h
+
+    # --- weekly-phase seasonality profile per role (dow x hour-of-day
+    # continuous aggregate; tiny key space, map-side combined)
+    def seasonal_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import seasonal_profile
+
+        return seasonal_profile(_signals(spark, sf))
+
+    q["seasonal_profile"] = seasonal_q
+
+    # --- EWMA smoothing: sequential recurrence confined to Arrow
+    # conversation groups; the DuckDB twin is a recursive CTE spelling
+    # the IDENTICAL float expression, so trajectories match bit-for-bit
+    def ewma_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.smoothing import ewma_smooth
+
+        return ewma_smooth(_signals(spark, sf), 0.3, "text_len")
+
+    q["ewma_text_len"] = ewma_q
+
+    # --- heavy hitters: top-5 conversations by point count per hour
+    # (WindowGroupLimit truncates partitions map-side before the shuffle)
+    def top_convs_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import top_convs_per_bucket
+
+        return top_convs_per_bucket(
+            rollup_lattice(_signals(spark, sf))["1h"], 5
+        )
+
+    q["top_convs_1h"] = top_convs_1h
 
     # --- sequence-level dedup fingerprint (reference's whole-sequence
     # equality, breakfast.py:597-618, as a per-conversation sha256 over
@@ -899,16 +988,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained", "doc_decontam_bloom",
         "doc_dedup_survivors_best", "session_interval_join_auto",
         "m4_downsample_1h", "counter_rate_1h", "twa_1h",
-        # core veterans kept in-window (flagship lattice + heavy families)
+        "tier_refresh_1h", "tiered_read", "zscore_1h", "seasonal_profile",
+        "ewma_text_len", "top_convs_1h",
+        # core veterans kept in-window (flagship lattice + heavy
+        # families; doc_quality / emb_lsh_pairs / ivf_assign / ivf_topk /
+        # doc_ngram_jaccard / doc_simhash_pairs rotate to the tail this
+        # round — all r3 driver-green)
         "signals", "rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1h",
         "codec_roundtrip", "dedup_exact",
         "latency_percentiles_1d", "ohlc_1h",
         "ohlc_1d_from_1h", "latency_hist_1h", "rolling_1h",
         "conv_content_hash", "retention_1d", "session_stats",
         "media_features", "doc_exact_dedup", "doc_norm_dedup",
-        "doc_ngram_jaccard", "doc_minhash_bands", "doc_minhash_pairs",
-        "doc_simhash", "doc_simhash_pairs", "doc_quality", "ann_topk",
-        "emb_lsh_pairs", "ivf_assign", "ivf_topk",
+        "doc_minhash_bands", "doc_minhash_pairs",
+        "doc_simhash", "ann_topk",
     ]
     missing = [n for n in first_window if n not in q]
     if missing:
@@ -1034,6 +1127,100 @@ SELECT conv_id, bucket_ts, weighted_sum, duration_us,
             THEN round(CAST(weighted_sum AS DOUBLE) / duration_us, 6)
        END AS twa
 FROM g"""
+
+    # incremental refresh == full rebuild: the oracle IS the full 1h
+    # recompute (the whole point of the invalidation contract)
+    o["tier_refresh_1h"] = _rollup_sql("hour")
+
+    # retention splice: 1h inside the 7-day horizon (anchored at the 1h
+    # tier's max bucket, day-truncated), 1d beyond
+    o["tiered_read"] = f"""{SIG_SQL},
+h AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+        CAST(count(*) AS BIGINT) AS n_points,
+        CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us,
+        CAST(min(inter_time_us) AS BIGINT) AS min_latency_us,
+        CAST(max(inter_time_us) AS BIGINT) AS max_latency_us,
+        CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+        CAST(sum(tool_call) AS BIGINT) AS sum_tool_calls,
+        min(ts) AS first_ts, max(ts) AS last_ts
+      FROM sig GROUP BY 1, 2),
+d AS (SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+        CAST(sum(n_points) AS BIGINT) AS n_points,
+        CAST(sum(sum_latency_us) AS BIGINT) AS sum_latency_us,
+        CAST(min(min_latency_us) AS BIGINT) AS min_latency_us,
+        CAST(max(max_latency_us) AS BIGINT) AS max_latency_us,
+        CAST(sum(sum_text_len) AS BIGINT) AS sum_text_len,
+        CAST(sum(sum_tool_calls) AS BIGINT) AS sum_tool_calls,
+        min(first_ts) AS first_ts, max(last_ts) AS last_ts
+      FROM h GROUP BY 1, 2),
+c AS (SELECT date_trunc('day', max(bucket_ts) - INTERVAL 7 DAY) AS cutoff
+      FROM h)
+SELECT h.*, '1h' AS tier FROM h, c WHERE h.bucket_ts >= c.cutoff
+UNION ALL
+SELECT d.*, '1d' AS tier FROM d, c WHERE d.bucket_ts < c.cutoff"""
+
+    # z from integer window partials; same trailing range frame as
+    # rolling_1h; one rounded float at the end
+    o["zscore_1h"] = f"""{SIG_SQL},
+x AS (SELECT conv_id, turn_idx, ts, CAST(text_len AS BIGINT) AS value,
+        CAST(count(*) OVER w AS BIGINT) AS w_n,
+        CAST(sum(text_len) OVER w AS BIGINT) AS w_sum,
+        CAST(sum(text_len * text_len) OVER w AS BIGINT) AS w_sumsq
+      FROM sig
+      WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)),
+zc AS (SELECT *, CASE WHEN w_n * w_sumsq - w_sum * w_sum > 0
+          THEN round(CAST(w_n * value - w_sum AS DOUBLE)
+                     / sqrt(CAST(w_n * w_sumsq - w_sum * w_sum AS DOUBLE)), 6)
+        END AS z
+       FROM x)
+SELECT conv_id, turn_idx, ts, value, w_n, w_sum, w_sumsq, z,
+       COALESCE(abs(z) > 2.0, false) AS is_anomaly
+FROM zc"""
+
+    # weekly-phase profile; DuckDB dayofweek is Sunday=0, Spark's is
+    # Sunday=1 — the +1 aligns them
+    o["seasonal_profile"] = f"""{SIG_SQL}
+SELECT role,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us,
+       CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+       CAST(sum(tool_call) AS BIGINT) AS sum_tool_calls,
+       CAST(sum(inter_time_us) // count(*) AS BIGINT)
+         AS mean_latency_us
+FROM sig GROUP BY 1, 2, 3"""
+
+    # EWMA: recursive CTE walking turn_idx (contiguous 0-based per
+    # conversation by construction) with the literal float expression
+    # (1 - 0.3)*y + 0.3*x — the same correctly-rounded IEEE sequence the
+    # engine's Arrow loop executes, so no rounding fudge is needed
+    o["ewma_text_len"] = (
+        SIG_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """,
+x AS (SELECT conv_id, turn_idx, ts, CAST(text_len AS DOUBLE) AS value
+      FROM sig),
+e AS (
+  SELECT conv_id, turn_idx, ts, value, value AS ewma
+  FROM x WHERE turn_idx = 0
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.ts, s.value,
+         (1 - 0.3) * e.ewma + 0.3 * s.value AS ewma
+  FROM x s JOIN e ON s.conv_id = e.conv_id AND s.turn_idx = e.turn_idx + 1
+)
+SELECT conv_id, turn_idx, ts, value, ewma FROM e"""
+    )
+
+    o["top_convs_1h"] = f"""{SIG_SQL},
+h AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+        CAST(count(*) AS BIGINT) AS n_points
+      FROM sig GROUP BY 1, 2),
+r AS (SELECT conv_id, bucket_ts, n_points,
+        CAST(row_number() OVER (PARTITION BY bucket_ts
+             ORDER BY n_points DESC, conv_id) AS BIGINT) AS rank
+      FROM h)
+SELECT conv_id, bucket_ts, n_points, rank FROM r WHERE rank <= 5"""
 
     o["conv_content_hash"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
 p AS (SELECT conv_id, turn_idx,

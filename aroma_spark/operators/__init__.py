@@ -20,6 +20,17 @@ from aroma_spark.operators.downsample import (  # noqa: F401
     m4_downsample,
     time_weighted_avg,
 )
+from aroma_spark.operators.anomaly import (  # noqa: F401
+    rolling_zscore,
+    seasonal_profile,
+)
+from aroma_spark.operators.maintenance import (  # noqa: F401
+    compact_parquet_dir,
+    incremental_tier_refresh,
+    merge_tier_partials,
+    tiered_read,
+)
+from aroma_spark.operators.smoothing import ewma_smooth  # noqa: F401
 from aroma_spark.operators.tiers import (  # noqa: F401
     latency_histogram,
     ohlc_finalize,

@@ -1,0 +1,128 @@
+"""Anomaly scoring and seasonality profiles over the signal frame.
+
+The alerting layer of a time-series store, kept bit-deterministic across
+engines by the same discipline as the rest of the lattice: every shuffled
+quantity is an INTEGER partial (count / sum / sum-of-squares), floats
+appear only in the final projection as one rounded expression.
+
+- :func:`rolling_zscore` — per-turn z-score of a signal against its own
+  conversation's trailing time window. The z is computed from integer
+  window partials via the algebraic identity
+
+      z = (n*x - s) / sqrt(n*ssq - s^2)
+
+  (derived from z = (x - s/n) / (sqrt(n*ssq - s^2)/n) — numerator and
+  the radicand are exact int64 arithmetic; sqrt and the single division
+  are correctly-rounded IEEE-754, identical on every engine, and the
+  result is rounded once). Overflow bound: n*ssq < 2^63 requires
+  n * max(value)^2 * n < 2^63 per window — holds for bounded signals
+  like text_len (<= 2^20) with windows up to ~10^6 rows; for raw
+  microsecond latencies pre-scale to milliseconds first.
+- :func:`seasonal_profile` — hour-of-day x day-of-week continuous
+  aggregate per role: the seasonality fingerprint (traffic and latency
+  by weekly phase) used both for dashboards and as the baseline for
+  seasonal anomaly rules. Pure single-shuffle aggregation on a
+  low-cardinality key (role x 7 x 24), map-side combined to almost
+  nothing.
+
+Physical shape: rolling_zscore rides the canonical conv_id exchange
+(same range-frame machinery as operators/rolling.py — no explode, no
+self-join); a hot conversation serializes per the documented skew note
+there. seasonal_profile's key space is tiny, so the reduce side is a
+few hundred rows regardless of corpus size.
+
+No reference analog (the reference has no windowed statistics); the
+natural alerting extension of the north_star's telemetry tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    signals: DataFrame,
+    window: str = "1 hour",
+    value_col: str = "text_len",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per turn: trailing-window integer partials + z-score + anomaly flag.
+
+    Window = all turns of the same conversation within the trailing
+    ``window`` (time range, inclusive of the current turn; ties at equal
+    ts are frame peers — same frame semantics as
+    :func:`~aroma_spark.operators.rolling.rolling_window_stats`).
+    ``z`` is NULL when the window variance is 0 (constant window, or the
+    conversation's first turn); ``is_anomaly`` is then false.
+    """
+    from aroma_spark.operators.sessions import _interval_to_us
+
+    win_us = _interval_to_us(window)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-win_us, 0)
+    )
+    v = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.sum(v).over(w).cast("long")
+    ssq = F.sum(v * v).over(w).cast("long")
+    radicand = n * ssq - s * s
+    z = F.when(
+        radicand > 0,
+        F.round((n * v - s).cast("double") / F.sqrt(radicand.cast("double")), 6),
+    )
+    return signals.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        v.alias("value"),
+        n.alias("w_n"),
+        s.alias("w_sum"),
+        ssq.alias("w_sumsq"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def seasonal_profile(signals: DataFrame) -> DataFrame:
+    """Weekly-phase continuous aggregate: per (role, day-of-week,
+    hour-of-day) integer partials + one rounded mean latency.
+
+    ``dow`` is 1=Sunday..7=Saturday (Spark's ``dayofweek``; the DuckDB
+    twin uses ``dayofweek(ts)+1`` which is Sunday-based 0..6). Partials
+    (n_turns, sums) re-aggregate exactly; ``mean_latency_us`` is derived
+    last, the usual lattice discipline — as an INTEGER quotient
+    (floor µs): a float division at ~1e10 µs differs across engines in
+    the last ulp and round(x, 6) cannot absorb it, while the int64
+    quotient is bit-identical everywhere and sub-µs precision of a mean
+    latency is noise.
+    """
+    return (
+        signals.groupBy(
+            "role",
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+            F.sum("tool_call").cast("long").alias("sum_tool_calls"),
+        )
+        .select(
+            "role",
+            "dow",
+            "hod",
+            "n_turns",
+            "sum_latency_us",
+            "sum_text_len",
+            "sum_tool_calls",
+            F.expr("sum_latency_us div n_turns")
+            .cast("long")
+            .alias("mean_latency_us"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Incremental tier maintenance: late-data refresh + retention-tiered reads.
+
+A retention engine at 10^12 turns cannot rebuild a tier because one
+micro-batch of late events arrived (out-of-order delivery is the norm
+for agent transcripts: a tool result lands minutes after its turn).
+TimescaleDB/Materialize call this continuous-aggregate *invalidation*:
+track which keys a late batch touches, recompute exactly those, splice
+the rest through untouched. Two grains of that idea live here:
+
+- :func:`merge_tier_partials` — pure partial-merge for measures that are
+  row-local (counts, sums, min/max of per-row values). The late batch is
+  rolled up alone and folded into the existing tier with the lattice's
+  own algebra; NO recompute of old data at all. Correct only when no
+  measure depends on neighboring rows.
+- :func:`incremental_tier_refresh` — the general path. The engine's
+  headline measure (``inter_time_us``) is window-derived: a late turn
+  changes the NEXT turn's inter-time, so partial-merge would be silently
+  wrong. Refresh therefore recomputes the *affected conversations* from
+  the authoritative raw table and anti-joins them out of the old tier:
+  the recompute cost is proportional to the late batch's conversation
+  set, never the corpus.
+
+100 TB shape: the late batch's distinct conv_id set is small (it is one
+micro-batch), so both the semi-join (select affected raw rows) and the
+anti-join (drop stale tier rows) broadcast it — the raw table and the
+tier are each scanned once map-side, no shuffle of either beyond the
+affected slice's own re-windowing. On the day-partitioned warehouse the
+semi-join additionally prunes to the late conversations' day range via
+min/max (bucket pruning would need a conv-bucketed layout; the broadcast
+filter is layout-agnostic).
+
+No reference analog (the reference rebuilds datasets whole, e.g.
+src/aroma/datasets/breakfast.py:459-470); mandated by BASELINE.json
+north_rule ("resumable from checkpoint", retention tiers). The
+incremental == full-recompute equality is oracle-checked end-to-end by
+the ``tier_refresh_1h`` driver query (its DuckDB twin IS the full
+recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.signals import with_signals
+from aroma_spark.operators.tiers import TIER_SPECS, reaggregate, rollup_tier
+
+
+def merge_tier_partials(tier: DataFrame, delta_tier: DataFrame) -> DataFrame:
+    """Fold a delta tier into an existing tier of the SAME granularity.
+
+    Both inputs carry the lattice partial schema (n_points,
+    sum_/min_/max_latency_us, sum_text_len, sum_tool_calls, first_ts,
+    last_ts). The merge is :func:`~aroma_spark.operators.tiers.
+    reaggregate` with an identity date_trunc — one shuffle on the
+    already-small tier keys, exact because every partial is algebraic.
+
+    ONLY sound for row-local measures: if the delta contains turns that
+    change window-derived values of pre-existing rows (inter-times), use
+    :func:`incremental_tier_refresh` instead.
+    """
+    # identity-trunc unit: tiers store minute-aligned (or coarser)
+    # buckets, so date_trunc('minute', bucket_ts) is a no-op for every
+    # tier in TIER_SPECS.
+    return reaggregate(tier.unionByName(delta_tier), "minute")
+
+
+def affected_conversations(late_transcripts: DataFrame) -> DataFrame:
+    """The invalidation set: distinct conv_id of a late batch."""
+    return late_transcripts.select("conv_id").distinct()
+
+
+def incremental_tier_refresh(
+    transcripts_all: DataFrame,
+    tier: DataFrame,
+    late_transcripts: DataFrame,
+    unit: str = "hour",
+) -> DataFrame:
+    """Splice a late batch into a materialized tier, exactly.
+
+    ``transcripts_all`` is the authoritative raw table (on-time + late
+    rows); ``tier`` was built before the late rows existed. Affected
+    conversations are recomputed from raw (signals re-windowed, so
+    neighbor-dependent inter-times are right); untouched conversations
+    keep their existing tier rows byte-for-byte. Result == a full
+    rebuild of the tier over ``transcripts_all`` — the property the
+    ``tier_refresh_1h`` oracle checks.
+    """
+    hot = F.broadcast(affected_conversations(late_transcripts))
+    recomputed = rollup_tier(
+        with_signals(transcripts_all.join(hot, "conv_id", "semi")), unit
+    )
+    untouched = tier.join(hot, "conv_id", "left_anti")
+    return untouched.unionByName(recomputed)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction for a materialized tier directory.
+
+    Incremental refreshes and streaming micro-batches accrete small
+    parquet files; scan throughput dies by a thousand file opens. This
+    rewrites ``path`` into ``ceil(rows / target_rows_per_file)`` files
+    (the local analog of Iceberg's ``rewrite_data_files``) with a
+    crash-safe commit: write to a ``.compact-<uuid>`` sibling, then
+    swap via two renames through the Hadoop FS API — readers see the
+    old files or the new, never a mix. Returns
+    ``{"rows": n, "files_before": b, "files_after": a}``.
+
+    The one intentional driver-side action is the row count (an
+    aggregate scalar, same class as the checkpoint manifest counts).
+    """
+    import math
+    import uuid as _uuid
+
+    from aroma_spark.plans.checkpoint import _fs
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = df.inputFiles()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = f"{path}.compact-{_uuid.uuid4().hex}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs, dst = _fs(spark, path)
+    _, src = _fs(spark, tmp)
+    old = f"{path}.old-{_uuid.uuid4().hex}"
+    _, old_p = _fs(spark, old)
+    if not fs.rename(dst, old_p):
+        raise IOError(f"compact: could not stage old dir {path}")
+    if not fs.rename(src, dst):
+        # roll back so the directory never disappears
+        fs.rename(old_p, dst)
+        raise IOError(f"compact: could not commit {tmp} -> {path}")
+    fs.delete(old_p, True)
+    files_after = spark.read.parquet(path).inputFiles()
+    return {
+        "rows": rows,
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+    }
+
+
+def tiered_read(
+    spark: SparkSession,
+    tiers: dict[str, DataFrame],
+    fine: str = "1h",
+    coarse: str = "1d",
+    horizon: str = "7 days",
+) -> DataFrame:
+    """Retention-policy read: fine tier inside the horizon, coarse beyond.
+
+    The query every retention engine serves ("recent data at full
+    resolution, history downsampled") as one DataFrame: rows from
+    ``tiers[fine]`` whose bucket is within ``horizon`` of the corpus'
+    last day, rows from ``tiers[coarse]`` before it, tagged with a
+    ``tier`` column. The cutoff is derived declaratively from the fine
+    tier's own max bucket (an aggregate scalar broadcast into both
+    predicates — no driver-side collect), truncated to the coarse unit
+    so no coarse bucket straddles the boundary.
+
+    On the day-partitioned warehouse both predicates are partition
+    prunes: the fine scan reads only the horizon's days, the coarse scan
+    skips them.
+    """
+    coarse_unit = TIER_SPECS[coarse][0]
+    cutoff = F.broadcast(
+        tiers[fine].agg(
+            F.date_trunc(
+                coarse_unit,
+                F.max("bucket_ts") - F.expr(f"INTERVAL {horizon}"),
+            ).alias("__cutoff")
+        )
+    )
+    recent = (
+        tiers[fine]
+        .crossJoin(cutoff)
+        .where(F.col("bucket_ts") >= F.col("__cutoff"))
+        .drop("__cutoff")
+        .withColumn("tier", F.lit(fine))
+    )
+    history = (
+        tiers[coarse]
+        .crossJoin(cutoff)
+        .where(F.col("bucket_ts") < F.col("__cutoff"))
+        .drop("__cutoff")
+        .withColumn("tier", F.lit(coarse))
+    )
+    return recent.unionByName(history)

@@ -245,6 +245,34 @@ def rollup_ohlc(
     return tier if keep_partials else ohlc_finalize(tier)
 
 
+def top_convs_per_bucket(tier: DataFrame, n: int = 5) -> DataFrame:
+    """Heavy hitters: the top-``n`` conversations by point count per time
+    bucket (ties broken by conv_id ascending — deterministic on every
+    engine).
+
+    One shuffle on bucket_ts; Spark's WindowGroupLimit rewrite (rank
+    filter pushdown, Spark 3.5+) truncates each partition to the top-n
+    map-side before the exchange, so a bucket with millions of
+    conversations never materializes a full sort on the reduce side —
+    verified in PLANS.md. The observability staple ("which conversations
+    dominate this hour").
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.desc("n_points"), F.asc("conv_id")
+    )
+    return (
+        tier.select(
+            "conv_id",
+            "bucket_ts",
+            "n_points",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= n)
+    )
+
+
 def latency_histogram(
     signals: DataFrame, unit: str = "hour", value_col: str = "inter_time_us"
 ) -> DataFrame:

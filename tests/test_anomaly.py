@@ -1,0 +1,69 @@
+"""Rolling z-score anomalies + weekly seasonality profile.
+
+Hand-computed pinned values from the tiny fixture; sf-scale hash parity
+lives in the driver oracles (zscore_1h, seasonal_profile).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.anomaly import rolling_zscore, seasonal_profile
+from aroma_spark.operators.normalize import dedup_exact
+from aroma_spark.operators.signals import with_signals
+
+
+def _sig(tiny_transcripts):
+    return with_signals(dedup_exact(tiny_transcripts))
+
+
+def test_zscore_partials_and_values(spark, tiny_transcripts):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in rolling_zscore(_sig(tiny_transcripts), "1 hour").collect()
+    }
+    # conv a turn 0: window = itself -> zero variance -> NULL z
+    r = out[("a", 0)]
+    assert (r["w_n"], r["w_sum"], r["w_sumsq"]) == (1, 11, 121)
+    assert r["z"] is None and r["is_anomaly"] is False
+    # turns 1 and 2 tie at 00:00:30: frame peers, window = turns 0..2
+    # (text_len 11, 2, 9): n=3, s=22, ssq=206, radicand=134
+    for t, x in ((1, 2), (2, 9)):
+        r = out[("a", t)]
+        assert (r["w_n"], r["w_sum"], r["w_sumsq"]) == (3, 22, 206)
+        assert r["z"] == round((3 * x - 22) / math.sqrt(134), 6)
+    # turn 3 is >1h later: window restarts at itself
+    assert out[("a", 3)]["w_n"] == 1 and out[("a", 3)]["z"] is None
+
+
+def test_zscore_anomaly_flag(spark, tiny_transcripts):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in rolling_zscore(
+            _sig(tiny_transcripts), "1 hour", "text_len", 0.5
+        ).collect()
+    }
+    # conv b turn 1: window = (5, 4): z = (2*4-9)/sqrt(2*41-81) = -1.0
+    assert out[("b", 1)]["z"] == -1.0
+    assert out[("b", 1)]["is_anomaly"] is True
+    # NULL z is never an anomaly
+    assert out[("b", 0)]["is_anomaly"] is False
+
+
+def test_seasonal_profile_rows(spark, tiny_transcripts):
+    rows = {
+        (r["role"], r["dow"], r["hod"]): r
+        for r in seasonal_profile(_sig(tiny_transcripts)).collect()
+    }
+    # 2024-01-01 is a Monday -> Spark dayofweek = 2
+    r = rows[("user", 2, 0)]  # conv a turn 0
+    assert (r["n_turns"], r["sum_latency_us"], r["sum_text_len"]) == (1, 0, 11)
+    r = rows[("assistant", 3, 10)]  # conv b turn 1, Tuesday 10:00
+    assert r["sum_latency_us"] == 300_000_000
+    assert r["mean_latency_us"] == 300_000_000.0
+    r = rows[("tool", 2, 0)]  # conv a turn 2 (ts tie, tool call)
+    assert r["sum_tool_calls"] == 1
+    # partials re-aggregate: total turns across cells == corpus turns
+    assert sum(r["n_turns"] for r in rows.values()) == 7
