@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 4: 77 registered queries, ALL 77 with hash-compared DuckDB
+Round 4: 87 registered queries, ALL 87 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -16,9 +16,14 @@ oracle-checks exactly like ``ivf_topk``), the downsample family
 tier maintenance (``tier_refresh_1h`` — the oracle IS the full rebuild,
 so incremental == rebuild is hash-checked — and the retention splice
 ``tiered_read``), and the anomaly family (``zscore_1h``,
-``seasonal_profile``). All validated
+``seasonal_profile``), the analytics wave (calendar ``rollup_1mo``,
+sketch-rollup ``hist_quantiles_1d``, Pearson/autocorrelation
+``corr_len_latency``/``autocorr_len_lag1``, changepoint
+``level_shift_w8``, PAA/SAX ``paa_8``/``sax_8``), and ``lttb_12``
+(sequential LTTB per conversation, its DuckDB twin replaying the
+previous-point recurrence as a recursive CTE). All validated
 hash-exact at sf0.01; the doc/dedup family additionally at sf0.1
-(scripts/validate_oracle.py). The registry is ordered so the 28 queries
+(scripts/validate_oracle.py). The registry is ordered so the 38 queries
 without a prior driver-green row land inside the driver's 50-entry
 correctness window (see the rotation note at the end of ``queries()``).
 
@@ -517,6 +522,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_convs_1h"] = top_convs_1h
 
+    # --- calendar month tier: re-aggregated from the materialized 1d
+    # tier (months align to day boundaries -> composition point-exact);
+    # oracle recomputes directly from raw rows
+    def rollup_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import reaggregate
+
+        return reaggregate(rollup_lattice(_signals(spark, sf))["1d"], "month")
+
+    q["rollup_1mo"] = rollup_1mo
+
+    # --- sketch-rollup percentiles: hourly power-of-two histograms
+    # merged to day, quantiles interpolated from the merged bins — the
+    # percentile path once the raw tier has aged out
+    def hist_quantiles_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tiers import (
+            histogram_quantiles,
+            latency_histogram,
+        )
+
+        return histogram_quantiles(
+            latency_histogram(_signals(spark, sf), "hour"), "day"
+        )
+
+    q["hist_quantiles_1d"] = hist_quantiles_1d
+
+    # --- cross-signal Pearson r per conversation (text_len vs latency
+    # in whole seconds), exact int64 sufficient statistics
+    def corr_len_latency(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import signal_corr
+
+        return signal_corr(_signals(spark, sf))
+
+    q["corr_len_latency"] = corr_len_latency
+
+    # --- lag-1 autocorrelation of reply length per conversation
+    def autocorr_len_lag1(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import signal_autocorr
+
+        return signal_autocorr(_signals(spark, sf), "text_len", 1)
+
+    q["autocorr_len_lag1"] = autocorr_len_lag1
+
+    # --- window-sliding changepoint score (level shift over w=8 turns,
+    # integer-exact threshold compare at mean-shift > 50)
+    def level_shift_w8(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import level_shift_score
+
+        return level_shift_score(_signals(spark, sf), "text_len", 8, 50)
+
+    q["level_shift_w8"] = level_shift_w8
+
+    # --- PAA segments + SAX words (Lin et al., DMKD 2003): the
+    # indexable whole-series sketch; letters from one fixed double
+    # expression over int64 sufficient statistics
+    def paa_8(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.symbolize import paa_segments
+
+        return paa_segments(_signals(spark, sf), "text_len", 8)
+
+    q["paa_8"] = paa_8
+
+    def sax_8(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.symbolize import sax_words
+
+        return sax_words(_signals(spark, sf), "text_len", 8)
+
+    q["sax_8"] = sax_8
+
+    # --- LTTB downsampling (Steinarsson 2013): the sequential
+    # chart downsampler as per-conversation Arrow groups; DuckDB twin
+    # replays the previous-point recurrence as a recursive CTE
+    def lttb_12(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.downsample import lttb_downsample
+
+        return lttb_downsample(_signals(spark, sf), 12, "text_len")
+
+    q["lttb_12"] = lttb_12
+
+    # --- count-min sketch (Cormode & Muthukrishnan 2005): hourly
+    # frequency sketch merged to day, per-conv estimate (min over
+    # salted md5 cells) joined against the exact count — the
+    # over-estimate-only guarantee is hash-checked cell-for-cell
+    def cm_est_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sketches import (
+            cm_estimate,
+            cm_merge,
+            cm_sketch,
+        )
+
+        sig = _signals(spark, sf)
+        sk_day = cm_merge(cm_sketch(sig, "hour"), "day")
+        keys = sig.select(
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"), "conv_id"
+        ).distinct()
+        est = cm_estimate(sk_day, keys)
+        truth = sig.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"), "conv_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        return est.join(truth, ["bucket_ts", "conv_id"]).select(
+            "bucket_ts", "conv_id", "cm_est", "n_true"
+        )
+
+    q["cm_est_1d"] = cm_est_1d
+
+    # --- Holt double-exponential smoothing (level + trend), the
+    # trend-aware EWMA; DuckDB twin replays the coupled recurrences
+    def holt_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.smoothing import holt_smooth
+
+        return holt_smooth(_signals(spark, sf), 0.3, 0.1, "text_len")
+
+    q["holt_text_len"] = holt_text_len
+
+    # --- HyperLogLog (Flajolet et al. 2007): hourly register table
+    # merged to day (register MAX = lossless HLL union), estimated via
+    # the exact-int64 harmonic sum, joined against the true per-day
+    # distinct count — estimate AND registers are hash-compared
+    def hll_distinct_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_sketch,
+        )
+
+        sig = _signals(spark, sf)
+        est = hll_estimate(hll_merge(hll_sketch(sig, "hour"), "day"))
+        truth = sig.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+        ).agg(F.countDistinct("conv_id").cast("long").alias("n_true"))
+        return est.join(truth, ["bucket_ts"]).select(
+            "bucket_ts", "n_registers", "hll_est", "n_true"
+        )
+
+    q["hll_distinct_1d"] = hll_distinct_1d
+
+    # --- Shannon entropy of the hourly role mix: int64 conditional-sum
+    # pivot over the fixed role enum, entropy as ONE fixed expression
+    # tree (the cross-engine-safe shape — a per-category float sum
+    # would be partition-order-dependent)
+    def role_entropy_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import categorical_entropy
+
+        return categorical_entropy(
+            transcripts_from_events(spark, sf),
+            ("click", "error", "purchase", "signup", "view"),
+            "hour",
+        )
+
+    q["role_entropy_1h"] = role_entropy_1h
+
     # --- sequence-level dedup fingerprint (reference's whole-sequence
     # equality, breakfast.py:597-618, as a per-conversation sha256 over
     # the turn-ordered content; ts pre-cast to integer micros so both
@@ -990,10 +1145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_1h", "counter_rate_1h", "twa_1h",
         "tier_refresh_1h", "tiered_read", "zscore_1h", "seasonal_profile",
         "ewma_text_len", "top_convs_1h",
+        # new this round (r4 second wave) — need driver rows
+        "rollup_1mo", "hist_quantiles_1d", "corr_len_latency",
+        "autocorr_len_lag1", "level_shift_w8", "paa_8", "sax_8", "lttb_12",
+        "cm_est_1d", "holt_text_len", "hll_distinct_1d", "role_entropy_1h",
         # core veterans kept in-window (flagship lattice + heavy
         # families; doc_quality / emb_lsh_pairs / ivf_assign / ivf_topk /
-        # doc_ngram_jaccard / doc_simhash_pairs rotate to the tail this
-        # round — all r3 driver-green)
+        # doc_ngram_jaccard / doc_simhash_pairs / ann_topk / doc_simhash
+        # rotate to the tail this round — all r3 driver-green)
         "signals", "rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1h",
         "codec_roundtrip", "dedup_exact",
         "latency_percentiles_1d", "ohlc_1h",
@@ -1001,7 +1160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_content_hash", "retention_1d", "session_stats",
         "media_features", "doc_exact_dedup", "doc_norm_dedup",
         "doc_minhash_bands", "doc_minhash_pairs",
-        "doc_simhash", "ann_topk",
     ]
     missing = [n for n in first_window if n not in q]
     if missing:
@@ -1061,6 +1219,315 @@ SELECT date_trunc('hour', ts) AS bucket_ts,
             ELSE length(format('{{:b}}', inter_time_us)) END AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n_points
 FROM sig GROUP BY 1, 2"""
+
+    o["rollup_1mo"] = _rollup_sql("month")
+
+    # sketch-rollup percentiles: same bin math as latency_hist_1h,
+    # merged to day; rank = exact integer ceil, estimate = one double
+    # interpolation inside the hit bin (mirrors tiers.histogram_quantiles)
+    # not rounded — see tiers.histogram_quantiles: round(x, 6) at 1e11
+    # magnitude is engine-divergent (DuckDB's scale-by-1e6 overflows
+    # 2^53), while the unrounded expression tree is already bit-exact
+    _hq_est = (
+        "(CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE)"
+        " * CAST({r} - cum_before - 1 AS DOUBLE)"
+        " / CAST(CASE WHEN n > 1 THEN n - 1 ELSE 1 END AS DOUBLE))"
+    )
+    _hq_r = "GREATEST(({num} * total + {dm1}) // {den}, 1)"
+    _hq_cols = ", ".join(
+        "max(CASE WHEN cum_before < {r} AND {r} <= cum THEN {est} END)"
+        " AS p{lbl}".format(
+            r=_hq_r.format(num=num, dm1=den - 1, den=den),
+            est=_hq_est.format(r=_hq_r.format(num=num, dm1=den - 1, den=den)),
+            lbl=100 * num // den,
+        )
+        for num, den in ((1, 2), (9, 10), (99, 100))
+    )
+    o["hist_quantiles_1d"] = f"""{SIG_SQL},
+h AS (
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         CAST(CASE WHEN inter_time_us <= 0 THEN 0
+              ELSE length(format('{{:b}}', inter_time_us)) END AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sig GROUP BY 1, 2
+),
+b AS (
+  SELECT bucket_ts, bin, n,
+         CAST(sum(n) OVER (PARTITION BY bucket_ts ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY bucket_ts ORDER BY bin) - n AS BIGINT) AS cum_before,
+         CAST(sum(n) OVER (PARTITION BY bucket_ts) AS BIGINT) AS total,
+         CASE WHEN bin = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << (bin - 1) END AS lo,
+         CASE WHEN bin = 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST(1 AS BIGINT) << bin) - 1 END AS hi
+  FROM h
+)
+SELECT bucket_ts, CAST(max(total) AS BIGINT) AS total_points, {_hq_cols}
+FROM b GROUP BY bucket_ts"""
+
+    # Pearson r / lag-1 autocorrelation from exact int64 sufficient
+    # statistics; the double combination mirrors stats._corr_expr
+    _corr_sql = (
+        "CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0"
+        " AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0"
+        " THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) END"
+    )
+    _corr_agg = (
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+        " CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,"
+        " CAST(sum(y*y) AS BIGINT) AS syy"
+        " FROM p GROUP BY conv_id HAVING count(*) >= 3"
+    )
+    o["corr_len_latency"] = f"""{SIG_SQL},
+p AS (SELECT conv_id, CAST(text_len AS BIGINT) AS x,
+             inter_time_us // 1000000 AS y FROM sig),
+a AS ({_corr_agg})
+SELECT conv_id, n AS n_pairs, {_corr_sql} AS corr FROM a"""
+    o["autocorr_len_lag1"] = f"""{SIG_SQL},
+lagged AS (SELECT conv_id,
+             lag(CAST(text_len AS BIGINT)) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx) AS x,
+             CAST(text_len AS BIGINT) AS y
+           FROM sig),
+p AS (SELECT * FROM lagged WHERE x IS NOT NULL),
+a AS ({_corr_agg})
+SELECT conv_id, n AS n_pairs, {_corr_sql} AS autocorr FROM a"""
+
+    # window-sliding changepoint: two ROWS frames, integer sums,
+    # integer threshold compare (|sum_after - sum_before| > 50*8)
+    o["level_shift_w8"] = f"""{SIG_SQL}
+SELECT conv_id, turn_idx, ts, CAST(text_len AS BIGINT) AS value,
+       CAST(sum(text_len) OVER wb AS BIGINT) AS sum_before,
+       CAST(sum(text_len) OVER wa AS BIGINT) AS sum_after,
+       CAST(abs(sum(text_len) OVER wa - sum(text_len) OVER wb) AS BIGINT)
+         AS shift_score_x_w,
+       round(CAST(sum(text_len) OVER wa - sum(text_len) OVER wb AS DOUBLE)
+             / 8.0, 6) AS mean_shift,
+       abs(sum(text_len) OVER wa - sum(text_len) OVER wb) > 400 AS is_shift
+FROM sig
+WINDOW wb AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+       wa AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING)
+QUALIFY count(*) OVER wb = 8 AND count(*) OVER wa = 8"""
+
+    # PAA / SAX: integer segment ids floor(i*w/n); SAX z from the exact
+    # int64 sufficient-statistic form (n*s - S*c) / (c * sqrt(n*SSQ - S^2))
+    _paa_base = f"""{SIG_SQL},
+r AS (SELECT conv_id, CAST(text_len AS BIGINT) AS v,
+        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+             AS BIGINT) AS i,
+        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+        CAST(sum(text_len) OVER (PARTITION BY conv_id) AS BIGINT) AS s_all,
+        CAST(sum(text_len * text_len) OVER (PARTITION BY conv_id)
+             AS BIGINT) AS ssq_all
+      FROM sig),
+f AS (SELECT *, CAST((i * 8) // n AS INT) AS seg FROM r WHERE n >= 8)"""
+    o["paa_8"] = f"""{_paa_base}
+SELECT conv_id, seg, CAST(count(*) AS BIGINT) AS c,
+       CAST(sum(v) AS BIGINT) AS s,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS paa_mean
+FROM f GROUP BY conv_id, seg"""
+    o["sax_8"] = f"""{_paa_base},
+segs AS (SELECT conv_id, seg, n, s_all, ssq_all,
+           CAST(count(*) AS BIGINT) AS c, CAST(sum(v) AS BIGINT) AS s
+         FROM f GROUP BY conv_id, seg, n, s_all, ssq_all),
+z AS (SELECT conv_id, seg, n,
+        CASE WHEN (n * ssq_all - s_all * s_all) > 0
+          THEN CAST(n * s - s_all * c AS DOUBLE)
+               / (CAST(c AS DOUBLE)
+                  * sqrt(CAST(n * ssq_all - s_all * s_all AS DOUBLE)))
+          ELSE 0.0 END AS zz
+      FROM segs),
+l AS (SELECT conv_id, n, seg,
+        CASE WHEN zz < -0.6744897501960817 THEN 'a'
+             WHEN zz < 0.0 THEN 'b'
+             WHEN zz < 0.6744897501960817 THEN 'c'
+             ELSE 'd' END AS letter
+      FROM z)
+SELECT conv_id, n AS n_turns,
+       string_agg(letter, '' ORDER BY seg) AS sax_word
+FROM l GROUP BY conv_id, n"""
+
+    # LTTB: the previous-point recurrence replayed bucket-by-bucket as a
+    # recursive CTE; the area key is the identical double expression the
+    # Arrow implementation evaluates (exact int64 factors, one rounding
+    # each), ties broken (x asc, turn_idx asc)
+    o["lttb_12"] = f"""WITH RECURSIVE t AS ({TRANSCRIPTS_SQL}),
+sig AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(COALESCE(length(text), 0) AS BIGINT) AS y,
+         epoch_us(ts) - min(epoch_us(ts))
+           OVER (PARTITION BY conv_id) AS x,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM t
+),
+small AS (SELECT conv_id, turn_idx, ts, y AS value, CAST(i AS INT) AS bucket
+          FROM sig WHERE n <= 12),
+big AS (SELECT *, CAST(CASE WHEN i = 0 THEN 0 WHEN i = n - 1 THEN 11
+                 ELSE 1 + ((i - 1) * 10) // (n - 2) END AS BIGINT) AS b
+        FROM sig WHERE n > 12),
+cent AS (SELECT conv_id, b, CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+         FROM big GROUP BY conv_id, b),
+sel AS (
+  SELECT conv_id, b, x, y, turn_idx, ts FROM big WHERE b = 0
+  UNION ALL
+  SELECT c.conv_id, c.b, c.x, c.y, c.turn_idx, c.ts
+  FROM sel s
+  JOIN big c ON c.conv_id = s.conv_id AND c.b = s.b + 1 AND c.b <= 10
+  JOIN cent ct ON ct.conv_id = c.conv_id AND ct.b = c.b + 1
+  QUALIFY row_number() OVER (PARTITION BY c.conv_id ORDER BY
+    abs(CAST(s.x * ct.m - ct.sx AS DOUBLE) * CAST(c.y - s.y AS DOUBLE)
+      - CAST(s.x - c.x AS DOUBLE) * CAST(s.y * ct.m - ct.sy AS DOUBLE))
+      DESC, c.x ASC, c.turn_idx ASC) = 1
+)
+SELECT conv_id, turn_idx, ts, CAST(y AS BIGINT) AS value,
+       CAST(b AS INT) AS bucket FROM sel
+UNION ALL
+SELECT conv_id, turn_idx, ts, CAST(y AS BIGINT), 11 FROM big WHERE b = 11
+UNION ALL
+SELECT conv_id, turn_idx, ts, value, bucket FROM small"""
+
+    # count-min sketch: identical salted md5 cells, integer throughout
+    _cm_pos = (
+        "CAST(CAST(('0x' || substr(md5('cm' || d.d || ':' || conv_id), 1, 8))"
+        " AS BIGINT) % 256 AS INT)"
+    )
+    o["cm_est_1d"] = f"""{SIG_SQL},
+depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT date_trunc('hour', ts) AS h_ts, CAST(d.d AS INT) AS depth,
+         {_cm_pos} AS pos
+  FROM sig CROSS JOIN depths d
+),
+skh AS (SELECT h_ts, depth, pos, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY h_ts, depth, pos),
+skd AS (SELECT date_trunc('day', h_ts) AS bucket_ts, depth, pos,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM skh GROUP BY 1, depth, pos),
+keys AS (SELECT DISTINCT date_trunc('day', ts) AS bucket_ts, conv_id
+         FROM sig),
+probes AS (
+  SELECT k.bucket_ts, k.conv_id, CAST(d.d AS INT) AS depth,
+         {_cm_pos} AS pos
+  FROM keys k CROSS JOIN depths d
+),
+est AS (SELECT p.bucket_ts, p.conv_id,
+               CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS cm_est
+        FROM probes p LEFT JOIN skd s
+          ON s.bucket_ts = p.bucket_ts AND s.depth = p.depth
+         AND s.pos = p.pos
+        GROUP BY p.bucket_ts, p.conv_id),
+tr AS (SELECT date_trunc('day', ts) AS bucket_ts, conv_id,
+              CAST(count(*) AS BIGINT) AS n_true
+       FROM sig GROUP BY 1, conv_id)
+SELECT e.bucket_ts, e.conv_id, e.cm_est, t.n_true
+FROM est e JOIN tr t
+  ON t.bucket_ts = e.bucket_ts AND t.conv_id = e.conv_id"""
+
+    # HyperLogLog: identical md5 registers (idx = top 8 bits, rho from
+    # the 24-bit tail's bit length), exact-int64 harmonic sum, one
+    # double division by the shared repr-exact constant; linear-counting
+    # branch below 2.5*m (ln's last-ulp absorbed by round 6 both sides)
+    from aroma_spark.operators.sketches import HLL_CONST as _HLL_C
+
+    o["hll_distinct_1d"] = f"""{SIG_SQL},
+hv AS (SELECT date_trunc('day', ts) AS bucket_ts, conv_id,
+              CAST(('0x' || substr(md5('hll:' || conv_id), 1, 8))
+                   AS BIGINT) AS h
+       FROM sig),
+regs AS (
+  SELECT bucket_ts, h // 16777216 AS idx,
+         CAST(max(CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 25 - length(format('{{:b}}', h % 16777216)) END)
+              AS INT) AS r
+  FROM hv GROUP BY bucket_ts, idx
+),
+a AS (
+  SELECT bucket_ts, CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - r)) AS BIGINT) AS s_present
+  FROM regs GROUP BY bucket_ts
+),
+e AS (
+  SELECT bucket_ts, present,
+         {_HLL_C!r} / CAST(s_present + (256 - present) * 33554432
+                           AS DOUBLE) AS raw
+  FROM a
+),
+tr AS (SELECT date_trunc('day', ts) AS bucket_ts,
+              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_true
+       FROM sig GROUP BY 1)
+SELECT e.bucket_ts, e.present AS n_registers,
+       round(CASE WHEN e.raw <= 640.0 AND e.present < 256
+             THEN 256.0 * ln(256.0 / CAST(256 - e.present AS DOUBLE))
+             ELSE e.raw END, 6) AS hll_est,
+       tr.n_true
+FROM e JOIN tr ON tr.bucket_ts = e.bucket_ts"""
+
+    # role-mix entropy: int64 conditional-sum pivot, entropy as the
+    # identical left-associated expression tree stats.categorical_entropy
+    # builds (term order = category order, 'other' last)
+    _roles = ("click", "error", "purchase", "signup", "view")
+    _rcols = ", ".join(
+        f"CAST(sum(CASE WHEN role = '{r}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{r}"
+        for r in _roles
+    )
+    _rterm = (
+        "CASE WHEN {c} > 0 THEN CAST({c} AS DOUBLE) * ln(CAST({c} AS DOUBLE))"
+        " ELSE 0.0 END"
+    )
+    _racc = _rterm.format(c="n_click")
+    for _r in ("n_error", "n_purchase", "n_signup", "n_view", "n_other"):
+        _racc = f"({_racc} + {_rterm.format(c=_r)})"
+    o["role_entropy_1h"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+a AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_points, {_rcols}
+  FROM t GROUP BY 1
+),
+b AS (SELECT *, CAST(n_points - n_click - n_error - n_purchase - n_signup
+                     - n_view AS BIGINT) AS n_other
+      FROM a)
+SELECT bucket_ts, n_points, n_click, n_error, n_purchase, n_signup, n_view,
+       n_other,
+       round(ln(CAST(n_points AS DOUBLE))
+             - {_racc} / CAST(n_points AS DOUBLE), 6) AS entropy
+FROM b"""
+
+    # Holt level+trend: the coupled recurrences spelled in the exact
+    # literal order the Arrow implementation evaluates (see ewma twin)
+    o["holt_text_len"] = (
+        SIG_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """,
+x AS (SELECT conv_id, turn_idx, ts, CAST(text_len AS DOUBLE) AS value
+      FROM sig),
+h AS (
+  SELECT conv_id, turn_idx, ts, value, value AS level,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM x WHERE turn_idx = 0
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.ts, s.value,
+         0.3 * s.value + (1 - 0.3) * (h.level + h.trend) AS level,
+         0.1 * ((0.3 * s.value + (1 - 0.3) * (h.level + h.trend))
+                - h.level)
+           + (1 - 0.1) * h.trend AS trend
+  FROM x s JOIN h ON s.conv_id = h.conv_id AND s.turn_idx = h.turn_idx + 1
+)
+SELECT conv_id, turn_idx, ts, value, level, trend FROM h"""
+    )
 
     o["rolling_1h"] = f"""{SIG_SQL}
 SELECT conv_id, turn_idx, ts,

@@ -42,3 +42,20 @@ from aroma_spark.operators.sessions import (  # noqa: F401
     session_stats,
     with_session_ids,
 )
+from aroma_spark.operators.anomaly import level_shift_score  # noqa: F401
+from aroma_spark.operators.downsample import lttb_downsample  # noqa: F401
+from aroma_spark.operators.stats import (  # noqa: F401
+    signal_autocorr,
+    signal_corr,
+)
+from aroma_spark.operators.symbolize import paa_segments, sax_words  # noqa: F401
+from aroma_spark.operators.tiers import histogram_quantiles  # noqa: F401
+from aroma_spark.operators.sketches import (  # noqa: F401
+    cm_estimate,
+    cm_merge,
+    cm_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+from aroma_spark.operators.smoothing import holt_smooth  # noqa: F401

@@ -126,3 +126,75 @@ def seasonal_profile(signals: DataFrame) -> DataFrame:
             .alias("mean_latency_us"),
         )
     )
+
+
+def level_shift_score(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    w: int = 8,
+    threshold: int = 0,
+) -> DataFrame:
+    """Window-sliding changepoint score per turn (level-shift detection).
+
+    For each turn i with a full trailing window (rows i-w+1..i) and a
+    full leading window (rows i+1..i+w) in stable turn order, the score
+    is the absolute difference of the two window SUMS — an exact int64
+    quantity (the classic window-sliding changepoint statistic, mean
+    shift scaled by the constant w, so ranking and thresholding are
+    identical to the mean form but never touch a float until the final
+    projection). ``is_shift`` compares integer-to-integer:
+    |sum_after - sum_before| > threshold * w  <=>  |mean shift| >
+    threshold, evaluated without division.
+
+    Boundary turns (fewer than w rows on either side) are dropped, not
+    flagged — a deliberate choice: a changepoint score over a partial
+    window is biased toward the series edge.
+
+    Physical shape: two ROWS-frame window passes over the canonical
+    conv_id exchange (one sort, both frames reuse it); no join, no
+    explode. Hot conversations serialize per the rolling.py skew note.
+    No reference analog; the alerting companion of rolling_zscore.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    v = F.col(value_col).cast("long")
+    order = Window.partitionBy("conv_id").orderBy("turn_idx")
+    before = order.rowsBetween(-(w - 1), 0)
+    after = order.rowsBetween(1, w)
+    n_b = F.count(F.lit(1)).over(before).cast("long")
+    n_a = F.count(F.lit(1)).over(after).cast("long")
+    s_b = F.sum(v).over(before).cast("long")
+    s_a = F.sum(v).over(after).cast("long")
+    return (
+        signals.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            v.alias("value"),
+            n_b.alias("n_before"),
+            n_a.alias("n_after"),
+            s_b.alias("sum_before"),
+            s_a.alias("sum_after"),
+        )
+        .where((F.col("n_before") == w) & (F.col("n_after") == w))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            "value",
+            "sum_before",
+            "sum_after",
+            F.abs(F.col("sum_after") - F.col("sum_before"))
+            .cast("long")
+            .alias("shift_score_x_w"),
+            F.round(
+                (F.col("sum_after") - F.col("sum_before")).cast("double")
+                / F.lit(float(w)),
+                6,
+            ).alias("mean_shift"),
+            (
+                F.abs(F.col("sum_after") - F.col("sum_before"))
+                > F.lit(int(threshold) * w)
+            ).alias("is_shift"),
+        )
+    )

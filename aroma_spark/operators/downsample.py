@@ -1,7 +1,7 @@
-"""Chart/observability downsampling: M4, counter rate, time-weighted avg.
+"""Chart/observability downsampling: M4, LTTB, counter rate, time-weighted avg.
 
-Three classic time-series-store operators over the signal frame, all
-pure Catalyst (no Python), all one hash exchange keyed on conv_id /
+Classic time-series-store operators over the signal frame — all but
+LTTB pure Catalyst (no Python), all one hash exchange keyed on conv_id /
 (conv_id, bucket) — the same partitioning the tier lattice uses, so at
 100 TB they slot into the existing shuffle rather than adding one:
 
@@ -22,11 +22,17 @@ pure Catalyst (no Python), all one hash exchange keyed on conv_id /
   sample. Integer numerator/denominator (microseconds), one rounded
   float division at the end.
 
+- :func:`lttb_downsample` — Largest-Triangle-Three-Buckets
+  (Steinarsson 2013), the sequential chart downsampler, confined to
+  per-conversation Arrow groups (see its docstring for why M4 stays
+  the whole-corpus scale path).
+
 The reference has no downsampling; these generalize its prepared-
 dataset aggregations (reference: src/aroma/datasets/breakfast.py:621)
 per BASELINE.json north_rule into the downsample family every
-retention engine ships. All three have exact DuckDB SQL twins in
-``__spark_entry__.oracle_sql``.
+retention engine ships. All four have exact DuckDB SQL twins in
+``__spark_entry__.oracle_sql`` (LTTB's twin replays the recurrence as
+a recursive CTE).
 """
 
 from __future__ import annotations
@@ -197,4 +203,112 @@ def time_weighted_avg(
                 F.col("weighted_sum").cast("double") / F.col("duration_us"), 6
             ),
         ).alias("twa"),
+    )
+
+
+def lttb_downsample(
+    signals: DataFrame, n_out: int = 12, value_col: str = "text_len"
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per conversation
+    (Steinarsson, "Downsampling Time Series for Visual Representation",
+    MSc thesis, U. Iceland 2013 — the other canonical chart
+    downsampler next to :func:`m4_downsample`).
+
+    Per conversation in stable turn order: first and last points are
+    always kept; the middle points split into ``n_out - 2`` buckets and
+    each bucket keeps the point forming the largest triangle with the
+    PREVIOUSLY selected point and the NEXT bucket's centroid. That
+    previous-point recurrence makes LTTB inherently sequential per
+    series — which is exactly why M4 (a pure aggregation) is this
+    engine's scale path and LTTB runs as per-conversation Arrow groups:
+    the sequential sweep is confined to one conversation, conversations
+    fan out across the cluster on the canonical conv_id exchange.
+
+    Determinism across engines (the DuckDB twin replays the recurrence
+    as a recursive CTE): coordinates are exact int64 — x is
+    microseconds relative to the conversation's first timestamp, y the
+    integer signal; bucket ids are integer floor arithmetic; the
+    triangle area against the next bucket's centroid (sum/count, never
+    a float mean) is compared through ONE fixed double expression,
+
+        |float(x_s*m - Sx) * float(y_c - y_s)
+         - float(x_s - x_c) * float(y_s*m - Sy)|
+
+    (the 2*area*m cross product with the centroid multiplied through by
+    its count m, each parenthesized factor exact int64 before ONE
+    rounding to double), ties broken by (x asc, turn_idx asc).
+    Conversations with n <= n_out pass through whole (bucket = row
+    index).
+
+    Int64 bounds: x*m needs conv_span_us * bucket_size < 2^63 — a
+    year-long conversation (3*10^13 us) holds to buckets of 3*10^5
+    points; y*m the same with the signal's magnitude. Past that,
+    pre-scale x to milliseconds.
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    import numpy as np
+    import pandas as pd
+
+    B = n_out - 2
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        x = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
+        x = x - x.min()
+        y = pdf["value"].values.astype(np.int64)
+        turn = pdf["turn_idx"].values.astype(np.int64)
+        if n <= n_out:
+            out = pdf[["conv_id", "turn_idx", "ts", "value"]].copy()
+            out["bucket"] = np.arange(n, dtype=np.int32)
+            return out
+        m_mid = n - 2
+        # middle row j (0-based among rows 1..n-2) -> bucket 1 + j*B//m_mid;
+        # bucket k (1..B) spans j in [ceil((k-1)*m/B), ceil(k*m/B))
+        def jrange(k: int) -> tuple[int, int]:
+            return (
+                ((k - 1) * m_mid + B - 1) // B,
+                (k * m_mid + B - 1) // B,
+            )
+
+        sel = [0]
+        prev = 0
+        for k in range(1, B + 1):
+            lo_j, hi_j = jrange(k)
+            cand = np.arange(1 + lo_j, 1 + hi_j)
+            if k < B:
+                nlo, nhi = jrange(k + 1)
+                nxt = np.arange(1 + nlo, 1 + nhi)
+            else:
+                nxt = np.array([n - 1])
+            m_c = len(nxt)
+            sxc = int(np.sum(x[nxt]))
+            syc = int(np.sum(y[nxt]))
+            # one rounding per factor, then double arithmetic — the
+            # exact expression the SQL twin evaluates
+            f1 = np.float64(int(x[prev]) * m_c - sxc)
+            f2 = (y[cand] - y[prev]).astype(np.float64)
+            f3 = (int(x[prev]) - x[cand]).astype(np.float64)
+            f4 = np.float64(int(y[prev]) * m_c - syc)
+            area = np.abs(f1 * f2 - f3 * f4)
+            order = np.lexsort((turn[cand], x[cand], -area))
+            prev = int(cand[order[0]])
+            sel.append(prev)
+        sel.append(n - 1)
+        out = pdf.iloc[sel][["conv_id", "turn_idx", "ts", "value"]].copy()
+        out["bucket"] = np.arange(len(sel), dtype=np.int32)
+        return out
+
+    src = signals.selectExpr(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        f"CAST({value_col} AS BIGINT) AS value",
+    )
+    return src.groupBy("conv_id").applyInPandas(
+        pick,
+        "conv_id string, turn_idx int, ts timestamp, value long, bucket int",
     )

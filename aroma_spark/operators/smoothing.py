@@ -71,3 +71,72 @@ def ewma_smooth(
         "conv_id string, turn_idx int, ts timestamp, value double, "
         "ewma double",
     )
+
+
+def holt_smooth(
+    signals: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    value_col: str = "text_len",
+) -> DataFrame:
+    """Per-conversation Holt double-exponential smoothing (level +
+    trend) in ``turn_idx`` order — the trend-aware upgrade of
+    :func:`ewma_smooth` (Holt 1957 / Winters 1960, public literature).
+
+        level_t = alpha*x_t + (1-alpha)*(level_{t-1} + trend_{t-1})
+        trend_t = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}
+
+    Initialization: level_0 = x_0, trend_0 = 0 (no lookahead — the
+    first turn carries no trend evidence; documented difference from
+    the x_1 - x_0 init some texts use, which would make the first row
+    depend on the second).
+
+    Determinism: the recurrences are evaluated in the exact literal
+    order written above — IEEE-754 multiply/add are correctly rounded,
+    so the DuckDB twin (a recursive CTE spelling the identical
+    expressions) reproduces every intermediate bit-for-bit, same as the
+    EWMA oracle. Sequential per conversation by nature, so it runs in
+    Arrow conversation groups like :func:`ewma_smooth`; conversations
+    fan out across the cluster on the canonical conv_id exchange.
+
+    Returns (conv_id, turn_idx, ts, value, level, trend).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort").reset_index(
+            drop=True
+        )
+        levels = []
+        trends = []
+        lvl = trd = None
+        for x in pdf["value"]:
+            x = float(x)
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                prev = lvl
+                lvl = alpha * x + one_minus_a * (lvl + trd)
+                trd = beta * (lvl - prev) + one_minus_b * trd
+            levels.append(lvl)
+            trends.append(trd)
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        return pdf
+
+    src = signals.selectExpr(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        f"CAST({value_col} AS DOUBLE) AS value",
+    )
+    return src.groupBy("conv_id").applyInPandas(
+        smooth,
+        "conv_id string, turn_idx int, ts timestamp, value double, "
+        "level double, trend double",
+    )

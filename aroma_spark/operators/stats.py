@@ -1,0 +1,217 @@
+"""Cross-signal statistics per conversation: Pearson correlation and
+lag autocorrelation.
+
+The analytics layer every time-series store exposes over its derived
+signals ("do longer replies take longer to arrive?", "are reply
+lengths bursty?"), kept bit-deterministic across engines by the house
+discipline (see operators/anomaly.py): everything that is shuffled or
+summed is an exact int64 partial; floats appear only in the final
+projection, combined in ONE fixed expression shape that both the Spark
+plan and the DuckDB oracle evaluate identically (IEEE-754 +,-,*,/ and
+sqrt are correctly rounded, so identical int inputs + identical
+expression tree = identical doubles on every engine).
+
+- :func:`signal_corr` — per-conversation Pearson r between two integer
+  signals from the 6 classic sufficient statistics
+  (n, Sx, Sy, Sxy, Sxx, Syy):
+
+      r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+  The sums are exact int64; the combination runs in double. Overflow
+  bound (int64 sums): n * max|x| * max|y| < 2^63 — with text_len
+  <= 2^20 and latency pre-scaled to SECONDS (both enforced here), a
+  conversation can hold ~10^8 turns before Sxy saturates; Syy is the
+  binding term (n * max_y^2), good to ~10^9 turns at day-long gaps.
+- :func:`signal_autocorr` — lag-k autocorrelation of one signal per
+  conversation: the same formula over the (v_i, v_{i+k}) pairs in
+  stable turn order (pairs, not the circular variant — matches what a
+  lag-join produces and keeps the oracle a plain window expression).
+
+Physical shape: one window pass on the canonical conv_id exchange for
+the lag (autocorr only), then a single aggregation on conv_id with
+map-side combine — no extra shuffle beyond the lattice's own. At 100 TB
+both ride the same (conv_id) partitioning every other per-conversation
+operator uses.
+
+No reference analog (the reference computes no cross-field statistics);
+natural extension of the north_star's derived-signal family, same
+fixed-signal schema as operators/signals.py (reference
+src/aroma/preprocessing/intertimes.py:44-80 for the inter-time signal
+these correlate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# minimum pairs for a defined correlation (variance needs n >= 2; we
+# require 3 so a two-point conversation — always |r| = 1 — is not
+# reported as signal)
+MIN_PAIRS = 3
+
+
+def _corr_expr(n, sx, sy, sxy, sxx, syy):
+    """The one shared combination expression (double), NULL when either
+    variance is zero. All inputs are int64 columns; every cast site is
+    explicit so the Spark plan and the SQL twin round identically."""
+    nd = n.cast("double")
+    num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    dx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    dy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    return F.when(
+        (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+    )
+
+
+def signal_corr(
+    signals: DataFrame,
+    x_col: str = "text_len",
+    y_col: str = "inter_time_us",
+    y_scale_us_to_s: bool = True,
+) -> DataFrame:
+    """Per-conversation Pearson r between two integer signals.
+
+    ``y_scale_us_to_s`` integer-divides the microsecond latency to whole
+    seconds before summing — the documented int64 overflow headroom
+    (Syy is the binding sufficient statistic). Conversations with fewer
+    than MIN_PAIRS turns are dropped; ``corr`` is NULL for constant
+    series (zero variance).
+    """
+    x = F.col(x_col).cast("long")
+    # exact integer division (Spark DIV == DuckDB // on non-negatives);
+    # a double-divide-then-cast would round differently past 2^53
+    y = (
+        F.expr(f"CAST({y_col} AS BIGINT) DIV 1000000")
+        if y_scale_us_to_s
+        else F.col(y_col).cast("long")
+    )
+    agg = (
+        signals.select(F.col("conv_id"), x.alias("x"), y.alias("y"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .where(F.col("n_pairs") >= MIN_PAIRS)
+    )
+    return agg.select(
+        "conv_id",
+        "n_pairs",
+        _corr_expr(
+            F.col("n_pairs"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("corr"),
+    )
+
+
+def signal_autocorr(
+    signals: DataFrame, value_col: str = "text_len", lag: int = 1
+) -> DataFrame:
+    """Lag-``lag`` autocorrelation of one integer signal per conversation.
+
+    Pairs are (v_i, v_{i+lag}) in stable (turn_idx) order — the first
+    ``lag`` turns contribute no pair. Same sufficient-statistic
+    combination as :func:`signal_corr`.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    v = F.col(value_col).cast("long")
+    paired = signals.select(
+        "conv_id",
+        F.lag(v, lag).over(w).alias("x"),
+        v.alias("y"),
+    ).where(F.col("x").isNotNull())
+    agg = (
+        paired.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .where(F.col("n_pairs") >= MIN_PAIRS)
+    )
+    return agg.select(
+        "conv_id",
+        "n_pairs",
+        _corr_expr(
+            F.col("n_pairs"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("autocorr"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    categories: tuple[str, ...],
+    unit: str = "hour",
+    cat_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-time-bucket Shannon entropy (nats) of a low-cardinality
+    categorical column — "how mixed was the role traffic this hour".
+
+    ``categories`` must be the FIXED enum of expected values; anything
+    else folds into one implicit 'other' bucket so the distribution
+    still sums to n. The fixed list is what makes the result
+    bit-deterministic across engines: per-category counts come from
+    conditional sums in ONE aggregation (an int64 pivot — no float ever
+    shuffles, no explode, no second pass), and the entropy
+
+        H = ln(n) - (sum_i c_i * ln(c_i)) / n
+
+    is ONE fixed expression tree evaluated left-to-right over the
+    category columns in the order given, so Spark and the DuckDB twin
+    add the identical doubles in the identical order (a groupBy-
+    category float sum would be partition-order-dependent — the shape
+    this pivot exists to avoid). round(6) absorbs ln's last-ulp.
+
+    Physical shape at 100 TB: one map-side-combined aggregation keyed on
+    the time bucket; output rows = #buckets, columns = #categories + 3.
+    """
+    if not categories:
+        raise ValueError("categories must be a non-empty tuple")
+    if len(set(categories)) != len(categories):
+        raise ValueError(f"duplicate categories: {categories}")
+    n = F.count(F.lit(1)).cast("long")
+    aggs = [n.alias("n_points")]
+    for c in categories:
+        aggs.append(
+            F.sum(F.when(F.col(cat_col) == c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{c}")
+        )
+    agg = df.groupBy(
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    ).agg(*aggs)
+    counts = [F.col(f"n_{c}") for c in categories]
+    other = F.col("n_points")
+    for c in counts:
+        other = other - c
+    agg = agg.withColumn("n_other", other.cast("long"))
+
+    def term(c):
+        cd = c.cast("double")
+        return F.when(c > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+
+    acc = term(counts[0])
+    for c in counts[1:]:
+        acc = acc + term(c)
+    acc = acc + term(F.col("n_other"))
+    nd = F.col("n_points").cast("double")
+    ent = F.round(F.log(nd) - acc / nd, 6)
+    return agg.select(
+        "bucket_ts",
+        "n_points",
+        *[f"n_{c}" for c in categories],
+        "n_other",
+        ent.alias("entropy"),
+    )

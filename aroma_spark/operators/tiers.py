@@ -298,3 +298,90 @@ def latency_histogram(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    unit: str = "day",
+    probs: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Quantile estimates from MERGED power-of-two histograms — the
+    sketch-rollup path for percentiles at retention-tier granularity.
+
+    Exact percentiles need the raw rows; at 100 TB the raw tier ages
+    out, so coarse-tier percentiles must come from a mergeable sketch.
+    The power-of-two histogram (:func:`latency_histogram`) IS such a
+    sketch: counts are integers, merging finer buckets into coarser ones
+    is a plain sum, and the quantile estimate is a deterministic
+    interpolation inside the hit bin — every step integer-exact except
+    one final division, so the Spark plan and the DuckDB twin agree
+    bit-for-bit (same discipline as the main lattice; relative error is
+    bounded by the bin width, a factor of 2, the usual log-histogram
+    trade).
+
+    ``probs`` are exact fractions (num, den) — the target rank is
+    r = ceil(p * total) computed as (num*total + den - 1) DIV den in
+    int64, never through a float. Inside the hit bin
+    [lo, hi] = [2^(b-1), 2^b - 1] (bin 0 = {0}), the estimate places
+    rank r uniformly: lo + (hi-lo) * (r - cum_before - 1) / max(n-1, 1).
+
+    Input: a :func:`latency_histogram` frame at any finer unit.
+    Output: one row per coarse bucket with total points and one column
+    per requested quantile (p50/p90/p99 for the defaults).
+
+    Physical shape: one aggregation merging fine buckets into coarse
+    (map-side combined), one window pass per coarse bucket over a few
+    dozen bins, one tiny final pivot-aggregation. The bin keyspace is
+    bounded (<= 64 bins per bucket) regardless of corpus size.
+    """
+    merged = hist.groupBy(
+        F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+        "bin",
+    ).agg(F.sum("n_points").cast("long").alias("n"))
+
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("bucket_ts").orderBy("bin")
+    tot_w = Window.partitionBy("bucket_ts")
+    cum = F.sum("n").over(bw).cast("long")
+    binned = merged.select(
+        "bucket_ts",
+        "bin",
+        "n",
+        cum.alias("cum"),
+        (cum - F.col("n")).alias("cum_before"),
+        F.sum("n").over(tot_w).cast("long").alias("total"),
+    )
+
+    lo = F.when(
+        F.col("bin") == 0, F.lit(0).cast("long")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+    hi = F.when(
+        F.col("bin") == 0, F.lit(0).cast("long")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin) - 1"))
+
+    aggs = [F.max("total").alias("total_points")]
+    for num, den in probs:
+        label = f"p{100 * num // den}"
+        # integer ceil via DIV — never through a double divide+cast
+        r = F.expr(
+            f"CAST(({int(num)} * total + {int(den) - 1}) DIV {int(den)} AS BIGINT)"
+        )
+        r = F.greatest(r, F.lit(1).cast("long"))
+        hit = (F.col("cum_before") < r) & (r <= F.col("cum"))
+        # NOT rounded: every input is an exact int64 and the combination
+        # is one mult + one div + one add (each correctly rounded), so
+        # the doubles are already bit-identical across engines — while
+        # round(x, 6) at this magnitude (~1e11 µs) is itself engine-
+        # divergent (x * 1e6 overflows 2^53 in DuckDB's scale-and-divide
+        # rounding; Spark's BigDecimal path keeps the exact decimal)
+        est = (
+            lo.cast("double")
+            + (hi - lo).cast("double")
+            * (r - F.col("cum_before") - 1).cast("double")
+            / F.when(F.col("n") > 1, F.col("n") - 1)
+            .otherwise(F.lit(1))
+            .cast("double")
+        )
+        aggs.append(F.max(F.when(hit, est)).alias(label))
+    return binned.groupBy("bucket_ts").agg(*aggs)

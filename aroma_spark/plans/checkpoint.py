@@ -38,7 +38,7 @@ import json
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from aroma_spark.operators.tiers import TIER_SPECS, reaggregate, rollup_tier
@@ -237,6 +237,7 @@ def incremental_rollup(
         )
         tier_path = f"{root}/tier={name}"
         tier_exists = fs_exists(spark, tier_path)
+        fresh_build = not tier_exists
 
         # the affected-conv set only feeds the partial-recompute merge,
         # which needs an existing tier AND at least one clean key to
@@ -318,13 +319,26 @@ def incremental_rollup(
             out = out.repartition(
                 F.col("day"), F.pmod(F.hash("conv_id"), F.lit(4))
             )
+            # row-count metric rides the write job itself (Observation):
+            # on a fresh build the tier IS what was just written, so the
+            # post-write re-scan job is pure serial overhead — one job
+            # barrier per tier the driver pays while every executor
+            # idles. Incremental refreshes (tier pre-existed) still
+            # read back: surviving untouched days make written != total.
+            written_obs = Observation(f"tier_rows_{name}_{uuid.uuid4().hex}")
+            out = out.observe(
+                written_obs, F.count(F.lit(1)).cast("long").alias("rows")
+            )
             out.write.mode("overwrite").partitionBy("day").parquet(tier_path)
 
-        n_rows = (
-            spark.read.parquet(tier_path).count()
-            if fs_exists(spark, tier_path)
-            else 0
-        )
+        if changed and fresh_build:
+            n_rows = written_obs.get["rows"]
+        else:
+            n_rows = (
+                spark.read.parquet(tier_path).count()
+                if fs_exists(spark, tier_path)
+                else 0
+            )
         wall = time.time() - t0
         changed_set = set(changed)
         write_manifest_entry(
