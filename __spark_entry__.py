@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 4: 87 registered queries, ALL 87 with hash-compared DuckDB
+Round 4: 89 registered queries, ALL 89 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
