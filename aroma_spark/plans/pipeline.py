@@ -66,9 +66,12 @@ def run_pipeline(
         # needs ts monotone in turn_idx per conversation (else (conv, day)
         # groups are non-contiguous and blob stitching would emit
         # duplicate (conv, day) rows). inter_time_us < 0 anywhere is
-        # exactly that violation; the probe is a limit-1 scan of the
-        # cached frame. Fall back to the repartition+sort path if found.
-        monotone = sig.where(F.col("inter_time_us") < 0).isEmpty()
+        # exactly that violation. Probe with a full aggregate, not
+        # filter().isEmpty(): isEmpty is a limit(1) whose partition ramp
+        # (1, 4, 16... tasks) materializes the cache nearly serially on
+        # its first waves — min() materializes it at full parallelism.
+        min_it = sig.agg(F.min("inter_time_us")).first()[0]
+        monotone = min_it is None or min_it >= 0
         blobs = encode_series(sig, "inter_time_us", assume_clustered=monotone)
         # blob stats ride the write job (Observation) — the previous
         # read-back-and-aggregate was a full extra scan of what we just

@@ -1,8 +1,18 @@
-"""Per-phase scaling diagnosis: run the flagship pipeline once per level
-and print the full metrics manifest (per-tier wall, codec wall) so the
-non-scaling phase is visible.
+"""Phase-level scaling diagnosis: wall vs process-tree CPU at N cores.
 
-Usage: python scripts/diag_scaling.py [n_turns] [cores ...]
+For each pipeline phase, prints wall seconds and the CPU seconds burned
+by the whole JVM process tree (JVM + forked Python workers) during that
+phase. Interpreting a 2-core vs 8-core pair:
+
+- cpu(8) ~= cpu(2) and wall(8) ~= wall(2)/4  -> phase scales.
+- cpu(8)  > cpu(2)                           -> contention (memory
+  bandwidth / page-fault collapse): the same work costs more CPU when
+  run wider. Fix = less memory traffic, not more parallelism.
+- cpu(8) ~= cpu(2) but wall(8) >> cpu(8)/8   -> idle cores: serial
+  stages, limit-ramps, driver-side gaps, commit barriers.
+
+Usage: taskset is applied internally; run plain:
+    python scripts/diag_scaling.py [n_turns] [cores ...]
 """
 
 from __future__ import annotations
@@ -18,63 +28,157 @@ JOB = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from aroma_spark.session import get_spark
-from aroma_spark.synth import synth_transcripts
-from aroma_spark.plans.pipeline import run_pipeline
+
+def tree_cpu(root_pid):
+    # utime+stime of root_pid and every descendant, in seconds
+    ticks = os.sysconf("SC_CLK_TCK")
+    children = {{}}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{d}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid = int(parts[1])
+            ut, st = int(parts[11]), int(parts[12])
+        except (OSError, IndexError, ValueError):
+            continue
+        children.setdefault(ppid, []).append((int(d), ut + st))
+    total = 0
+    stack = [root_pid]
+    seen = set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        for cpid, cpu in children.get(pid, []):
+            total += cpu
+            stack.append(cpid)
+    # add root itself
+    try:
+        with open(f"/proc/{{root_pid}}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        total += int(parts[11]) + int(parts[12])
+    except OSError:
+        pass
+    return total / ticks
 
 cores = {cores}
-n_turns = {n_turns}
+local_dir = f"/dev/shm/aroma_diag_local_{{cores}}"
+shutil.rmtree(local_dir, ignore_errors=True)
 spark = get_spark("diag-scaling", master=f"local[{{cores}}]",
-                  shuffle_partitions=4 * cores)
+                  shuffle_partitions=4 * cores,
+                  extra_conf={{
+                      "spark.driver.memory": "16g",
+                      "spark.driver.extraJavaOptions":
+                          "-Xms16g -XX:+AlwaysPreTouch",
+                      "spark.local.dir": local_dir,
+                      "spark.executorEnv.MALLOC_MMAP_THRESHOLD_":
+                          "1073741824",
+                      "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "-1",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
-if not os.path.exists({input_path!r} + "/_SUCCESS"):
-    df = synth_transcripts(spark, n_turns=n_turns,
-                           n_convs=max(64, n_turns // 500),
-                           seed=42, partitions=128, gap_divisor=50)
-    df.write.mode("overwrite").parquet({input_path!r})
+gw = spark.sparkContext._gateway
+jvm_pid = int(getattr(gw, "proc", None).pid if getattr(gw, "proc", None)
+              else gw.java_process.pid)
+
+from pyspark.sql import functions as F
+from aroma_spark.operators.normalize import normalize_for_rollup
+from aroma_spark.operators.signals import with_signals
+from aroma_spark.operators.codec_ops import encode_series
+from aroma_spark.plans.checkpoint import (
+    incremental_rollup, partition_fingerprints,
+)
+
 src = spark.read.parquet({input_path!r})
 
-out_runs = []
-for i in range(2):
-    out = f"/dev/shm/aroma_diag_out_{{cores}}_{{i}}"
+def run_once(tag):
+    out = f"/dev/shm/aroma_diag_out_{{cores}}"
     shutil.rmtree(out, ignore_errors=True)
-    m = run_pipeline(spark, src, out)
+    phases = []
+    def mark(name, t0, c0):
+        t1, c1 = time.time(), tree_cpu(jvm_pid)
+        phases.append((name, round(t1 - t0, 2), round(c1 - c0, 2)))
+        return t1, c1
+
+    t0, c0 = time.time(), tree_cpu(jvm_pid)
+    sig = with_signals(normalize_for_rollup(src, dedup=True)).select(
+        "conv_id", "turn_idx", "ts", "inter_time_us", "text_len",
+        "tool_call")
+    sig = sig.persist()
+    # materialize cache with a full-parallelism aggregate (no limit ramp)
+    mn = sig.agg(F.min("inter_time_us")).first()[0]
+    t0, c0 = mark("cache_mat(min-agg)", t0, c0)
+    fp = partition_fingerprints(src)
+    t0, c0 = mark("fingerprint(raw)", t0, c0)
+    timings = {{}}
+    metrics = incremental_rollup(spark, sig, out, source=src,
+                                 timings=timings)
+    t0, c0 = mark("tiers(all)", t0, c0)
+    blobs = encode_series(sig, "inter_time_us",
+                          assume_clustered=(mn is not None and mn >= 0))
+    blobs.write.mode("overwrite").parquet(f"{{out}}/blobs")
+    t0, c0 = mark("blobs", t0, c0)
+    sig.unpersist(blocking=True)
     shutil.rmtree(out, ignore_errors=True)
-    out_runs.append(m)
-print(json.dumps(out_runs))
+    tier_walls = {{t: v["wall_sec"] for t, v in metrics.items()}}
+    print(json.dumps({{"tag": tag, "cores": cores, "phases": phases,
+                      "tier_walls": tier_walls,
+                      "fp_wall_inside": timings.get("fingerprint_wall")}}),
+          flush=True)
+
+run_once("warmup")
+run_once("run1")
+run_once("run2")
 spark.stop()
+shutil.rmtree(local_dir, ignore_errors=True)
+"""
+
+GEN = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from aroma_spark.session import get_spark
+from aroma_spark.synth import synth_transcripts
+if not os.path.exists({input_path!r} + "/_SUCCESS"):
+    spark = get_spark("diag-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synth_transcripts(spark, n_turns={n_turns},
+                           n_convs=max(64, {n_turns} // 500),
+                           seed=42, partitions=128, gap_divisor=50)
+    df.write.mode("overwrite").parquet({input_path!r})
+    spark.stop()
 """
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
-    levels = [int(x) for x in sys.argv[2:]] or [2, 8]
-    input_path = f"/tmp/aroma_scaling_dense_{n_turns}"
-    for cores in levels:
-        code = JOB.format(
-            repo=REPO, cores=cores, n_turns=n_turns, input_path=input_path
-        )
-        res = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        if res.returncode != 0:
-            print(res.stderr[-3000:])
-            sys.exit(1)
-        runs = json.loads(res.stdout.strip().splitlines()[-1])
-        for j, m in enumerate(runs):
-            tag = "warm" if j else "cold"
-            tier_walls = {
-                k: v["wall_sec"] for k, v in m["tiers"].items()
-            }
-            codec_wall = (m.get("codec_blobs") or {}).get("wall_sec")
-            print(
-                f"cores={cores} [{tag}] total={m['wall_sec']}s "
-                f"pps={m['points_per_sec']} tiers={tier_walls} "
-                f"codec={codec_wall}s",
-                flush=True,
-            )
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cores_list = [int(c) for c in sys.argv[2:]] or [2, 8]
+    input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
+    subprocess.run(
+        [sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns,
+                                          input_path=input_path)],
+        check=True, cwd=REPO,
+    )
+    for cores in cores_list:
+        code = JOB.format(repo=REPO, cores=cores, input_path=input_path)
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        if out.returncode != 0:
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(1)
+        for line in out.stdout.strip().splitlines():
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            print(f"--- cores={d['cores']} {d['tag']}")
+            for name, wall, cpu in d["phases"]:
+                util = cpu / wall / d["cores"] if wall else 0
+                print(f"  {name:20s} wall={wall:8.2f}s cpu={cpu:8.2f}s "
+                      f"util={util:5.1%}")
+            print(f"  tier_walls={d['tier_walls']} "
+                  f"fp_inside={d['fp_wall_inside']}")
 
 
 if __name__ == "__main__":
