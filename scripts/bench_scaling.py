@@ -90,14 +90,20 @@ spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
 spark.sparkContext.setLogLevel("ERROR")
 src = spark.read.parquet({input_path!r})
 
-def job(i):
+def job(i, frame=None):
     out = f"/dev/shm/aroma_scale_out_{{cores}}_{{i}}"
     shutil.rmtree(out, ignore_errors=True)
-    m = run_pipeline(spark, src, out)
+    m = run_pipeline(spark, frame if frame is not None else src, out)
     shutil.rmtree(out, ignore_errors=True)
     return m
 
-job(0)  # warmup: JIT, codegen, page cache
+# Warmup on a 1/4 conv-subset: exercises every code path (JIT, codegen,
+# Arrow worker fork) and faults the full input into page cache (the
+# hash predicate cannot prune row groups, so every byte is read) at a
+# quarter of a full run's downstream cost. Measured runs use the full
+# frame, exactly as before.
+from pyspark.sql import functions as _F
+job(0, src.where(_F.pmod(_F.xxhash64("conv_id"), _F.lit(4)) == 0))
 runs = []
 for i in range({runs_per_jvm}):
     # drop the previous run's shuffle files (ContextCleaner reclaims on
@@ -216,7 +222,13 @@ def main() -> None:
     # sample, and temporally-adjacent (2, 8) batches can be paired into
     # per-window efficiency estimates that share the same machine state
     for rep in range(repeats):
-        for cores in levels:
+        # the 32-core stress level is transparency, not the criterion:
+        # run it once (rep 0) and spend the saved wall on more (2, 8)
+        # windows — the primary pair's median is what noise attacks.
+        rep_levels = levels if rep == 0 else tuple(
+            c for c in levels if c != 32
+        )
+        for cores in rep_levels:
             sentinel = sentinel_probe()
             print(f"rep={rep} cores={cores} sentinel={sentinel:.3f}s",
                   flush=True)

@@ -30,9 +30,16 @@ sys.path.insert(0, {repo!r})
 from aroma_spark.session import get_spark
 
 def tree_cpu(root_pid):
-    # utime+stime of root_pid and every descendant, in seconds
+    # utime+stime+cutime+cstime of root_pid and every live descendant,
+    # in seconds. cutime/cstime matter: Spark reaps idle Python workers
+    # between phases, and a dead worker's CPU survives only in its
+    # parent's cutime/cstime — without them the tree sum goes DOWN when
+    # workers exit (observed as negative per-phase deltas). Live
+    # children are not yet folded into the parent, so summing both
+    # never double-counts.
     ticks = os.sysconf("SC_CLK_TCK")
     children = {{}}
+    own = {{}}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -40,11 +47,14 @@ def tree_cpu(root_pid):
             with open(f"/proc/{{d}}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
             ppid = int(parts[1])
-            ut, st = int(parts[11]), int(parts[12])
+            cpu = (int(parts[11]) + int(parts[12])
+                   + int(parts[13]) + int(parts[14]))
         except (OSError, IndexError, ValueError):
             continue
-        children.setdefault(ppid, []).append((int(d), ut + st))
-    total = 0
+        pid = int(d)
+        own[pid] = cpu
+        children.setdefault(ppid, []).append(pid)
+    total = own.get(root_pid, 0)
     stack = [root_pid]
     seen = set()
     while stack:
@@ -52,16 +62,9 @@ def tree_cpu(root_pid):
         if pid in seen:
             continue
         seen.add(pid)
-        for cpid, cpu in children.get(pid, []):
-            total += cpu
+        for cpid in children.get(pid, []):
+            total += own[cpid]
             stack.append(cpid)
-    # add root itself
-    try:
-        with open(f"/proc/{{root_pid}}/stat") as f:
-            parts = f.read().rsplit(")", 1)[1].split()
-        total += int(parts[11]) + int(parts[12])
-    except OSError:
-        pass
     return total / ticks
 
 cores = {cores}
