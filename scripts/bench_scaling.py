@@ -90,20 +90,29 @@ spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
 spark.sparkContext.setLogLevel("ERROR")
 src = spark.read.parquet({input_path!r})
 
-def job(i, frame=None):
+def job(i):
     out = f"/dev/shm/aroma_scale_out_{{cores}}_{{i}}"
     shutil.rmtree(out, ignore_errors=True)
-    m = run_pipeline(spark, frame if frame is not None else src, out)
+    m = run_pipeline(spark, src, out)
     shutil.rmtree(out, ignore_errors=True)
     return m
 
-# Warmup on a 1/4 conv-subset: exercises every code path (JIT, codegen,
-# Arrow worker fork) and faults the full input into page cache (the
-# hash predicate cannot prune row groups, so every byte is read) at a
-# quarter of a full run's downstream cost. Measured runs use the full
-# frame, exactly as before.
-from pyspark.sql import functions as _F
-job(0, src.where(_F.pmod(_F.xxhash64("conv_id"), _F.lit(4)) == 0))
+# Warmup to steady state: a fresh JVM needs ~2 full-size executions
+# before JIT tiering, Arrow worker malloc arenas and JVM native buffer
+# pools stop improving (measured: the first post-warmup run of an
+# 8-core JVM ran up to 1.8x slower than its third with a single
+# warmup, dragging the level median for reasons that have nothing to
+# do with the job's scalability). Repeat full-size warmups (max 3)
+# until the wall stops improving by >10%; every warmup wall is
+# published alongside the measured runs.
+warmup_walls = []
+for _ in range(3):
+    t_w = time.time()
+    job(0)
+    w = time.time() - t_w
+    warmup_walls.append(round(w, 1))
+    if len(warmup_walls) > 1 and w > 0.9 * warmup_walls[-2]:
+        break
 runs = []
 for i in range({runs_per_jvm}):
     # drop the previous run's shuffle files (ContextCleaner reclaims on
@@ -114,6 +123,7 @@ for i in range({runs_per_jvm}):
     m = job(i + 1)
     runs.append({{"cores": cores, "points": m["total_rollup_points"],
                   "wall": m["wall_sec"], "pps": m["points_per_sec"],
+                  "warmup_walls": warmup_walls,
                   "phases": dict(
                       {{t: v["wall_sec"] for t, v in m["tiers"].items()}},
                       fingerprint=m.get("fingerprint_wall"),
@@ -258,7 +268,7 @@ def main() -> None:
         if p2 and p8:
             pair_eff.append(round((_median(p8) / _median(p2)) / 4.0, 3))
     points = results[2][0]["points"]
-    n_runs = len(results[2])
+    n_runs = {c: len(results[c]) for c in levels}
     sentinels = {
         c: [x["sentinel"] for i, x in enumerate(results[c])
             if i % max(runs_per_jvm, 1) == 0]
@@ -270,10 +280,17 @@ def main() -> None:
 Identical flagship rollup job (normalize + dedup -> per-conversation
 signal window -> raw->1m->1h->1d checkpointed tier lattice, parquet
 writes + lineage manifests) on identical pre-materialized parquet input
-({n_turns:,} synthetic turns, dense span), fresh JVM per level, warmup
-run inside each JVM, {n_runs} measured runs per level — best AND median
-reported (the median guards against the claim resting on best-case
-runs; this shared-host box shows high run-to-run variance).
+({n_turns:,} synthetic turns, dense span), fresh JVM per level,
+warmup-to-steady-state inside each JVM (full-size warmups repeat, max
+3, until the wall stops improving >10% — a fresh JVM needs ~2
+full-size executions before JIT tiering and Arrow/native buffer pools
+stop improving, and a single warmup left the first measured run up to
+1.8x slower than the third for reasons unrelated to scalability; all
+warmup walls are published in the raw runs), measured runs per level
+{n_runs} — best AND median reported (the median guards against the
+claim resting on best-case runs; this shared-host box shows high
+run-to-run variance). The 32-core stress level runs once per session:
+it is transparency, not the criterion.
 
 Each level is pinned with ``taskset -c 0..N-1`` to exactly N cores:
 without the pin, a local[2] JVM on a 32-core box silently uses the 30
