@@ -1,13 +1,29 @@
 """End-to-end rollup job orchestration — the spark-submit entry.
 
-normalize -> signals -> (optional codec blobs) -> incremental tier
-lattice with checkpoints -> metrics. This is the job that runs at
-10^12-turn scale via ``spark-submit --py-files aroma_spark.zip
--m aroma_spark.cli`` (see aroma_spark/cli.py).
+normalize -> signals -> cache -> two independent DAG branches run
+CONCURRENTLY (Spark schedules jobs from multiple driver threads onto
+the same executors):
+
+- lattice branch: raw fingerprint scan -> incremental raw->1m->1h->1d
+  tier writes with checkpoints/manifests
+- codec branch: delta-of-delta + Gorilla XOR blob encode + write
+
+Both branches read the one persisted signal frame; neither depends on
+the other's output. Overlapping them converts each branch's
+low-parallelism seconds (driver manifest commits, micro-tier jobs, the
+fingerprint reduce) into useful work for the other branch — measured
+on the 40M-turn scaling input, it removed most of the non-scaling
+wall identified by scripts/diag_scaling.py. On a real cluster the same
+shape holds: a DAG orchestrator would run independent branches
+concurrently rather than serializing every job barrier.
+
+This is the job that runs at 10^12-turn scale via ``spark-submit
+--py-files aroma_spark.zip -m aroma_spark.cli`` (see aroma_spark/cli.py).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,65 +58,80 @@ def run_pipeline(
     sig = sig.select(
         "conv_id", "turn_idx", "ts", "inter_time_us", "text_len", "tool_call"
     )
-    if encode_blobs:
-        # the signal frame feeds two actions (1m tier + blob encode):
-        # persist so the dedup exchange + window run once.
-        sig = sig.persist()
-    # change detection fingerprints the raw source (narrow scan); the
-    # dedup+window pipeline runs once, inside the 1m tier.
     timings: dict = {}
-    metrics = incremental_rollup(
-        spark, sig, out_root, source=transcripts, timings=timings
-    )
     blob_stats = None
-    if encode_blobs:
-        # north_rule: delta-of-delta timestamps + Gorilla XOR signals in
-        # vectorized Arrow UDFs — materialized per (conv, day) blob.
+    if not encode_blobs:
+        metrics = incremental_rollup(
+            spark, sig, out_root, source=transcripts, timings=timings
+        )
+    else:
+        # the signal frame feeds two branches (tier lattice + blob
+        # encode): persist so the dedup exchange + window run once.
+        sig = sig.persist()
         from pyspark.sql import functions as F
 
-        from aroma_spark.operators.codec_ops import encode_series
-
-        t_b = time.time()
-        # cached signal partitions are conv-hashed and (conv, turn)-sorted
-        # from the window — but the zero-shuffle encode path additionally
-        # needs ts monotone in turn_idx per conversation (else (conv, day)
-        # groups are non-contiguous and blob stitching would emit
-        # duplicate (conv, day) rows). inter_time_us < 0 anywhere is
-        # exactly that violation. Probe with a full aggregate, not
-        # filter().isEmpty(): isEmpty is a limit(1) whose partition ramp
-        # (1, 4, 16... tasks) materializes the cache nearly serially on
-        # its first waves — min() materializes it at full parallelism.
+        # Materialize the cache at full parallelism and answer the
+        # codec fast-path probe in ONE job. The zero-shuffle encode
+        # path needs ts monotone in turn_idx per conversation (else
+        # (conv, day) groups are non-contiguous and blob stitching
+        # would emit duplicate (conv, day) rows); inter_time_us < 0
+        # anywhere is exactly that violation. A full min() aggregate —
+        # not filter().isEmpty(), whose limit(1) partition ramp
+        # (1, 4, 16... tasks) materializes the cache nearly serially.
         min_it = sig.agg(F.min("inter_time_us")).first()[0]
         monotone = min_it is None or min_it >= 0
-        blobs = encode_series(sig, "inter_time_us", assume_clustered=monotone)
-        # blob stats ride the write job (Observation) — the previous
-        # read-back-and-aggregate was a full extra scan of what we just
-        # wrote, i.e. one more serial job barrier in the spark-submit
-        # path (and in every scaling-bench run)
-        from pyspark.sql import Observation
 
-        obs = Observation("blob_stats")
-        blobs = blobs.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_blobs"),
-            F.sum("n").alias("n_values"),
-            F.sum(
-                F.octet_length("ts_blob") + F.octet_length("val_blob")
-            ).alias("blob_bytes"),
+        blob_box: dict = {}
+
+        def _codec_branch() -> None:
+            try:
+                from pyspark.sql import Observation
+
+                from aroma_spark.operators.codec_ops import encode_series
+
+                t_b = time.time()
+                blobs = encode_series(
+                    sig, "inter_time_us", assume_clustered=monotone
+                )
+                # blob stats ride the write job (Observation) — a
+                # read-back-and-aggregate would be a full extra scan of
+                # what was just written
+                obs = Observation("blob_stats")
+                blobs = blobs.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_blobs"),
+                    F.sum("n").alias("n_values"),
+                    F.sum(
+                        F.octet_length("ts_blob") + F.octet_length("val_blob")
+                    ).alias("blob_bytes"),
+                )
+                blobs.write.mode("overwrite").parquet(f"{out_root}/blobs")
+                enc = obs.get
+                blob_box["stats"] = {
+                    "n_blobs": enc["n_blobs"],
+                    "n_values": enc["n_values"],
+                    "blob_bytes": enc["blob_bytes"],
+                    "compression_ratio": round(
+                        enc["blob_bytes"] / (16 * enc["n_values"]), 4
+                    )
+                    if enc["n_values"]
+                    else None,
+                    "wall_sec": round(time.time() - t_b, 3),
+                }
+            except BaseException as exc:  # propagate into the caller
+                blob_box["error"] = exc
+
+        codec_thread = threading.Thread(
+            target=_codec_branch, name="codec-branch", daemon=True
         )
-        blobs.write.mode("overwrite").parquet(f"{out_root}/blobs")
-        enc = obs.get
-        blob_stats = {
-            "n_blobs": enc["n_blobs"],
-            "n_values": enc["n_values"],
-            "blob_bytes": enc["blob_bytes"],
-            "compression_ratio": round(
-                enc["blob_bytes"] / (16 * enc["n_values"]), 4
-            )
-            if enc["n_values"]
-            else None,
-            "wall_sec": round(time.time() - t_b, 3),
-        }
+        codec_thread.start()
+        metrics = incremental_rollup(
+            spark, sig, out_root, source=transcripts, timings=timings
+        )
+        codec_thread.join()
+        if "error" in blob_box:
+            raise blob_box["error"]
+        blob_stats = blob_box["stats"]
     total_points = sum(m["row_count"] for m in metrics.values())
     # wall stops here: everything below is session teardown (cache
     # eviction), not pipeline work — a cluster-wide blocking barrier
