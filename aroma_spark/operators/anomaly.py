@@ -99,7 +99,13 @@ def seasonal_profile(signals: DataFrame) -> DataFrame:
     (floor µs): a float division at ~1e10 µs differs across engines in
     the last ulp and round(x, 6) cannot absorb it, while the int64
     quotient is bit-identical everywhere and sub-µs precision of a mean
-    latency is noise.
+    latency is noise. FLOOR division specifically (DuckDB ``//``
+    semantics): Spark's ``div`` truncates toward zero, which diverges
+    from the oracle when sum_latency_us is negative — possible, since
+    with_signals permits negative inter_time_us for out-of-order
+    timestamps — so the quotient is adjusted down by 1 when the sum is
+    negative with a nonzero remainder (n_turns = count(*) is always
+    positive, so the adjustment is exact).
     """
     return (
         signals.groupBy(
@@ -121,7 +127,11 @@ def seasonal_profile(signals: DataFrame) -> DataFrame:
             "sum_latency_us",
             "sum_text_len",
             "sum_tool_calls",
-            F.expr("sum_latency_us div n_turns")
+            F.expr(
+                "sum_latency_us div n_turns - (CASE WHEN"
+                " sum_latency_us < 0 AND sum_latency_us % n_turns <> 0"
+                " THEN 1 ELSE 0 END)"
+            )
             .cast("long")
             .alias("mean_latency_us"),
         )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 TABLES = (
     "region",
@@ -40,7 +41,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+INT64_MAX = (1 << 63) - 1
+
+
+def _digit_prefix_ranges(prefix: str) -> list[tuple[int, int]] | None:
+    """int64 ranges whose union is exactly {x >= 0 : str(x) startswith
+    prefix}, for a plain decimal-digit prefix; ``None`` when the prefix
+    is not digit-only (sign, letters — caller falls back to the string
+    predicate). A digit prefix never matches a negative (its string
+    starts with '-'), and no int64's string has a leading zero except
+    "0" itself, so a prefix with a leading zero matches only x==0 for
+    prefix "0" and nothing otherwise.
+    """
+    if not prefix or not prefix.isdigit():
+        return None
+    if prefix[0] == "0":
+        return [(0, 0)] if prefix == "0" else []
+    ranges: list[tuple[int, int]] = []
+    lo, width = int(prefix), 1  # numbers of total length len(prefix)+k
+    while lo <= INT64_MAX:
+        ranges.append((lo, min(lo + width - 1, INT64_MAX)))
+        lo, width = lo * 10, width * 10
+    return ranges
+
+
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, conv_prefix: str | None = None
+) -> DataFrame:
     """Derive the canonical transcript table from ``events``.
 
     Mirrors (exactly — the DuckDB oracles depend on it) the SQL::
@@ -60,8 +87,32 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     action_index) with a deterministic tie-break; here (ts, event_id)).
     One shuffle on user_id; at 100 TB this is a single hash exchange that
     every downstream per-conversation operator reuses.
+
+    ``conv_prefix``: conversation-id prefix predicate, applied BEFORE the
+    window. A prefix filter selects whole conversations, so it commutes
+    with the per-conversation row_number — filtering at the scan prunes
+    both the read and the shuffle. For a digit-only prefix the predicate
+    is rewritten into exact int64 ranges on the raw ``user_id`` column
+    (``_digit_prefix_ranges``): ``StartsWith(CAST(user_id AS STRING))``
+    alone cannot reach parquet row-group statistics through the cast,
+    while the equivalent range union pushes as ordinary min/max
+    comparisons — at 100 TB that is the difference between scanning
+    every row group and touching ~1/10th of them. The string
+    ``startswith`` is still applied after projection (semantic truth for
+    non-digit prefixes and string-typed warehouses; redundant-but-free
+    when the ranges already pruned).
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    if conv_prefix is not None:
+        ranges = _digit_prefix_ranges(conv_prefix)
+        if ranges is not None and not isinstance(
+            ev.schema["user_id"].dataType, StringType
+        ):
+            cond = F.lit(False)
+            for lo, hi in ranges:
+                cond = cond | F.col("user_id").between(lo, hi)
+            ev = ev.where(cond)
+    ev = ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
@@ -72,11 +123,14 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     # window partitioned by conv_id (not the raw user_id): Catalyst's
-    # push-through-window rule then moves conv_id predicates below the
-    # exchange, so downstream filters prune BEFORE the shuffle
-    # (verified via .explain: StartsWith lands in the scan's DataFilters).
+    # push-through-window rule moves conv_id predicates below the
+    # exchange, so downstream filters prune the shuffle. NOTE they prune
+    # the shuffle only, NOT parquet row groups: StartsWith lands in the
+    # scan's DataFilters but the CAST(user_id AS STRING) underneath
+    # blocks parquet-level pushdown — which is why conv_prefix above
+    # rewrites digit prefixes into user_id ranges at the scan.
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
-    return ev.select(
+    out = ev.select(
         "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         "role",
@@ -84,6 +138,9 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool",
         "ts",
     )
+    if conv_prefix is not None:
+        out = out.where(F.col("conv_id").startswith(conv_prefix))
+    return out
 
 
 # SQL fragment kept in lockstep with transcripts_from_events(); the

@@ -36,6 +36,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Warmup-to-steady-state rule, shared by the JOB template and the
+# published methodology text so the two can never drift (ADVICE r4):
+# repeat full-size warmups until the last fails to improve the best
+# prior warmup wall by more than WARMUP_IMPROVE, capped at MAX_WARMUPS.
+MAX_WARMUPS = 6
+WARMUP_IMPROVE = 0.05
+
 GEN = r"""
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -103,16 +110,17 @@ def job(i):
 # faster than its 1st even after two converged-looking warmups; the
 # wider the level, the longer the ramp). Measuring mid-ramp drags the
 # level median for reasons that have nothing to do with the job's
-# scalability, so warmups repeat (max 6) until the last one fails to
-# improve the best warmup wall by >5% — i.e. until the JVM stops
-# getting faster. Every warmup wall is published with the runs.
+# scalability, so warmups repeat (max {max_warmups}) until the last one
+# fails to improve the best warmup wall by >{improve_pct}% — i.e. until
+# the JVM stops getting faster. Every warmup wall is published with the
+# runs.
 warmup_walls = []
-for _ in range(6):
+for _ in range({max_warmups}):
     t_w = time.time()
     job(0)
     w = time.time() - t_w
     warmup_walls.append(round(w, 1))
-    if len(warmup_walls) > 1 and w > 0.95 * min(warmup_walls[:-1]):
+    if len(warmup_walls) > 1 and w > (1 - {improve}) * min(warmup_walls[:-1]):
         break
 runs = []
 for i in range({runs_per_jvm}):
@@ -165,7 +173,9 @@ def sentinel_probe() -> float:
 
 def run(cores: int, input_path: str, runs_per_jvm: int = 5) -> list[dict]:
     code = JOB.format(
-        repo=REPO, cores=cores, input_path=input_path, runs_per_jvm=runs_per_jvm
+        repo=REPO, cores=cores, input_path=input_path,
+        runs_per_jvm=runs_per_jvm, max_warmups=MAX_WARMUPS,
+        improve=WARMUP_IMPROVE, improve_pct=int(WARMUP_IMPROVE * 100),
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
     # one retry: this sandbox occasionally segfaults a whole JVM/worker
@@ -283,7 +293,8 @@ signal window -> raw->1m->1h->1d checkpointed tier lattice, parquet
 writes + lineage manifests) on identical pre-materialized parquet input
 ({n_turns:,} synthetic turns, dense span), fresh JVM per level,
 warmup-to-steady-state inside each JVM (full-size warmups repeat, max
-3, until the wall stops improving >10% — a fresh JVM needs ~2
+{MAX_WARMUPS}, until the last fails to improve the best prior warmup
+wall by >{int(WARMUP_IMPROVE * 100)}% — a fresh JVM needs ~2-4
 full-size executions before JIT tiering and Arrow/native buffer pools
 stop improving, and a single warmup left the first measured run up to
 1.8x slower than the third for reasons unrelated to scalability; all
