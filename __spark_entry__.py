@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 4: 89 registered queries, ALL 89 with hash-compared DuckDB
+Round 5: 90 registered queries, ALL 90 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -15,17 +15,18 @@ oracle-checks exactly like ``ivf_topk``), the downsample family
 (M4, reset-aware counter rate, time-weighted average), incremental
 tier maintenance (``tier_refresh_1h`` — the oracle IS the full rebuild,
 so incremental == rebuild is hash-checked — and the retention splice
-``tiered_read``), and the anomaly family (``zscore_1h``,
+``tiered_read``), the anomaly family (``zscore_1h``,
 ``seasonal_profile``), the analytics wave (calendar ``rollup_1mo``,
 sketch-rollup ``hist_quantiles_1d``, Pearson/autocorrelation
 ``corr_len_latency``/``autocorr_len_lag1``, changepoint
-``level_shift_w8``, PAA/SAX ``paa_8``/``sax_8``), and ``lttb_12``
-(sequential LTTB per conversation, its DuckDB twin replaying the
-previous-point recurrence as a recursive CTE). All validated
-hash-exact at sf0.01; the doc/dedup family additionally at sf0.1
-(scripts/validate_oracle.py). The registry is ordered so the 38 queries
-without a prior driver-green row land inside the driver's 50-entry
-correctness window (see the rotation note at the end of ``queries()``).
+``level_shift_w8``, PAA/SAX ``paa_8``/``sax_8``, ``lttb_12``), and —
+new in round 5 — ``streaming_rollup_parity`` (the Structured Streaming
+1m tier run to completion over an 8-micro-batch staged stream,
+hash-compared against the batch SQL twin). All validated hash-exact at
+sf0.01; the doc/dedup family and the round-4 analytics wave
+additionally at sf0.1 (scripts/validate_oracle.py). The registry is
+round-robin ordered so every query's driver-green row is at most one
+round stale (see the rotation note at the end of ``queries()``).
 
 The transcript-shaped input mandated by BASELINE.json input_hint is
 derived deterministically from ``events`` (see
@@ -2064,28 +2065,41 @@ SELECT doc_id,
   ) / 3.0 AS quality_score
 FROM s"""
 
+    # doc_langid oracle GENERATED from the same LANG_MARKERS /
+    # SCRIPT_CLASSES tables the engine reads — widening the tables
+    # widens both engines in lockstep (round-4 verdict item 7)
     def _cnt(m: str) -> str:
         return f"CAST((length(low) - length(replace(low, '{m}', ''))) / {len(m)} AS BIGINT)"
 
-    from aroma_spark.functions.text import LANG_MARKERS
+    from aroma_spark.functions.text import LANG_MARKERS, SCRIPT_CLASSES
 
     score_exprs = {
         lang: " + ".join(_cnt(m) for m in marks)
         for lang, marks in LANG_MARKERS.items()
     }
     score_sel = ", ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    script_sel = ", ".join(
+        f"CAST(length(low) - length(regexp_replace(low, '{cls}', '', 'g')) AS BIGINT) AS c_{lang}"
+        for lang, cls in SCRIPT_CLASSES.items()
+    )
+    best_expr = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in LANG_MARKERS
+    ) + ")"
     pick = "'und'"
     for lang in reversed(list(LANG_MARKERS)):
         pick = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {pick} END"
+    script_whens = "\n       ".join(
+        f"WHEN c_{lang} * 4 > ntok THEN '{lang}'" for lang in SCRIPT_CLASSES
+    )
     o["doc_langid"] = f"""
 WITH l AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS low FROM documents),
 s AS (SELECT doc_id, low, {score_sel},
-      CAST(length(low) - length(regexp_replace(low, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk,
+      {script_sel},
       CAST(CASE WHEN trim(low) = '' THEN 0 ELSE len(regexp_split_to_array(trim(low), '\\s+')) END AS BIGINT) AS ntok
       FROM l),
-b AS (SELECT *, greatest(s_en, s_fr, s_de, s_es) AS best FROM s)
+b AS (SELECT *, {best_expr} AS best FROM s)
 SELECT doc_id,
-  CASE WHEN cjk * 4 > ntok THEN 'zh'
+  CASE {script_whens}
        WHEN best = 0 THEN 'und'
        ELSE {pick} END AS lang_pred
 FROM b"""

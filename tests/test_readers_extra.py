@@ -52,3 +52,33 @@ def test_vocab_equal(spark, tiny_transcripts):
     assert vocab_equal(a, b)
     # same counts, different index order -> not equal (reference semantics)
     assert not vocab_equal(a, c)
+
+
+def test_digit_prefix_ranges_exact():
+    """The int64-range rewrite is EXACTLY the string-prefix predicate."""
+    from aroma_spark.sources.transcripts import _digit_prefix_ranges
+
+    for prefix in ("1", "9", "42", "100", "0"):
+        rs = _digit_prefix_ranges(prefix)
+        got = {x for lo, hi in rs for x in range(lo, min(hi, 10**5) + 1)}
+        want = {x for x in range(10**5 + 1) if str(x).startswith(prefix)}
+        assert got == want, prefix
+    assert _digit_prefix_ranges("07") == []  # no int64 prints "07..."
+    assert _digit_prefix_ranges("-3") is None  # non-digit -> fallback
+    assert _digit_prefix_ranges("x") is None
+
+
+def test_conv_prefix_matches_startswith(spark):
+    """conv_prefix (range-pushdown path) == plain startswith filter."""
+    from aroma_spark.operators.vocab import filter_by_prefix
+    from aroma_spark.sources.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    fast = transcripts_from_events(spark, sf, conv_prefix="1")
+    slow = filter_by_prefix(
+        transcripts_from_events(spark, sf), "conv_id", "1"
+    )
+    assert fast.exceptAll(slow).isEmpty() and slow.exceptAll(fast).isEmpty()
+    # and the ranges actually reach the parquet scan
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), Or(" in plan

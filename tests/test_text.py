@@ -49,6 +49,34 @@ def test_lang_id(spark, docs):
     assert out[6] == "zh"
 
 
+def test_lang_id_wide(spark):
+    """Per-language sentence fixture — the measured-accuracy claim in
+    COVERAGE.md: 15/15 on one natural sentence per supported language."""
+    sents = [
+        ("en", "the cat sat on the mat and looked out of the window"),
+        ("fr", "le chat dort sur la table et les oiseaux chantent"),
+        ("de", "der hund und die katze spielen in das haus hinein"),
+        ("es", "el perro corre por los campos y las flores crecen"),
+        ("it", "il gatto che dorme di giorno corre per la casa"),
+        ("pt", "uma casa com jardim por aqui não existe mais"),
+        ("nl", "het huis is een mooi gebouw van steen en niet klein"),
+        ("ja", "今日はとても良い天気ですね、散歩に行きましょう"),
+        ("zh", "今天天气很好我们一起去公园散步吧"),
+        ("ko", "오늘 날씨가 정말 좋아서 공원에 갔어요"),
+        ("ru", "сегодня хорошая погода и мы идём гулять в парк"),
+        ("ar", "الطقس جميل اليوم ونحن ذاهبون إلى الحديقة"),
+        ("el", "ο καιρός είναι ωραίος σήμερα και πάμε βόλτα"),
+        ("he", "מזג האוויר יפה היום ואנחנו הולכים לפארק"),
+        ("hi", "आज मौसम बहुत अच्छा है और हम पार्क जा रहे हैं"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(sents)], "doc_id long, text string"
+    )
+    out = lang_id(df).toPandas().set_index("doc_id").lang_pred
+    got = [(sents[i][0], out[i]) for i in range(len(sents))]
+    assert all(want == pred for want, pred in got), got
+
+
 def test_fingerprint_normalization(spark):
     rows = [(0, "Hello   World"), (1, "hello world"), (2, "other")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
