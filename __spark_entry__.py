@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 90 registered queries, ALL 90 with hash-compared DuckDB
+Round 5: 92 registered queries, ALL 92 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -858,6 +858,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_tokens"] = doc_bpe_tokens
 
+    # --- PII scrubbing + URL-domain provenance (round 5). The synth
+    # corpus has no emails/URLs, so both engines inject a deterministic
+    # PII slice into every 5th document first (the dedup_exact
+    # non-vacuous-oracle pattern) — the redaction counts then provably
+    # count and the replacements provably rewrite. ---
+    def _with_pii(docs: DataFrame) -> DataFrame:
+        base = F.coalesce(F.col("text"), F.lit(""))
+        injected = F.concat(
+            base,
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com see https://cdn"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/path?x=1 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        )
+        return docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, injected)
+            .otherwise(base)
+            .alias("text"),
+        )
+
+    def doc_redact(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import redact_pii
+
+        return redact_pii(
+            _with_pii(load_table(spark, sf, "documents"))
+        ).select(
+            "doc_id",
+            "n_email",
+            "n_url",
+            "n_ipv4",
+            F.md5("text_redacted").alias("redacted_md5"),
+        )
+
+    q["doc_redact"] = doc_redact
+
+    def doc_domains(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import domain_counts
+
+        return domain_counts(_with_pii(load_table(spark, sf, "documents")))
+
+    q["doc_domains"] = doc_domains
+
     # --- similarity search: embeddings ---
     def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb = load_table(spark, sf, "embeddings")
@@ -1226,9 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must re-earn its driver row despite being r4-green
         "seasonal_profile",
         # new this round — need first driver rows
-        "streaming_rollup_parity",
-        # flagship invariants: always in-window
-        "signals", "rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1h",
+        "streaming_rollup_parity", "doc_redact", "doc_domains",
+        # flagship invariants kept in-window (rollup_1h/1d yield their
+        # slots to the new queries; both are r4-green, same SQL shape as
+        # rollup_1m, and back in-window next rotation)
+        "signals", "rollup_1m", "gapfill_1h",
         "codec_roundtrip", "dedup_exact", "curate_stats",
         "doc_dup_clusters",
     ]
@@ -2103,6 +2151,34 @@ SELECT doc_id,
        WHEN best = 0 THEN 'und'
        ELSE {pick} END AS lang_pred
 FROM b"""
+
+    # redaction / domain oracles generated from REDACTION_RULES /
+    # DOMAIN_PATTERN — single source of truth with the engine
+    from aroma_spark.functions.text import DOMAIN_PATTERN, REDACTION_RULES
+
+    PII_CTE = """WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      COALESCE(text,'') || ' contact doc' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com see https://cdn' || CAST(doc_id % 37 AS VARCHAR)
+      || '.example.org/path?x=1 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+    ELSE COALESCE(text,'') END AS text
+  FROM documents)"""
+    count_sel = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in REDACTION_RULES
+    )
+    red_expr = "text"
+    for _, pat, tok in REDACTION_RULES:
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '{tok}', 'g')"
+    o["doc_redact"] = f"""{PII_CTE}
+SELECT doc_id, {count_sel}, md5({red_expr}) AS redacted_md5
+FROM d"""
+    o["doc_domains"] = f"""{PII_CTE}
+SELECT domain, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{DOMAIN_PATTERN}', 1)) AS domain FROM d)
+GROUP BY domain"""
 
     o["doc_fingerprint"] = """
 SELECT doc_id, md5(COALESCE(text,'')) AS fp_exact,

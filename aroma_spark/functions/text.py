@@ -245,3 +245,72 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_norm"),
         rolling_hash(F.col(text_col)).alias("fp_rolling"),
     )
+
+
+# PII-ish redaction rules for training-data scrubbing. Each rule is
+# (kind, pattern, replacement token); patterns avoid lookaround and
+# non-ASCII classes so Java regex (Spark) and RE2 (DuckDB) match the
+# same spans. Counts are taken on the ORIGINAL text; replacements apply
+# sequentially in list order (the SQL twin in __spark_entry__ is
+# generated from this list, so the two engines can never drift).
+REDACTION_RULES: list[tuple[str, str, str]] = [
+    # explicit ASCII classes, not \s/\d: Java's \s includes \x0B, RE2's
+    # does not (same cross-engine discipline as BPE_PATTERN); \b is
+    # ASCII-word-boundary in both engines.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ \\t\\n\\r]+", "<URL>"),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / URLs / IPv4 literals from a document corpus — the
+    standard pre-training privacy pass. Adds ``n_<kind>`` match counts
+    (over the original text) and ``text_redacted``. Pure Catalyst
+    regexp expressions: map-side, no shuffle, whole-stage codegen.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, pat, _ in REDACTION_RULES
+    ]
+    red = c
+    for _, pat, tok in REDACTION_RULES:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select("*", *cols, red.alias("text_redacted"))
+
+
+DOMAIN_PATTERN = "https?://([^/ \\t\\n\\r]+)"
+
+
+def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL-domain frequency over a corpus (the provenance histogram a
+    training pipeline keeps per crawl): extract every ``scheme://host``
+    host, one row per (domain) with total mentions and distinct docs.
+
+    Shape at 100 TB: regexp extraction and the explode are map-side; the
+    single shuffle is the groupBy on domain (low cardinality vs rows).
+    A Zipf-headed domain (one CDN everywhere) is a hot aggregation key —
+    Spark's partial aggregation combines map-side, so the reducer sees
+    one partial per task, not one row per mention.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(c, F.lit(DOMAIN_PATTERN), 1)
+            ).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

@@ -153,3 +153,42 @@ def test_ngram_overlap_bloom_superset_of_exact(spark):
         assert bloom[d][0] == exact[d][0]
         assert bloom[d][1] >= exact[d][1]
     assert bloom == exact  # 8M-bit filter, 4 items: no false positives
+
+
+def test_redact_pii(spark):
+    from aroma_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "write to bob.smith+x@corp.example.com today"),
+        (1, "fetch https://a.example.org/p?q=1 and http://b.example.net"),
+        (2, "server at 10.1.2.3 and 192.168.0.254 replied"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = redact_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[0].n_email == 1 and "<EMAIL>" in out.loc[0].text_redacted
+    assert "bob.smith" not in out.loc[0].text_redacted
+    assert out.loc[1].n_url == 2
+    assert out.loc[1].text_redacted == "fetch <URL> and <URL>"
+    assert out.loc[2].n_ipv4 == 2 and out.loc[2].text_redacted.count("<IP>") == 2
+    assert out.loc[3].text_redacted == "no pii here"
+    assert out.loc[4].text_redacted == ""
+
+
+def test_domain_counts(spark):
+    from aroma_spark.functions.text import domain_counts
+
+    rows = [
+        (0, "see https://cdn.example.org/a and https://cdn.example.org/b"),
+        (1, "also http://cdn.example.org and https://other.example.net/x"),
+        (2, "nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.domain: (r.n_mentions, r.n_docs)
+        for r in domain_counts(df).collect()
+    }
+    assert out["cdn.example.org"] == (3, 2)
+    assert out["other.example.net"] == (1, 1)
+    assert len(out) == 2
