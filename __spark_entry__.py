@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 92 registered queries, ALL 92 with hash-compared DuckDB
+Round 5: 95 registered queries, ALL 95 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -122,6 +122,11 @@ MULTITHUMOS_FIXTURES = {
 CLASSLIST_FIXTURE = ["7 BasketballDunk", "12 CliffDiving", "45 Diving"]
 
 N_IVF_CENTROIDS = 16
+
+# cosine threshold for semantic (embedding) near-dup clustering; shared
+# by the Spark query and the generated DuckDB twin so the two engines
+# filter the identical rounded-cosine pair set
+EMB_DUP_TAU = 0.15
 
 
 def _ensure_codebook_fixture(sf_dir: str) -> str:
@@ -299,6 +304,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_exact(t.unionByName(dup_slice))
 
     q["dedup_exact"] = dedup_exact_q
+
+    def burst_collapse(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.normalize import collapse_bursts
+
+        t = transcripts_from_events(spark, sf)
+        # the synth transcripts have no repeated payloads, so inject a
+        # deterministic burst slice (the dedup_exact non-vacuous-oracle
+        # pattern): one copy 30 s after the original (same burst — gap
+        # 300 s) and one 30 min after (provably a NEW burst).
+        dup = t.where(
+            (F.col("turn_idx") < 3) & F.col("conv_id").endswith("7")
+        )
+
+        def shifted(delta: str, idx_off: int) -> DataFrame:
+            return dup.select(
+                "conv_id",
+                (F.col("turn_idx") + idx_off).cast("int").alias("turn_idx"),
+                "role",
+                "text",
+                "tool",
+                (F.col("ts") + F.expr(f"INTERVAL {delta}")).alias("ts"),
+            )
+
+        u = t.unionByName(shifted("30 SECONDS", 1000)).unionByName(
+            shifted("30 MINUTES", 2000)
+        )
+        return collapse_bursts(u).select(
+            "conv_id", "turn_idx", "role", "ts", "burst_id", "n_collapsed"
+        )
+
+    q["burst_collapse"] = burst_collapse
 
     # --- vocab (SURVEY §2.3/2.4/2.6: A1, O4, O6, J1) ---
     q["vocab_role"] = lambda spark, sf: build_vocab(
@@ -564,6 +600,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return signal_corr(_signals(spark, sf))
 
     q["corr_len_latency"] = corr_len_latency
+
+    # --- per-(conv, day) OLS latency drift over the 1h tier: x =
+    # hour-of-day grid index, y = the bucket's int64 latency sum; the
+    # five sufficient statistics are exact int64, slope/intercept one
+    # fixed double expression (stats.linear_trend docstring)
+    def trend_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import linear_trend
+
+        tier = rollup_lattice(_signals(spark, sf))["1h"]
+        x = tier.select(
+            "conv_id",
+            F.to_date("bucket_ts").alias("day"),
+            F.hour("bucket_ts").cast("long").alias("hod"),
+            "sum_latency_us",
+        )
+        return linear_trend(x, "hod", "sum_latency_us", ["conv_id", "day"])
+
+    q["trend_1d"] = trend_1d
 
     # --- lag-1 autocorrelation of reply length per conversation
     def autocorr_len_lag1(spark: SparkSession, sf: str) -> DataFrame:
@@ -913,6 +967,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_lsh_pairs"] = lambda spark, sf: lsh_ann_pairs(
         load_table(spark, sf, "embeddings"), n_planes=6, dim=64, min_cosine=0.15
     )
+
+    # --- semantic near-dup clusters: the embedding analog of
+    # doc_dup_clusters — LSH cosine pairs at the dup threshold, then the
+    # same distributed min-label closure. Candidates only ever meet
+    # inside an LSH signature bucket; the closure runs on the pair set,
+    # never the corpus.
+    def emb_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.clusters import connected_components
+
+        pairs = lsh_ann_pairs(
+            load_table(spark, sf, "embeddings"),
+            n_planes=6,
+            dim=64,
+            min_cosine=EMB_DUP_TAU,
+        )
+        return connected_components(
+            pairs, "id_a", "id_b", id_out="vec_id", component_out="component"
+        )
+
+    q["emb_dup_clusters"] = emb_dup_clusters
 
     # IVF: the scale path for ANN — assign once, probe a few lists
     def ivf_assign_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -1273,11 +1347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile",
         # new this round — need first driver rows
         "streaming_rollup_parity", "doc_redact", "doc_domains",
-        # flagship invariants kept in-window (rollup_1h/1d yield their
-        # slots to the new queries; both are r4-green, same SQL shape as
-        # rollup_1m, and back in-window next rotation)
-        "signals", "rollup_1m", "gapfill_1h",
-        "codec_roundtrip", "dedup_exact", "curate_stats",
+        "burst_collapse", "trend_1d", "emb_dup_clusters",
+        # flagship invariants kept in-window (rollup_1h/1d/gapfill_1h/
+        # codec_roundtrip/dedup_exact yield their slots to the six new
+        # queries; all five are r4-green on unchanged code and rotate
+        # back in-window next round)
+        "signals", "rollup_1m", "curate_stats",
         "doc_dup_clusters",
     ]
     missing = [n for n in first_window if n not in q]
@@ -1410,6 +1485,33 @@ p AS (SELECT conv_id, CAST(text_len AS BIGINT) AS x,
              inter_time_us // 1000000 AS y FROM sig),
 a AS ({_corr_agg})
 SELECT conv_id, n AS n_pairs, {_corr_sql} AS corr FROM a"""
+    _trend_slope = (
+        "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0"
+        " THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
+    )
+    o["trend_1d"] = f"""{SIG_SQL},
+tier AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+                CAST(sum(inter_time_us) AS BIGINT) AS y
+         FROM sig GROUP BY 1, 2),
+x AS (SELECT conv_id, CAST(bucket_ts AS DATE) AS day,
+             CAST(hour(bucket_ts) AS BIGINT) AS hx, y FROM tier),
+a AS (SELECT conv_id, day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hx) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(hx * y) AS BIGINT) AS sxy,
+             CAST(sum(hx * hx) AS BIGINT) AS sxx
+      FROM x GROUP BY 1, 2)
+SELECT conv_id, day, n, sx, sy, sxy, sxx,
+       {_trend_slope} AS slope,
+       (CAST(sy AS DOUBLE) - ({_trend_slope}) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM a"""
+
     o["autocorr_len_lag1"] = f"""{SIG_SQL},
 lagged AS (SELECT conv_id,
              lag(CAST(text_len AS BIGINT)) OVER
@@ -1865,6 +1967,33 @@ u AS (SELECT * FROM t
       SELECT * FROM t WHERE turn_idx < 3 AND conv_id LIKE '%7')
 SELECT DISTINCT * FROM u"""
 
+    o["burst_collapse"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+u AS (SELECT * FROM t
+      UNION ALL
+      SELECT conv_id, CAST(turn_idx + 1000 AS INT) AS turn_idx, role, text,
+             tool, ts + INTERVAL 30 SECOND AS ts
+      FROM t WHERE turn_idx < 3 AND conv_id LIKE '%7'
+      UNION ALL
+      SELECT conv_id, CAST(turn_idx + 2000 AS INT) AS turn_idx, role, text,
+             tool, ts + INTERVAL 30 MINUTE AS ts
+      FROM t WHERE turn_idx < 3 AND conv_id LIKE '%7'),
+x AS (SELECT *, md5(COALESCE(text, '')) AS h, epoch_us(ts) AS tus FROM u),
+b AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 300000000
+                     THEN 1 ELSE 0 END AS nb
+      FROM x WINDOW w AS (PARTITION BY conv_id, h ORDER BY tus, turn_idx)),
+bid AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY conv_id, h
+                    ORDER BY tus, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS burst_id
+        FROM b),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, h, burst_id
+                                   ORDER BY tus, turn_idx) AS rn,
+             CAST(count(*) OVER (PARTITION BY conv_id, h, burst_id)
+                  AS BIGINT) AS n_collapsed
+      FROM bid)
+SELECT conv_id, turn_idx, role, ts, burst_id, n_collapsed FROM k WHERE rn = 1"""
+
     vocab_core = f"""WITH t AS ({TRANSCRIPTS_SQL}),
 c AS (SELECT role AS token, CAST(count(*) AS BIGINT) AS count FROM t WHERE role IS NOT NULL GROUP BY role)"""
     o["vocab_role"] = f"""{vocab_core}
@@ -2232,6 +2361,31 @@ pairs AS (
   FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.15"""
+
+    # semantic near-dup clusters: the emb_lsh_pairs pair set at the dup
+    # threshold, closed with the same recursive reachability the doc
+    # closure uses; component = min reachable id, engine-portable
+    o["emb_dup_clusters"] = f"""WITH RECURSIVE sigs AS (
+  SELECT vec_id, embedding, ({sig_expr}) AS sig FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {EMB_DUP_TAU}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src
+),
+comp AS (SELECT node, LEAST(node, min(r)) AS component FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(component AS BIGINT) AS component
+FROM comp"""
 
     def _ivf_assign_sql(cents_cte: str) -> str:
         return f"""

@@ -131,3 +131,67 @@ def sequence_content_hash(df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_turns"),
         )
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    gap_us: int = 300_000_000,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal dedup: collapse *bursts* of identical messages.
+
+    Retry storms, double-sends and tool loops emit the same payload
+    into one conversation seconds apart; full-record dedup misses them
+    (the timestamps differ) while content dedup over-merges (the same
+    greeting a week later is legitimately a new message). The standard
+    semantics — used by log dedup and event-collapse stages — keeps the
+    FIRST message of each burst, where a burst is a maximal run of rows
+    with the same ``(conv_id, md5(text))`` whose inter-arrival gap never
+    exceeds ``gap_us``. Note the chain rule: rows at t=0s, 200s, 400s
+    with a 300s gap budget form ONE burst (each link is short) even
+    though first->last exceeds the budget — this is sessionization per
+    content key, not a fixed lookback.
+
+    Physical shape: ONE hash exchange on ``(conv_id, text_hash)``; the
+    burst boundary (lag), the burst id (running sum of boundary flags)
+    and the survivor pick (row_number) are three window passes over the
+    same sort within that exchange — Catalyst collapses them into a
+    single sort + window stage chain, no second shuffle. At 100 TB this
+    rides the same key discipline as every dedup operator here:
+    candidates only ever meet inside their (conv, content) group.
+
+    Returns the surviving rows plus ``n_collapsed`` (burst size) and
+    ``burst_id`` (per-(conv, hash) ordinal, deterministic).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    order = [F.unix_micros(F.col(ts_col)), F.col("turn_idx")]
+    w = Window.partitionBy("conv_id", h).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_burst = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > F.lit(gap_us))
+    ).cast("long")
+    with_burst = df.withColumn("__text_hash", h).withColumn(
+        "__new_burst", new_burst
+    )
+    wb = Window.partitionBy("conv_id", "__text_hash").orderBy(*order)
+    with_id = with_burst.withColumn(
+        "burst_id",
+        F.sum("__new_burst")
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    wk = Window.partitionBy("conv_id", "__text_hash", "burst_id")
+    return (
+        with_id.withColumn(
+            "__rn", F.row_number().over(wk.orderBy(*order))
+        )
+        .withColumn(
+            "n_collapsed", F.count(F.lit(1)).over(wk).cast("long")
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__text_hash", "__new_burst")
+    )

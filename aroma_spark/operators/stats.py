@@ -215,3 +215,70 @@ def categorical_entropy(
         "n_other",
         ent.alias("entropy"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit — the drift detector
+    every rollup store runs over its tiers ("is this conversation's
+    latency climbing through the day?"). Returns
+    (group, n, sx, sy, sxy, sxx, slope, intercept).
+
+    House discipline (module docstring): ``x`` and ``y`` must be int64
+    columns; the five sufficient statistics are exact int64 sums (one
+    aggregation, map-side combinable), and slope/intercept are each ONE
+    fixed double expression over those partials, so the Spark plan and
+    the DuckDB twin produce bit-identical doubles:
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept = (Sy - slope*Sx) / n
+
+    Degenerate groups (n < 2 or zero x-variance) yield NULL slope and
+    intercept. Overflow bound: n * max|x| * max|y| < 2^63 — designed for
+    tier inputs where x is a small grid index (hour-of-day <= 23) and y
+    an int64 bucket aggregate; at x <= 23 and y <= 10^12 µs the binding
+    term n*Sxy saturates around n ~ 10^4 buckets per group, far above
+    the 24 a (conv, day) group can hold.
+
+    Physical shape: one hash exchange on the group key with partial
+    aggregation — identical to every sufficient-statistic operator in
+    this module; at 100 TB it rides the (conv_id, day) key with no
+    skew beyond what the calendar already bounds.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    denom = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0.0),
+        (nd * F.col("sxy").cast("double") - sxd * syd) / denom,
+    )
+    intercept = (syd - slope * sxd) / nd
+    # NO round(): slope/intercept reach ~1e10 for µs-scale y, where
+    # round-to-6-decimals needs x*1e6 ~ 1e16 — past double precision, so
+    # Spark's BigDecimal HALF_UP and DuckDB's rounding flip different
+    # ulps. The raw expressions are already bit-identical (exact int64
+    # inputs + one fixed double tree), so rounding only DESTROYS parity.
+    return agg.select(
+        *group_cols,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -125,3 +125,23 @@ def test_dedup_survivors_keep_best(spark):
         r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
     )
     assert got_min == [1, 4, 9]
+
+
+def test_embedding_dup_clusters_composition(spark):
+    """lsh_ann_pairs -> connected_components: identical vectors land in
+    one component; the antipodal vector shares no signature bucket (all
+    plane signs flip) and emits no pairs, so it is absent from the
+    label frame (unpaired = trivially its own cluster downstream)."""
+    from aroma_spark.operators.clusters import connected_components
+    from aroma_spark.operators.similarity import lsh_ann_pairs
+
+    base = [1.0, 0.25, -0.5, 2.0]
+    rows = [(0, base), (1, list(base)), (2, list(base)),
+            (3, [-v for v in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = lsh_ann_pairs(emb, n_planes=4, dim=4, min_cosine=0.9)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="vec_id", component_out="component"
+    )
+    got = {r.vec_id: r.component for r in comp.collect()}
+    assert got == {0: 0, 1: 0, 2: 0}

@@ -91,3 +91,58 @@ def test_sequence_content_hash_detects_duplicate_conversations(spark):
     h = sequence_content_hash(df).toPandas()
     assert h[h.conv_id == "s1"].content_hash.iloc[0] == h[h.conv_id == "s2"].content_hash.iloc[0]
     assert h[h.conv_id == "s3"].content_hash.iloc[0] != h[h.conv_id == "s1"].content_hash.iloc[0]
+
+
+def test_collapse_bursts_keeps_first_per_burst(spark):
+    from datetime import datetime
+
+    from aroma_spark.operators.normalize import collapse_bursts
+
+    def t(s):
+        return datetime(2024, 1, 1, 12, 0, s)
+
+    rows = [
+        # burst of three identical retries 10 s apart -> one survivor
+        ("c1", 0, "user", "hello", None, t(0)),
+        ("c1", 1, "user", "hello", None, t(10)),
+        ("c1", 2, "user", "hello", None, t(20)),
+        # same text much later -> its own burst
+        ("c1", 3, "user", "hello", None, datetime(2024, 1, 1, 13, 0, 0)),
+        # different text inside the burst window -> untouched
+        ("c1", 4, "user", "bye", None, t(15)),
+        # other conversation, same text -> independent
+        ("c2", 0, "user", "hello", None, t(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = collapse_bursts(df, gap_us=30_000_000).toPandas()
+    kept = {(r.conv_id, r.turn_idx): (r.burst_id, r.n_collapsed)
+            for r in out.itertuples()}
+    assert kept == {
+        ("c1", 0): (1, 3),  # survivor of the 3-row burst
+        ("c1", 3): (2, 1),  # later burst of the same text
+        ("c1", 4): (1, 1),
+        ("c2", 0): (1, 1),
+    }
+
+
+def test_collapse_bursts_chain_rule(spark):
+    """t=0,25,50 s with a 30 s gap: one burst even though first->last
+    exceeds the gap (sessionization, not fixed lookback)."""
+    from datetime import datetime
+
+    from aroma_spark.operators.normalize import collapse_bursts
+
+    rows = [
+        ("c", i, "user", "x", None, datetime(2024, 1, 1, 0, 0, 25 * i))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = collapse_bursts(df, gap_us=30_000_000).collect()
+    assert len(out) == 1
+    assert out[0].turn_idx == 0 and out[0].n_collapsed == 3

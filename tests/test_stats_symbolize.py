@@ -244,3 +244,37 @@ def test_categorical_entropy_rejects_bad_categories(spark):
         categorical_entropy(df, ())
     with pytest.raises(ValueError, match="duplicate"):
         categorical_entropy(df, ("a", "a"))
+
+
+def test_linear_trend_pinned(spark):
+    """y = 3x + 2 exactly -> slope 3, intercept 2; plus degenerate
+    groups (single point, zero x-variance) -> NULL."""
+    from aroma_spark.operators.stats import linear_trend
+
+    rows = (
+        [("a", x, 3 * x + 2) for x in (0, 1, 2, 3)]
+        + [("single", 5, 100)]
+        + [("novar", 2, 10), ("novar", 2, 20)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in linear_trend(df, "x", "y", ["g"]).collect()}
+    assert out["a"].slope == 3.0 and out["a"].intercept == 2.0
+    assert out["a"].n == 4 and out["a"].sxy == sum(x * (3 * x + 2) for x in range(4))
+    assert out["single"].slope is None and out["single"].intercept is None
+    assert out["novar"].slope is None
+
+
+def test_linear_trend_matches_numpy(spark):
+    import numpy as np
+
+    from aroma_spark.operators.stats import linear_trend
+
+    xs = [0, 1, 2, 5, 7, 11, 13]
+    ys = [17, 3, 42, 8, 91, 25, 60]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    row = linear_trend(df, "x", "y", ["g"]).collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(row.slope - slope) < 1e-6
+    assert abs(row.intercept - intercept) < 1e-6
