@@ -314,3 +314,53 @@ def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+def tfidf_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF scores — the keyword-salience table a
+    curation pipeline derives for topic filtering, boilerplate spotting
+    (high-df terms score ~0 everywhere) and cheap keyword search.
+
+    Tokenization is the corpus-standard whitespace split on
+    lower(trim(text)) — byte-identical to the shingle/minhash family's
+    tokenizer, so the same DuckDB twin applies. Smoothed idf:
+
+        tfidf = tf * ln((N + 1) / (df + 1))
+
+    with tf = term occurrences in the doc (int64), df = docs containing
+    the term (int64), N = corpus size (int64). The score is ONE fixed
+    double expression over exact integers; ln's last-ulp wobble across
+    engines is absorbed by round(6) (the entropy/jaccard pattern).
+
+    Shape at 100 TB: explode + two hash aggregations (per-(doc,term)
+    counts ride a (doc_id, term) exchange; df rides a (term) exchange,
+    both map-side combinable) + one join on term. N arrives via a
+    broadcast of a 1-row aggregate — never a driver collect. Zipf-headed
+    terms ("the") are hot df keys — partial aggregation bounds the
+    reducer at one row per task; the final join fans the tiny df table
+    back across the tf rows (AQE picks broadcast when the vocab fits).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = tf.join(docfreq, "term").crossJoin(F.broadcast(n))
+    idf = F.log(
+        (F.col("n_docs") + F.lit(1)).cast("double")
+        / (F.col("df") + F.lit(1)).cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )

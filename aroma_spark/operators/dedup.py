@@ -363,3 +363,66 @@ def simhash_near_pairs(
     return pairs.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def editdist_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 16,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = MAX_KEY_DF,
+) -> DataFrame:
+    """LSH candidates verified by exact Levenshtein distance.
+
+    The two-stage shape every production near-dup pipeline uses: MinHash
+    LSH proposes candidate pairs (:func:`minhash_lsh_pairs` — docs only
+    ever meet inside a band bucket), then the exact-but-quadratic
+    verifier runs ONLY on those pairs. Levenshtein is O(|a|*|b|) per
+    pair, so it must never see the corpus cross product — at 100 TB the
+    pair set is LSH-bounded (bands * bucket-cap choose 2 per bucket)
+    while the verify stage is an embarrassingly parallel projection over
+    it: two hash joins to fetch the texts (each keyed on the id, the
+    same key the corpus is already partitioned by), zero extra state.
+
+    Returns (doc_a, doc_b, len_a, len_b, edit_dist, is_dup) with
+    ``is_dup = edit_dist <= max_dist``. All outputs are exact integers /
+    booleans (``F.levenshtein`` is the classic character-level DP, the
+    same definition DuckDB's ``levenshtein`` implements), so the DuckDB
+    twin is hash-exact.
+
+    Complements :func:`ngram_jaccard_pairs` (set-overlap verifier, order
+    insensitive) with an edit-based verdict that catches small in-place
+    edits reorderings would hide; the reference's only dedup is
+    full-record equality (src/aroma/datasets/breakfast.py:597-618).
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, band_size, max_bucket_size
+    )
+    texts = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
+    joined = (
+        pairs.join(
+            texts.select(
+                F.col(id_col).alias("doc_a"), F.col("__t").alias("text_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("doc_b"), F.col("__t").alias("text_b")
+            ),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.length("text_a").cast("long").alias("len_a"),
+        F.length("text_b").cast("long").alias("len_b"),
+        dist.alias("edit_dist"),
+        (dist <= F.lit(max_dist)).alias("is_dup"),
+    )

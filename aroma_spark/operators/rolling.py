@@ -60,3 +60,72 @@ def rolling_window_stats(
         F.sum("text_len").over(w).cast("long").alias("w_sum_text_len"),
         F.sum("tool_call").over(w).cast("long").alias("w_tool_calls"),
     )
+
+
+def bollinger_bands(
+    tier: DataFrame,
+    value_col: str = "sum_text_len",
+    n_buckets: int = 24,
+    k: float = 2.0,
+) -> DataFrame:
+    """Rolling mean +- k*sigma bands over the trailing ``n_buckets``
+    PRESENT tier buckets per conversation — the envelope chart every
+    time-series dashboard draws over a rollup tier, and the cheap
+    threshold feed for alerting ("this hour's volume left the 2-sigma
+    band").
+
+    Row frame, not range frame: a sparse tier has holes, and the
+    trailing-N-present-buckets window is the standard definition over a
+    materialized rollup (a range frame over wall-clock would re-densify
+    what gap-fill already owns, operators/gapfill.py).
+
+    House discipline (operators/stats.py): the window shuffles/stacks
+    exact int64 partials (n, S1, S2 — all map-side window state), and
+    mean / sd / bands are each ONE fixed double expression over them:
+
+        mean  = S1/n
+        sd    = sqrt(n*S2 - S1*S1) / n          (population sigma)
+        upper = mean + k*sd,  lower = mean - k*sd
+
+    +,-,*,/ and sqrt are correctly rounded, so identical int64 inputs
+    give bit-identical doubles on Spark and DuckDB — no round() needed,
+    and none applied (trend_1d's lesson: rounding near 1e10 magnitudes
+    DESTROYS parity, never creates it). Overflow: S2 sums value^2; at
+    value <= 2^30 (1e9 text chars per bucket) a 24-bucket frame is
+    ~2^65 in the worst case — callers with adversarial magnitudes scale
+    the value first; for every engine signal (text_len, tool calls,
+    n_points) value < 2^24 and S2 < 2^53, exact.
+
+    One window pass riding the tier's existing (conv_id) exchange; at
+    100 TB there is no extra shuffle — the frame state is 3 longs.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(-(n_buckets - 1), 0)
+    )
+    v = F.col(value_col).cast("long")
+    base = tier.select("conv_id", "bucket_ts", v.alias("v"))
+    agg = base.select(
+        "conv_id",
+        "bucket_ts",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("w_n"),
+        F.sum("v").over(w).cast("long").alias("w_s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("w_s2"),
+    )
+    nd = F.col("w_n").cast("double")
+    s1 = F.col("w_s1").cast("double")
+    s2 = F.col("w_s2").cast("double")
+    mean = s1 / nd
+    sd = F.sqrt(nd * s2 - s1 * s1) / nd
+    return agg.select(
+        "conv_id",
+        "bucket_ts",
+        F.col("v").alias("value"),
+        "w_n",
+        mean.alias("mean"),
+        sd.alias("sd"),
+        (mean + F.lit(float(k)) * sd).alias("upper"),
+        (mean - F.lit(float(k)) * sd).alias("lower"),
+    )

@@ -77,3 +77,36 @@ def session_stats(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .cast("long")
         .alias("n_tool_calls"),
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Role-to-role transition matrix — the Markov view of conversation
+    structure ("what follows a tool call?", "how often does the user
+    speak twice in a row?") that powers turn-taking QA on a transcript
+    corpus and anomaly cuts ("conversations where assistant never
+    follows user").
+
+    One lag window over the canonical (conv_id, turn_idx) order — the
+    exchange every per-conversation operator shares — then ONE
+    aggregation on the (prev_role, role) pair: n_transitions (total
+    edges) and n_convs (distinct conversations exhibiting the edge).
+    Output cardinality is |roles|^2 — tiny at any corpus scale, so the
+    final exchange is negligible; the distinct-count is exact
+    (per-pair conv sets are bounded by the corpus conv count, and
+    Spark's two-phase distinct aggregation handles the skew).
+
+    All outputs exact integers; first turns (no predecessor) contribute
+    no edge. Reference analog: none (the reference never inspects
+    role adjacency); natural extension of the vocab/role family
+    (src/aroma/preprocessing/vocab.py builds role vocabularies — this
+    is the bigram view of the same column).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    edges = transcripts.select(
+        "conv_id", prev.alias("prev_role"), F.col("role")
+    ).where(F.col("prev_role").isNotNull())
+    return edges.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
