@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 100 registered queries, ALL 100 with hash-compared DuckDB
+Round 5: 101 registered queries, ALL 101 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -1374,6 +1374,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_rollup_parity"] = streaming_rollup_parity
 
+    # Same staged-stream drive for the session_window surface: 8
+    # micro-batches, complete mode (state genuinely merges sessions
+    # split across file boundaries), hash-compared against the batch
+    # gap-sessionization SQL. Registered at the tail this round (the
+    # 50-row window is spoken for); rotates in-window next round — until
+    # then scripts/validate_oracle.py carries its evidence.
+    def streaming_sessions_parity(spark: SparkSession, sf: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from aroma_spark.streaming.stream import streaming_session_stats
+
+        ev_batch = load_table(spark, sf, "events")
+        staged = tempfile.mkdtemp(prefix="stream_sess_src_")
+        ev_batch.repartition(8).write.mode("overwrite").parquet(staged)
+        src = (
+            spark.readStream.schema(ev_batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        t = src.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("props").alias("text"),
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.col("event_type"),
+            ).alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        sess = streaming_session_stats(
+            t, gap="30 minutes", watermark="3650 days"
+        )
+        name = f"stream_sess_{abs(hash(sf)) % 10**8}"
+        ckpt = tempfile.mkdtemp(prefix="stream_sess_ckpt_")
+        try:
+            (
+                sess.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
+        return spark.table(name)
+
+    q["streaming_sessions_parity"] = streaming_sessions_parity
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -2119,6 +2170,19 @@ s AS (
     o["sessionize"] = f"{sess_core}\nSELECT * FROM s"
     o["session_stats"] = f"""{sess_core}
 SELECT conv_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
+FROM s GROUP BY conv_id, session_idx"""
+
+    # streaming session_window parity: the batch gap-sessionization is
+    # the ground truth (streaming widens the gap by 1us so the window
+    # merge rule matches the batch strictly-greater break rule);
+    # session_idx is unknowable mid-stream, so the twin groups by it but
+    # does not emit it
+    o["streaming_sessions_parity"] = f"""{sess_core}
+SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
