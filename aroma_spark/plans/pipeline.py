@@ -49,8 +49,10 @@ def run_pipeline(
     """
     t0 = time.time()
     # normalize_for_rollup replaces the text payload with
-    # (xxhash64, length) BEFORE the dedup exchange — the engine's
-    # largest shuffle carries ~16B/row instead of the text
+    # (xxhash64, length) up front, and dedups by ADJACENCY inside the
+    # conv_id window sort — the old full-row dedup exchange (the
+    # engine's largest shuffle) is gone; dedup and the signal window
+    # share ONE exchange + ONE sort (see normalize_for_rollup docstring)
     sig = with_signals(normalize_for_rollup(transcripts, dedup=dedup))
     # nothing downstream needs the text payload (the tier aggregates
     # text_len, blobs encode inter_time_us): prune it before the fan-out
