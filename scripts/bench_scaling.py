@@ -38,8 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Warmup-to-steady-state rule, shared by the JOB template and the
 # published methodology text so the two can never drift (ADVICE r4):
-# repeat full-size warmups until the last fails to improve the best
-# prior warmup wall by more than WARMUP_IMPROVE, capped at MAX_WARMUPS.
+# repeat full-size warmups until TWO CONSECUTIVE warmups fail to
+# improve the best prior warmup wall by more than WARMUP_IMPROVE,
+# capped at MAX_WARMUPS (round 5: a single noisy warmup used to stop
+# the loop mid-ramp).
 MAX_WARMUPS = 6
 WARMUP_IMPROVE = 0.05
 
@@ -115,13 +117,22 @@ def job(i):
 # the JVM stops getting faster. Every warmup wall is published with the
 # runs.
 warmup_walls = []
+stall = 0
 for _ in range({max_warmups}):
     t_w = time.time()
     job(0)
     w = time.time() - t_w
     warmup_walls.append(round(w, 1))
+    # require TWO consecutive non-improving warmups before declaring
+    # steady state: one noisy (slower) warmup used to stop the loop
+    # while the JVM was still ramping — observed as measured runs that
+    # kept improving 13.3k -> 17.4k pts/s after "steady state".
     if len(warmup_walls) > 1 and w > (1 - {improve}) * min(warmup_walls[:-1]):
-        break
+        stall += 1
+        if stall >= 2:
+            break
+    else:
+        stall = 0
 runs = []
 for i in range({runs_per_jvm}):
     # drop the previous run's shuffle files (ContextCleaner reclaims on
@@ -293,8 +304,8 @@ signal window -> raw->1m->1h->1d checkpointed tier lattice, parquet
 writes + lineage manifests) on identical pre-materialized parquet input
 ({n_turns:,} synthetic turns, dense span), fresh JVM per level,
 warmup-to-steady-state inside each JVM (full-size warmups repeat, max
-{MAX_WARMUPS}, until the last fails to improve the best prior warmup
-wall by >{int(WARMUP_IMPROVE * 100)}% — a fresh JVM needs ~2-4
+{MAX_WARMUPS}, until two consecutive warmups fail to improve the best
+prior warmup wall by >{int(WARMUP_IMPROVE * 100)}% — a fresh JVM needs ~2-4
 full-size executions before JIT tiering and Arrow/native buffer pools
 stop improving, and a single warmup left the first measured run up to
 1.8x slower than the third for reasons unrelated to scalability; all
