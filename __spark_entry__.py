@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 101 registered queries, ALL 101 with hash-compared DuckDB
+Round 5: 102 registered queries, ALL 102 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -1425,6 +1425,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sessions_parity"] = streaming_sessions_parity
 
+    # Per-conversation KPI summary (also registered at the tail this
+    # round; rotates in-window next round).
+    def conv_kpis(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import conversation_kpis
+
+        return conversation_kpis(transcripts_from_events(spark, sf))
+
+    q["conv_kpis"] = conv_kpis
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -2188,6 +2197,17 @@ SELECT conv_id,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
        CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
 FROM s GROUP BY conv_id, session_idx"""
+
+    o["conv_kpis"] = f"""{sess_core}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(session_idx) + 1 AS BIGINT) AS n_sessions,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(length(COALESCE(text,''))) AS BIGINT) AS sum_text_len,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+FROM s GROUP BY conv_id"""
 
     # ---- annotation readers over the shared fixture files ----
     fx = _ensure_reader_fixtures()

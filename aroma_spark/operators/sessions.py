@@ -110,3 +110,39 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
     )
+
+
+def conversation_kpis(
+    transcripts: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-conversation KPI summary — the entity-level table a dashboard
+    or cohort query joins against: turn volume, session count (at the
+    ``gap`` inactivity rule), time bounds/duration, tool usage, text
+    volume, role mix.
+
+    One window pass (the session ids, riding the canonical conv_id
+    exchange) + ONE aggregation on the same key — no extra shuffle; at
+    100 TB the output is one row per conversation, the natural unit of
+    retention for this table. All outputs exact integers/timestamps.
+    """
+    s = with_session_ids(transcripts, gap)
+    return s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.max("session_idx") + 1).cast("long").alias("n_sessions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.sum(
+            F.when(
+                (F.col("tool").isNotNull()) & (F.col("tool") != ""), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("sum_text_len"),
+        F.countDistinct("role").cast("long").alias("n_roles"),
+    )

@@ -201,3 +201,22 @@ def test_tfidf_null_and_empty_text(spark):
     r = out[0]
     assert (r.doc_id, r.term, r.tf, r.df) == (1, "word", 1, 1)
     assert r.tfidf == round(math.log(4.0 / 2.0), 6)
+
+
+# -------------------------------------------------------------------- kpis
+
+
+def test_conversation_kpis(spark, tiny_transcripts):
+    from aroma_spark.operators.sessions import conversation_kpis
+
+    out = {r.conv_id: r for r in conversation_kpis(tiny_transcripts).collect()}
+    a = out["a"]
+    # conv a: 4 turns, the >1h gap splits 2 sessions, 1 tool call
+    assert a.n_turns == 4 and a.n_sessions == 2 and a.n_tool_calls == 1
+    assert a.duration_us == (2 * 3600 + 10 * 60 - 0) * 1_000_000
+    assert a.sum_text_len == len("hello world") + len("hi") + len(
+        "result=42"
+    ) + len("thanks bye")
+    assert a.n_roles == 3
+    c = out["c"]
+    assert (c.n_turns, c.n_sessions, c.duration_us, c.n_roles) == (1, 1, 0, 1)
