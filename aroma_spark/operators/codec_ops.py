@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from aroma_spark.functions.codecs import (
     decode_dod,
     decode_gorilla,
-    encode_dod,
-    encode_gorilla,
+    encode_dod_segments,
+    encode_gorilla_segments,
 )
 
 ENCODED_SCHEMA = (
@@ -39,13 +39,34 @@ DECODED_SCHEMA = "conv_id string, day date, seq_idx long, ts_us long, value doub
 
 
 def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for (cid, day), g in pdf.groupby(["conv_id", "day"], sort=False):
-        ts = g["__ts_us"].to_numpy("int64")
-        vals = g["__val"].to_numpy("float64")
-        rows.append((cid, day, len(g), encode_dod(ts), encode_gorilla(vals)))
+    """Encode every (conv_id, day) run of a sorted batch in one numpy pass.
+
+    The batch arrives sorted by (conv_id, day, turn_idx), so groups are
+    contiguous runs: boundaries come from two vectorized != comparisons
+    and the segmented encoders do the rest — no pandas groupby (measured
+    ~18% of the old phase wall) and no per-group encode calls (~67%; see
+    encode_dod_segments). Output blobs are byte-identical to the
+    per-group encoders (asserted in tests/test_codecs.py).
+    """
+    import numpy as np
+
+    cid = pdf["conv_id"].to_numpy()
+    day = pdf["day"].to_numpy()
+    boundary = (cid[1:] != cid[:-1]) | (day[1:] != day[:-1])
+    starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), boundary.nonzero()[0] + 1]
+    )
+    lens = np.diff(np.append(starts, len(pdf)))
+    ts = pdf["__ts_us"].to_numpy("int64")
+    vals = pdf["__val"].to_numpy("float64")
     return pd.DataFrame(
-        rows, columns=["conv_id", "day", "n", "ts_blob", "val_blob"]
+        {
+            "conv_id": cid[starts],
+            "day": day[starts],
+            "n": lens,
+            "ts_blob": encode_dod_segments(ts, starts),
+            "val_blob": encode_gorilla_segments(vals, starts),
+        }
     )
 
 

@@ -80,3 +80,68 @@ def test_gorilla_slowly_varying_compresses():
     blob = encode_gorilla(v)
     assert len(blob) < 0.75 * 8 * len(v)
     assert np.array_equal(decode_gorilla(blob).view(np.uint64), v.view(np.uint64))
+
+
+# --- segmented encoders: byte parity with the per-group encoders ---
+
+from aroma_spark.functions.codecs import (  # noqa: E402
+    encode_dod_segments,
+    encode_gorilla_segments,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=12),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_segmented_byte_parity(lens, rnd):
+    """encode_*_segments must emit byte-identical blobs to per-group
+    encode_* — the pipeline swaps between them freely."""
+    total = sum(lens)
+    starts = np.cumsum([0] + lens[:-1])
+    pool = [
+        0,
+        1,
+        -1,
+        2**40,
+        -(2**40),
+        np.iinfo(np.int64).max,
+        np.iinfo(np.int64).min,
+    ]
+    ts = np.array([pool[rnd.randrange(len(pool))] for _ in range(total)],
+                  dtype=np.int64)
+    fpool = [0.0, -0.0, 1.5, np.nan, np.inf, -np.inf, 1e308, 5e-324]
+    vs = np.array([fpool[rnd.randrange(len(fpool))] for _ in range(total)],
+                  dtype=np.float64)
+    seg_d = encode_dod_segments(ts, starts)
+    seg_g = encode_gorilla_segments(vs, starts)
+    off = 0
+    for i, ln in enumerate(lens):
+        assert seg_d[i] == encode_dod(ts[off : off + ln])
+        assert seg_g[i] == encode_gorilla(vs[off : off + ln])
+        assert np.array_equal(decode_dod(seg_d[i]), ts[off : off + ln])
+        assert np.array_equal(
+            decode_gorilla(seg_g[i]).view(np.uint64),
+            vs[off : off + ln].view(np.uint64),
+        )
+        off += ln
+
+
+def test_segmented_smooth_series_parity():
+    """Realistic smooth series hit the fused-codeword fast paths."""
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 300, size=50)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    total = int(lens.sum())
+    ts = np.cumsum(rng.integers(900_000, 1_100_000, size=total)).astype(
+        np.int64
+    )
+    vs = np.cumsum(rng.normal(size=total)).astype(np.float64)
+    seg_d = encode_dod_segments(ts, starts)
+    seg_g = encode_gorilla_segments(vs, starts)
+    off = 0
+    for i, ln in enumerate(lens):
+        assert seg_d[i] == encode_dod(ts[off : off + ln])
+        assert seg_g[i] == encode_gorilla(vs[off : off + ln])
+        off += int(ln)
