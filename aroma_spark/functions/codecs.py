@@ -457,6 +457,166 @@ def decode_dod(buf: bytes) -> np.ndarray:
     return np.array(vals, dtype=np.int64)
 
 
+def _stream_words(
+    blobs: list[bytes], header_bytes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate every blob's bitstream into one padded uint64 array.
+
+    Returns (words, base) where blob i's stream occupies
+    ``words[base[i]:]`` with ≥2 zero tail words, so any ≤64-bit field
+    read inside the stream (plus the decoder's speculative 13-bit
+    look-ahead) stays in bounds.
+    """
+    nb = len(blobs)
+    lens = np.fromiter(
+        (len(b) - header_bytes for b in blobs), dtype=np.int64, count=nb
+    )
+    nwords = ((lens + 7) >> 3) + 2
+    base = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(nwords)]
+    )
+    buf = np.zeros(int(base[-1]) * 8, dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        s = b[header_bytes:]
+        buf[base[i] * 8 : base[i] * 8 + len(s)] = np.frombuffer(
+            s, dtype=np.uint8
+        )
+    return buf.view(">u8").astype(np.uint64), base[:-1]
+
+
+def _win64(
+    words: np.ndarray, base: np.ndarray, pos: np.ndarray
+) -> np.ndarray:
+    """64-bit window starting at bit ``pos`` of each blob's stream."""
+    w = base + (pos >> 6)
+    off = (pos & 63).astype(np.uint64)
+    hi, lo = words[w], words[w + 1]
+    return (hi << off) | np.where(
+        off > 0, lo >> ((np.uint64(64) - off) & np.uint64(63)), np.uint64(0)
+    )
+
+
+def decode_dod_many(blobs: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of dod blobs in lockstep — vectorized across blobs.
+
+    The per-blob decode is inherently sequential (variable-width
+    fields), but independent blobs advance together: step t decodes
+    value t of EVERY still-active blob with whole-array ops. Blobs are
+    processed sorted by length descending so the active set is always a
+    prefix — state updates are contiguous slices, not scatters. Exact
+    inverse of encode_dod (same arrays as per-blob decode_dod).
+    """
+    nb = len(blobs)
+    if nb == 0:
+        return []
+    hdr = np.empty((nb, 20), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        hdr[i] = np.frombuffer(b[:20], dtype=np.uint8)
+    n = hdr[:, 0:4].copy().view(">u4").astype(np.int64).ravel()
+    t0 = hdr[:, 4:12].copy().view(">i8").astype(np.int64).ravel()
+    d0 = hdr[:, 12:20].copy().view(">i8").astype(np.int64).ravel()
+
+    order = np.argsort(-n, kind="stable")
+    n_s, t0_s, d0_s = n[order], t0[order], d0[order]
+    words, base = _stream_words([blobs[i] for i in order], 20)
+
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_s)])
+    out = np.empty(int(out_off[-1]), dtype=np.int64)
+    out[out_off[:-1][n_s >= 1]] = t0_s[n_s >= 1]
+    two = n_s >= 2
+    out[(out_off[:-1] + 1)[two]] = t0_s[two] + d0_s[two]
+
+    # active count per step: blobs sorted desc, so it's a prefix length
+    max_n = int(n_s[0]) if nb else 0
+    n_asc = n_s[::-1]
+    pos = np.zeros(nb, dtype=np.int64)
+    d = d0_s.copy()
+    prev = t0_s + d0_s
+    start = out_off[:-1]
+    u64 = np.uint64
+    for t in range(2, max_n):
+        k = nb - int(np.searchsorted(n_asc, t, side="right"))
+        p, b = pos[:k], base[:k]
+        win = _win64(words, b, p)
+        pref = (win >> u64(59)).astype(np.int64)
+        plen = np.select(
+            [pref < 16, pref < 24, pref < 28, pref < 30], [1, 2, 3, 4], 5
+        )
+        vbits = np.select(
+            [pref < 16, pref < 24, pref < 28, pref < 30, pref == 30],
+            [0, 7, 12, 20, 32],
+            64,
+        )
+        win2 = _win64(words, b, p + plen)
+        z = np.where(
+            vbits > 0,
+            win2 >> ((u64(64) - vbits.astype(np.uint64)) & u64(63)),
+            u64(0),
+        )
+        dod = (z >> u64(1)).astype(np.int64) ^ -(z & u64(1)).astype(np.int64)
+        d[:k] += dod
+        prev[:k] += d[:k]
+        out[start[:k] + t] = prev[:k]
+        pos[:k] = p + plen + vbits
+
+    inv = np.empty(nb, dtype=np.int64)
+    inv[order] = np.arange(nb)
+    return [
+        out[out_off[inv[i]] : out_off[inv[i]] + n[i]] for i in range(nb)
+    ]
+
+
+def decode_gorilla_many(blobs: list[bytes]) -> list[np.ndarray]:
+    """Vectorized-across-blobs inverse of encode_gorilla — see
+    :func:`decode_dod_many` for the lockstep strategy."""
+    nb = len(blobs)
+    if nb == 0:
+        return []
+    hdr = np.empty((nb, 12), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        hdr[i] = np.frombuffer(b[:12], dtype=np.uint8)
+    n = hdr[:, 0:4].copy().view(">u4").astype(np.int64).ravel()
+    v0 = hdr[:, 4:12].copy().view(">u8").astype(np.uint64).ravel()
+
+    order = np.argsort(-n, kind="stable")
+    n_s, v0_s = n[order], v0[order]
+    words, base = _stream_words([blobs[i] for i in order], 12)
+
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_s)])
+    out = np.empty(int(out_off[-1]), dtype=np.uint64)
+    out[out_off[:-1][n_s >= 1]] = v0_s[n_s >= 1]
+
+    max_n = int(n_s[0]) if nb else 0
+    n_asc = n_s[::-1]
+    pos = np.zeros(nb, dtype=np.int64)
+    prev = v0_s.copy()
+    start = out_off[:-1]
+    u64 = np.uint64
+    for t in range(1, max_n):
+        k = nb - int(np.searchsorted(n_asc, t, side="right"))
+        p, b = pos[:k], base[:k]
+        win = _win64(words, b, p)
+        ctrl = win >> u64(63) != 0
+        hdr12 = (win >> u64(51)) & u64(0xFFF)
+        lz = (hdr12 >> u64(6)).astype(np.int64)
+        sl = ((hdr12 & u64(63)) + u64(1)).astype(np.int64)
+        win2 = _win64(words, b, p + 13)
+        sig = win2 >> ((u64(64) - sl.astype(np.uint64)) & u64(63))
+        # sl == 64 -> shift 0 (the full window IS the significand)
+        shift_back = np.where(ctrl, 64 - lz - sl, 0).astype(np.uint64)
+        xor = np.where(ctrl, sig << shift_back, u64(0))
+        prev[:k] ^= xor
+        out[start[:k] + t] = prev[:k]
+        pos[:k] = p + np.where(ctrl, 13 + sl, 1)
+
+    inv = np.empty(nb, dtype=np.int64)
+    inv[order] = np.arange(nb)
+    return [
+        out[out_off[inv[i]] : out_off[inv[i]] + n[i]].view(np.float64)
+        for i in range(nb)
+    ]
+
+
 def encode_gorilla(values: np.ndarray) -> bytes:
     """Gorilla-XOR encode a float64 array (NaN-safe: bit patterns kept)."""
     v = np.ascontiguousarray(np.asarray(values, dtype=np.float64)).view(np.uint64)

@@ -209,6 +209,14 @@ def incremental_rollup(
     day_col = F.to_date("ts").cast("string")
     key_col = F.concat(day_col, F.lit("|"), _bucket().cast("string"))
     affected_convs: DataFrame | None = None  # built once, shared by tiers
+    # on a FULL fresh build every tier is derived entirely from this
+    # run's parent output: keep the written frame persisted and
+    # re-aggregate it in memory instead of launching a read-back scan of
+    # the parquet just written — one fewer job barrier per child tier,
+    # a constant driver-side cost that (Amdahl) weighs heaviest at high
+    # parallelism. Incremental refreshes never reuse: surviving days on
+    # disk make the materialized tier, not this run's frame, the truth.
+    fresh_frames: dict[str, DataFrame] = {}
 
     for name, (unit, parent) in tiers.items():
         t0 = time.time()
@@ -301,8 +309,11 @@ def incremental_rollup(
                         signals.where(day_col.isin(changed)), unit
                     )
             else:
-                parent_path = f"{root}/tier={parent}"
-                lower = spark.read.parquet(parent_path)
+                if parent in fresh_frames:
+                    lower = fresh_frames[parent]
+                else:
+                    parent_path = f"{root}/tier={parent}"
+                    lower = spark.read.parquet(parent_path)
                 lower = lower.where(
                     F.col("day").cast("string").isin(changed)
                 ).drop("day")
@@ -329,6 +340,13 @@ def incremental_rollup(
             out = out.observe(
                 written_obs, F.count(F.lit(1)).cast("long").alias("rows")
             )
+            if fresh_build and set(changed) == set(current_days):
+                # the write below materializes the cache; child tiers
+                # re-aggregate it in memory (tiers are orders of
+                # magnitude smaller than the raw frame, and the default
+                # MEMORY_AND_DISK level keeps oversized tiers correct)
+                out = out.persist()
+                fresh_frames[name] = out
             out.write.mode("overwrite").partitionBy("day").parquet(tier_path)
 
         if changed and fresh_build:
@@ -369,4 +387,6 @@ def incremental_rollup(
             # lineage: how many conversations the backfill actually
             # touched (cheap count on the localCheckpointed set).
             metrics[name]["affected_convs"] = affected_convs.count()
+    for df in fresh_frames.values():
+        df.unpersist()
     return metrics

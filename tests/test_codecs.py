@@ -145,3 +145,55 @@ def test_segmented_smooth_series_parity():
         assert seg_d[i] == encode_dod(ts[off : off + ln])
         assert seg_g[i] == encode_gorilla(vs[off : off + ln])
         off += int(ln)
+
+
+# --- transposed decoders: vectorized across blobs ---
+
+from aroma_spark.functions.codecs import (  # noqa: E402
+    decode_dod_many,
+    decode_gorilla_many,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=25), min_size=1, max_size=10),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_decode_many_parity(lens, rnd):
+    """decode_*_many must equal per-blob decode_* on every blob,
+    including length-skewed batches (active-prefix shrink)."""
+    pool = [0, 1, -1, 2**40, np.iinfo(np.int64).max, np.iinfo(np.int64).min]
+    fpool = [0.0, -0.0, 1.5, np.nan, np.inf, -np.inf, 1e308, 5e-324]
+    dblobs, gblobs, ts_ref, vs_ref = [], [], [], []
+    for ln in lens:
+        ts = np.array(
+            [pool[rnd.randrange(len(pool))] for _ in range(ln)],
+            dtype=np.int64,
+        )
+        vs = np.array(
+            [fpool[rnd.randrange(len(fpool))] for _ in range(ln)],
+            dtype=np.float64,
+        )
+        dblobs.append(encode_dod(ts))
+        gblobs.append(encode_gorilla(vs))
+        ts_ref.append(ts)
+        vs_ref.append(vs)
+    out_d = decode_dod_many(dblobs)
+    out_g = decode_gorilla_many(gblobs)
+    for i in range(len(lens)):
+        assert np.array_equal(out_d[i], ts_ref[i])
+        assert np.array_equal(
+            out_g[i].view(np.uint64), vs_ref[i].view(np.uint64)
+        )
+
+
+def test_decode_many_empty_and_singleton():
+    assert decode_dod_many([]) == []
+    assert decode_gorilla_many([]) == []
+    e = encode_dod(np.array([], dtype=np.int64))
+    assert len(decode_dod_many([e])[0]) == 0
+    s = encode_dod(np.array([77], dtype=np.int64))
+    assert np.array_equal(decode_dod_many([s])[0], [77])
+    g1 = encode_gorilla(np.array([np.nan], dtype=np.float64))
+    assert np.isnan(decode_gorilla_many([g1])[0][0])
