@@ -110,9 +110,11 @@ def _bucket(col: str = "conv_id") -> F.Column:
 
 
 def partition_fingerprints(
-    signals: DataFrame, n_buckets: int = N_FP_BUCKETS
-) -> dict[str, dict]:
-    """(day, conv-bucket) -> {n_rows, fingerprint} from the raw frame.
+    signals: DataFrame,
+    n_buckets: int = N_FP_BUCKETS,
+    min_col: str | None = None,
+) -> dict[str, dict] | tuple[dict[str, dict], object]:
+    """(day, conv-bucket) -> {n_rows, fingerprint} from the given frame.
 
     xxhash64 over the full row, bit_xor-folded per (day, bucket): order-
     and partition-independent (xor commutes, never overflows); paired
@@ -121,22 +123,34 @@ def partition_fingerprints(
     means an edit to one conversation dirties 1/32 of a day, not the
     whole day — the backfill recompute set shrinks proportionally.
     One shuffle with tiny output (#days x n_buckets rows).
+
+    ``min_col``: when set, the same single scan also returns the global
+    minimum of that column — ``(fingerprints, min_value)`` — so callers
+    that need both (the pipeline's codec monotonicity probe) pay ONE
+    pass instead of two. ``min_value`` is None on an empty frame.
     """
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.xxhash64(*signals.columns)).alias("fp"),
+    ]
+    if min_col is not None:
+        aggs.append(F.min(min_col).alias("__min"))
     rows = (
         signals.groupBy(
             F.to_date("ts").cast("string").alias("day"),
             F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("bucket"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(F.xxhash64(*signals.columns)).alias("fp"),
-        )
+        .agg(*aggs)
         .collect()
     )
-    return {
+    fps = {
         f"{r['day']}|{r['bucket']}": {"n_rows": r["n_rows"], "fp": str(r["fp"])}
         for r in rows
     }
+    if min_col is None:
+        return fps
+    mins = [r["__min"] for r in rows if r["__min"] is not None]
+    return fps, (min(mins) if mins else None)
 
 
 def _manifest_path(root: str, tier: str) -> str:
@@ -175,6 +189,7 @@ def incremental_rollup(
     tiers: dict[str, tuple[str, str | None]] | None = None,
     source: DataFrame | None = None,
     timings: dict | None = None,
+    fingerprints: dict[str, dict] | None = None,
 ) -> dict[str, dict]:
     """Compute/refresh the tier lattice under ``root``, skipping
     unchanged day partitions. Returns per-tier metrics.
@@ -183,11 +198,17 @@ def incremental_rollup(
     partition overwrite). Higher tiers re-aggregate the *materialized*
     lower tier — the incremental lattice only ever rescans changed days.
 
-    Change detection fingerprints ``source`` when given (the raw
-    transcript scan — a narrow map-side-combine pass, no dedup/window),
-    falling back to the signal frame. At 10^12 rows this keeps the
-    fingerprint pass to one cheap scan instead of re-running the
-    normalize+window pipeline twice.
+    Change detection uses ``fingerprints`` when the caller already
+    computed them (the pipeline fuses the fingerprint scan with its
+    cache-materialization job over the persisted signal frame — at
+    10^12 rows that removes an entire second decode pass over the raw
+    text payload); otherwise it fingerprints ``source`` when given (a
+    narrow map-side-combine pass over the raw scan, no dedup/window),
+    falling back to the signal frame. Fingerprinting post-normalize
+    signals is output-sound: any source edit invisible in the signal
+    frame cannot change any tier row, so skipping is correct — but
+    manifests written under one fingerprint basis force a one-time full
+    rebuild when the basis changes.
 
     Backfill cost model: lag-based signals cross day boundaries, so a
     changed day can alter the first inter_time of ANY later day of the
@@ -199,11 +220,14 @@ def incremental_rollup(
     """
     tiers = tiers or TIER_SPECS
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    fingerprint_src = source if source is not None else signals
-    t_fp = time.time()
-    current = partition_fingerprints(fingerprint_src)
-    if timings is not None:
-        timings["fingerprint_wall"] = round(time.time() - t_fp, 3)
+    if fingerprints is not None:
+        current = fingerprints
+    else:
+        fingerprint_src = source if source is not None else signals
+        t_fp = time.time()
+        current = partition_fingerprints(fingerprint_src)
+        if timings is not None:
+            timings["fingerprint_wall"] = round(time.time() - t_fp, 3)
     current_days = sorted({k.split("|")[0] for k in current})
     metrics: dict[str, dict] = {}
     day_col = F.to_date("ts").cast("string")

@@ -72,15 +72,27 @@ def run_pipeline(
         sig = sig.persist()
         from pyspark.sql import functions as F
 
-        # Materialize the cache at full parallelism and answer the
-        # codec fast-path probe in ONE job. The zero-shuffle encode
-        # path needs ts monotone in turn_idx per conversation (else
-        # (conv, day) groups are non-contiguous and blob stitching
-        # would emit duplicate (conv, day) rows); inter_time_us < 0
-        # anywhere is exactly that violation. A full min() aggregate —
-        # not filter().isEmpty(), whose limit(1) partition ramp
-        # (1, 4, 16... tasks) materializes the cache nearly serially.
-        min_it = sig.agg(F.min("inter_time_us")).first()[0]
+        # ONE job materializes the cache at full parallelism AND
+        # answers the codec fast-path probe AND computes the lattice's
+        # change-detection fingerprints (partition_fingerprints with
+        # min_col fuses all three). The zero-shuffle encode path needs
+        # ts monotone in turn_idx per conversation (else (conv, day)
+        # groups are non-contiguous and blob stitching would emit
+        # duplicate (conv, day) rows); inter_time_us < 0 anywhere is
+        # exactly that violation. A full aggregate — not
+        # filter().isEmpty(), whose limit(1) partition ramp (1, 4,
+        # 16... tasks) materializes the cache nearly serially.
+        # Fingerprinting the post-normalize signal frame is
+        # output-sound (see incremental_rollup docstring) and removes
+        # the second decode pass over the raw text payload that the
+        # old source=transcripts fingerprint scan paid.
+        from aroma_spark.plans.checkpoint import partition_fingerprints
+
+        t_fp = time.time()
+        fingerprints, min_it = partition_fingerprints(
+            sig, min_col="inter_time_us"
+        )
+        timings["fingerprint_wall"] = round(time.time() - t_fp, 3)
         monotone = min_it is None or min_it >= 0
 
         blob_box: dict = {}
@@ -128,7 +140,7 @@ def run_pipeline(
         )
         codec_thread.start()
         metrics = incremental_rollup(
-            spark, sig, out_root, source=transcripts, timings=timings
+            spark, sig, out_root, timings=timings, fingerprints=fingerprints
         )
         codec_thread.join()
         if "error" in blob_box:
