@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 102 registered queries, ALL 102 with hash-compared DuckDB
+Round 5: 103 registered queries, ALL 103 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -1434,6 +1434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_kpis"] = conv_kpis
 
+    # Hourly interval concurrency (also tail-registered this round;
+    # rotates in-window next round). Distributed sweep-line: within-hour
+    # prefix sums partitioned by hour + a calendar-bounded carry frame —
+    # see operators/concurrency.py.
+    def concurrency_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import hourly_concurrency
+
+        return hourly_concurrency(transcripts_from_events(spark, sf))
+
+    q["concurrency_1h"] = concurrency_1h
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -2208,6 +2219,49 @@ SELECT conv_id,
        CAST(sum(length(COALESCE(text,''))) AS BIGINT) AS sum_text_len,
        CAST(count(DISTINCT role) AS BIGINT) AS n_roles
 FROM s GROUP BY conv_id"""
+
+    # sweep-line twin: identical hour-partitioned prefix + spine +
+    # carry decomposition (the global-running-sum formulation would be
+    # equal in value but this mirrors the tie rule +1-before--1 and the
+    # carry/plateau semantics exactly)
+    o["concurrency_1h"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+iv AS (SELECT conv_id, min(ts) AS start_ts, max(ts) AS end_ts FROM t GROUP BY conv_id),
+ev AS (
+  SELECT date_trunc('hour', start_ts) AS hour_ts, start_ts AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT date_trunc('hour', end_ts), end_ts, -1 FROM iv
+),
+run AS (
+  SELECT hour_ts, delta,
+         SUM(delta) OVER (PARTITION BY hour_ts ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM ev
+),
+ha AS (
+  SELECT hour_ts, MAX(pref) AS within_max, SUM(delta) AS hour_delta,
+         SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts
+  FROM run GROUP BY hour_ts
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(hour_ts) FROM ev),
+                                (SELECT max(hour_ts) FROM ev),
+                                INTERVAL 1 HOUR)) AS hour_ts
+),
+j AS (
+  SELECT spine.hour_ts,
+         COALESCE(ha.within_max, 0) AS within_max,
+         COALESCE(ha.hour_delta, 0) AS hour_delta,
+         COALESCE(ha.n_starts, 0) AS n_starts
+  FROM spine LEFT JOIN ha ON spine.hour_ts = ha.hour_ts
+)
+SELECT hour_ts,
+       CAST(COALESCE(SUM(hour_delta) OVER (ORDER BY hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + GREATEST(0, within_max) AS BIGINT) AS max_concurrent,
+       CAST(COALESCE(SUM(hour_delta) OVER (ORDER BY hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + n_starts AS BIGINT) AS active_convs
+FROM j"""
 
     # ---- annotation readers over the shared fixture files ----
     fx = _ensure_reader_fixtures()

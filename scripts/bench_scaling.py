@@ -24,7 +24,12 @@ Levels:
 
 efficiency = (pps_4N / pps_N) / 4
 
-Usage: python scripts/bench_scaling.py [n_turns] [repeats]
+Usage: python scripts/bench_scaling.py [n_turns] [repeats] [runs_per_jvm] [heap_gb]
+
+``heap_gb`` (default 16) sizes the fixed pre-touched JVM heap — the
+120M-turn input needs ~3x the 40M signal-frame cache, and a cache that
+spills at one level but not another would bias the pair. The SAME heap
+is used at every level of a session, so the comparison stays fair.
 """
 
 from __future__ import annotations
@@ -85,9 +90,9 @@ shutil.rmtree(local_dir, ignore_errors=True)
 spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
                   shuffle_partitions=4 * cores,
                   extra_conf={{
-                      "spark.driver.memory": "16g",
+                      "spark.driver.memory": "{heap_gb}g",
                       "spark.driver.extraJavaOptions":
-                          "-Xms16g -XX:+AlwaysPreTouch",
+                          "-Xms{heap_gb}g -XX:+AlwaysPreTouch",
                       "spark.local.dir": local_dir,
                       "spark.executorEnv.MALLOC_MMAP_THRESHOLD_":
                           "1073741824",
@@ -182,11 +187,13 @@ def sentinel_probe() -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def run(cores: int, input_path: str, runs_per_jvm: int = 5) -> list[dict]:
+def run(cores: int, input_path: str, runs_per_jvm: int = 5,
+        heap_gb: int = 16) -> list[dict]:
     code = JOB.format(
         repo=REPO, cores=cores, input_path=input_path,
         runs_per_jvm=runs_per_jvm, max_warmups=MAX_WARMUPS,
         improve=WARMUP_IMPROVE, improve_pct=int(WARMUP_IMPROVE * 100),
+        heap_gb=heap_gb,
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
     # one retry: this sandbox occasionally segfaults a whole JVM/worker
@@ -238,6 +245,7 @@ def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     runs_per_jvm = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    heap_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     # input on tmpfs: identical bytes for every level, zero disk reads
     input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
     subprocess.run(
@@ -264,7 +272,7 @@ def main() -> None:
             sentinel = sentinel_probe()
             print(f"rep={rep} cores={cores} sentinel={sentinel:.3f}s",
                   flush=True)
-            for res in run(cores, input_path, runs_per_jvm):
+            for res in run(cores, input_path, runs_per_jvm, heap_gb):
                 res["rep"] = rep
                 res["sentinel"] = sentinel
                 results[cores].append(res)
@@ -361,6 +369,14 @@ Raw runs: {json.dumps(results)}
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md)
+    # raw results also land in a per-input-size JSON so sessions at
+    # different input sizes coexist (the fixed-cost amortization story
+    # needs at least two points on the input-size axis)
+    raw_path = os.path.join(REPO, "BENCH", f"scaling_raw_{n_turns}.json")
+    with open(raw_path, "w") as f:
+        json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
+                   "pair_eff": pair_eff, "best": best, "med": med,
+                   "results": results}, f)
     print(
         f"primary={eff_primary:.3f} (med {eff_primary_med:.3f}) "
         f"stress={eff_stress:.3f} (med {eff_stress_med:.3f}) -> {out_path}"

@@ -1,0 +1,92 @@
+"""Hourly interval concurrency: pinned hand-computed expectations
+(the reference's test style — literal expected values); sf-scale hash
+parity lives in the driver oracle (concurrency_1h)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.concurrency import (
+    conversation_intervals,
+    hourly_concurrency,
+)
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(rows, "conv_id string, ts string")
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_overlap_and_carry_hours(spark):
+    # A spans 10:00-12:00, B nests inside hour 10, C opens hour 11 —
+    # hour 11 has ONE boundary event but carries A across it.
+    rows = [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 12:00:00"),
+        ("B", "2024-01-01 10:30:00"),
+        ("B", "2024-01-01 10:45:00"),
+        ("C", "2024-01-01 11:15:00"),
+    ]
+    out = {
+        r["hour_ts"].hour: (r["max_concurrent"], r["active_convs"])
+        for r in hourly_concurrency(_df(spark, rows)).collect()
+    }
+    # hour 10: A+B overlap -> peak 2; active A, B
+    # hour 11: A carried, C starts and never ends (single turn at 11:15
+    #   -> closed interval [11:15, 11:15]) -> peak 2 momentarily
+    # hour 12: A still closed-active at 12:00 exactly -> peak 1
+    assert out == {10: (2, 2), 11: (2, 2), 12: (1, 1)}
+
+
+def test_empty_carry_hour_gets_spine_row(spark):
+    # D spans 09:00 -> 13:30: hours 10-12 have zero boundary events but
+    # D is active through them; the spine must still emit them.
+    rows = [
+        ("D", "2024-01-01 09:00:00"),
+        ("D", "2024-01-01 13:30:00"),
+        ("E", "2024-01-01 09:10:00"),
+        ("E", "2024-01-01 09:20:00"),
+    ]
+    got = {
+        r["hour_ts"].hour: (r["max_concurrent"], r["active_convs"])
+        for r in hourly_concurrency(_df(spark, rows)).collect()
+    }
+    assert got == {
+        9: (2, 2),
+        10: (1, 1),
+        11: (1, 1),
+        12: (1, 1),
+        13: (1, 1),
+    }
+
+
+def test_touching_intervals_count_concurrent(spark):
+    # closed intervals: F ends exactly when G starts -> both active at
+    # that instant (+1 orders before -1 in the sweep)
+    rows = [
+        ("F", "2024-01-01 10:00:00"),
+        ("F", "2024-01-01 10:30:00"),
+        ("G", "2024-01-01 10:30:00"),
+        ("G", "2024-01-01 10:40:00"),
+    ]
+    got = hourly_concurrency(_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["max_concurrent"] == 2
+    assert got[0]["active_convs"] == 2
+
+
+def test_single_turn_conversation(spark):
+    rows = [("H", "2024-01-01 10:15:00")]
+    got = hourly_concurrency(_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["max_concurrent"] == 1
+    assert got[0]["active_convs"] == 1
+
+
+def test_intervals_on_fixture(spark, tiny_transcripts):
+    iv = {
+        r["conv_id"]: (str(r["start_ts"]), str(r["end_ts"]))
+        for r in conversation_intervals(tiny_transcripts).collect()
+    }
+    assert iv["a"] == ("2024-01-01 00:00:00", "2024-01-01 02:10:00")
+    assert iv["c"] == ("2024-01-03 00:00:00", "2024-01-03 00:00:00")
