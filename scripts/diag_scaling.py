@@ -110,14 +110,15 @@ def run_once(tag):
         "conv_id", "turn_idx", "ts", "inter_time_us", "text_len",
         "tool_call")
     sig = sig.persist()
-    # materialize cache with a full-parallelism aggregate (no limit ramp)
-    mn = sig.agg(F.min("inter_time_us")).first()[0]
-    t0, c0 = mark("cache_mat(min-agg)", t0, c0)
-    fp = partition_fingerprints(src)
-    t0, c0 = mark("fingerprint(raw)", t0, c0)
+    # fused shape (pipeline.py): ONE job materializes the cache AND
+    # computes fingerprints AND the codec monotonicity probe. Blobs run
+    # serially here (not in the concurrent DAG branch) so each phase's
+    # CPU is attributable.
+    fp, mn = partition_fingerprints(sig, min_col="inter_time_us")
+    t0, c0 = mark("cache_mat+fp", t0, c0)
     timings = {{}}
-    metrics = incremental_rollup(spark, sig, out, source=src,
-                                 timings=timings)
+    metrics = incremental_rollup(spark, sig, out, timings=timings,
+                                 fingerprints=fp)
     t0, c0 = mark("tiers(all)", t0, c0)
     blobs = encode_series(sig, "inter_time_us",
                           assume_clustered=(mn is not None and mn >= 0))
