@@ -24,7 +24,7 @@ Levels:
 
 efficiency = (pps_4N / pps_N) / 4
 
-Usage: python scripts/bench_scaling.py [n_turns] [repeats] [runs_per_jvm] [heap_gb]
+Usage: python scripts/bench_scaling.py [n_turns] [repeats] [runs_per_jvm] [heap_gb] [max_warmups]
 
 ``heap_gb`` (default 16) sizes the fixed pre-touched JVM heap — the
 120M-turn input needs ~3x the 40M signal-frame cache, and a cache that
@@ -47,7 +47,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # improve the best prior warmup wall by more than WARMUP_IMPROVE,
 # capped at MAX_WARMUPS (round 5: a single noisy warmup used to stop
 # the loop mid-ramp).
-MAX_WARMUPS = 6
+MAX_WARMUPS = 6  # default; overridable per session (argv[5]) — long
+# inputs amortize the JIT ramp over 3x-longer executions, so fewer
+# full-size warmups reach the same steady state
 WARMUP_IMPROVE = 0.05
 
 GEN = r"""
@@ -188,10 +190,10 @@ def sentinel_probe() -> float:
 
 
 def run(cores: int, input_path: str, runs_per_jvm: int = 5,
-        heap_gb: int = 16) -> list[dict]:
+        heap_gb: int = 16, max_warmups: int = MAX_WARMUPS) -> list[dict]:
     code = JOB.format(
         repo=REPO, cores=cores, input_path=input_path,
-        runs_per_jvm=runs_per_jvm, max_warmups=MAX_WARMUPS,
+        runs_per_jvm=runs_per_jvm, max_warmups=max_warmups,
         improve=WARMUP_IMPROVE, improve_pct=int(WARMUP_IMPROVE * 100),
         heap_gb=heap_gb,
     )
@@ -246,6 +248,7 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     runs_per_jvm = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     heap_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    max_warmups = int(sys.argv[5]) if len(sys.argv) > 5 else MAX_WARMUPS
     # input on tmpfs: identical bytes for every level, zero disk reads
     input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
     subprocess.run(
@@ -272,7 +275,8 @@ def main() -> None:
             sentinel = sentinel_probe()
             print(f"rep={rep} cores={cores} sentinel={sentinel:.3f}s",
                   flush=True)
-            for res in run(cores, input_path, runs_per_jvm, heap_gb):
+            for res in run(cores, input_path, runs_per_jvm, heap_gb,
+                           max_warmups):
                 res["rep"] = rep
                 res["sentinel"] = sentinel
                 results[cores].append(res)
@@ -312,7 +316,7 @@ signal window -> raw->1m->1h->1d checkpointed tier lattice, parquet
 writes + lineage manifests) on identical pre-materialized parquet input
 ({n_turns:,} synthetic turns, dense span), fresh JVM per level,
 warmup-to-steady-state inside each JVM (full-size warmups repeat, max
-{MAX_WARMUPS}, until two consecutive warmups fail to improve the best
+{max_warmups}, until two consecutive warmups fail to improve the best
 prior warmup wall by >{int(WARMUP_IMPROVE * 100)}% — a fresh JVM needs ~2-4
 full-size executions before JIT tiering and Arrow/native buffer pools
 stop improving, and a single warmup left the first measured run up to
@@ -375,6 +379,7 @@ Raw runs: {json.dumps(results)}
     raw_path = os.path.join(REPO, "BENCH", f"scaling_raw_{n_turns}.json")
     with open(raw_path, "w") as f:
         json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
+               "max_warmups": max_warmups,
                    "pair_eff": pair_eff, "best": best, "med": med,
                    "results": results}, f)
     print(
