@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: exact micro-seconds per hour; all overlap arithmetic is int64 µs so
+#: the Spark plan and the DuckDB twin agree bit-for-bit
+HOUR_US = 3_600_000_000
+
+
 def conversation_intervals(transcripts: DataFrame) -> DataFrame:
     """Per-conversation closed activity interval: one aggregation on
     the conv_id exchange the pipeline already shares."""
@@ -117,5 +122,78 @@ def hourly_concurrency(transcripts: DataFrame) -> DataFrame:
             (F.col("carry") + F.col("n_starts"))
             .cast("long")
             .alias("active_convs"),
+        )
+    )
+
+
+def hourly_utilization(transcripts: DataFrame) -> DataFrame:
+    """(hour_ts, busy_us, n_active, avg_concurrency) per hour of span.
+
+    ``busy_us``: total conversation-active microseconds inside the hour
+    (sum over conversations of the overlap between the conversation's
+    closed activity interval and the hour window). ``n_active``: number
+    of conversations whose interval touches the hour — by construction
+    equal to :func:`hourly_concurrency`'s ``active_convs`` (independent
+    derivations, useful as a cross-check). ``avg_concurrency`` =
+    busy_us / 3.6e9: the time-average number of active conversations,
+    the integral the peak (``max_concurrent``) bounds from above.
+
+    Physical shape: each interval explodes to the hours it covers —
+    row count bounded by interval DURATION (calendar), never by turn
+    volume; a year-long conversation is 8,760 rows. One explode + one
+    hour-keyed aggregation (map-side combinable) + the same calendar
+    spine as :func:`hourly_concurrency`. Overlap arithmetic is exact
+    int64 µs; the single float division happens once, in the final
+    projection, on identical int64 inputs in both engines.
+    """
+    iv = conversation_intervals(transcripts)
+    hours = iv.select(
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts"),
+    )
+    ov = hours.select(
+        "hour_ts",
+        (
+            F.least(
+                F.unix_micros("end_ts"),
+                F.unix_micros("hour_ts") + F.lit(HOUR_US),
+            )
+            - F.greatest(
+                F.unix_micros("start_ts"), F.unix_micros("hour_ts")
+            )
+        ).alias("busy_us"),
+    )
+    agg = ov.groupBy("hour_ts").agg(
+        F.sum("busy_us").alias("busy_us"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
+    spine = hours.agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    ).select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    return (
+        spine.join(agg, "hour_ts", "left")
+        .select(
+            "hour_ts",
+            F.coalesce(F.col("busy_us"), F.lit(0))
+            .cast("long")
+            .alias("busy_us"),
+            F.coalesce(F.col("n_active"), F.lit(0))
+            .cast("long")
+            .alias("n_active"),
+        )
+        .withColumn(
+            "avg_concurrency",
+            F.col("busy_us") / F.lit(float(HOUR_US)),
         )
     )

@@ -90,3 +90,65 @@ def test_intervals_on_fixture(spark, tiny_transcripts):
     }
     assert iv["a"] == ("2024-01-01 00:00:00", "2024-01-01 02:10:00")
     assert iv["c"] == ("2024-01-03 00:00:00", "2024-01-03 00:00:00")
+
+
+def test_utilization_overlap_and_zero_hours(spark):
+    from aroma_spark.operators.concurrency import hourly_utilization
+
+    # A spans 10:00-12:00 (full hours 10, 11, touches 12 with 0 us),
+    # B adds 15 min inside hour 10, C is a point interval in hour 11.
+    rows = [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 12:00:00"),
+        ("B", "2024-01-01 10:30:00"),
+        ("B", "2024-01-01 10:45:00"),
+        ("C", "2024-01-01 11:15:00"),
+    ]
+    got = {
+        r["hour_ts"].hour: (r["busy_us"], r["n_active"], r["avg_concurrency"])
+        for r in hourly_utilization(_df(spark, rows)).collect()
+    }
+    assert got == {
+        10: (4_500_000_000, 2, 1.25),  # 3600s of A + 900s of B
+        11: (3_600_000_000, 2, 1.0),  # full hour of A, 0 of point C
+        12: (0, 1, 0.0),  # A touches 12:00:00 exactly
+    }
+
+
+def test_utilization_spine_fills_uncovered_hours(spark):
+    from aroma_spark.operators.concurrency import hourly_utilization
+
+    # two intervals with an uncovered hour between them: the spine must
+    # emit hour 11 with zero activity
+    rows = [
+        ("D", "2024-01-01 10:00:00"),
+        ("D", "2024-01-01 10:30:00"),
+        ("E", "2024-01-01 12:10:00"),
+        ("E", "2024-01-01 12:40:00"),
+    ]
+    got = {
+        r["hour_ts"].hour: (r["busy_us"], r["n_active"])
+        for r in hourly_utilization(_df(spark, rows)).collect()
+    }
+    assert got == {
+        10: (1_800_000_000, 1),
+        11: (0, 0),
+        12: (1_800_000_000, 1),
+    }
+
+
+def test_utilization_matches_concurrency_active_set(spark, tiny_transcripts):
+    from aroma_spark.operators.concurrency import hourly_utilization
+
+    # n_active (interval-overlap derivation) must equal active_convs
+    # (sweep-line derivation) on every hour — two independent paths to
+    # the same set
+    util = {
+        r["hour_ts"]: r["n_active"]
+        for r in hourly_utilization(tiny_transcripts).collect()
+    }
+    conc = {
+        r["hour_ts"]: r["active_convs"]
+        for r in hourly_concurrency(tiny_transcripts).collect()
+    }
+    assert util == conc
