@@ -60,13 +60,24 @@ def hourly_concurrency(transcripts: DataFrame) -> DataFrame:
     of the carry).
     """
     iv = conversation_intervals(transcripts)
+    # one explode, not a self-union: a union of two selects over the
+    # same aggregate evaluates the whole upstream (scan + conv_id
+    # exchange + aggregate) TWICE — explode(array(...)) emits both
+    # boundary events from the single pass
     ev = iv.select(
-        F.col("start_ts").alias("ts"), F.lit(1).cast("long").alias("delta")
-    ).unionAll(
-        iv.select(
-            F.col("end_ts").alias("ts"), F.lit(-1).cast("long").alias("delta")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_ts").alias("ts"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+                F.struct(
+                    F.col("end_ts").alias("ts"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.ts", "e.delta")
     ev = ev.select(F.date_trunc("hour", "ts").alias("hour_ts"), "ts", "delta")
 
     # within-hour prefix sums: parallel across hours
