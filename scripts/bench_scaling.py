@@ -51,6 +51,13 @@ MAX_WARMUPS = 6  # default; overridable per session (argv[5]) — long
 # inputs amortize the JIT ramp over 3x-longer executions, so fewer
 # full-size warmups reach the same steady state
 WARMUP_IMPROVE = 0.05
+# Minimum cumulative warmup wall-clock per JVM, identical at every
+# level (argv[6]): JIT profiling is wall-time-driven, so an
+# execution-count-only rule warms a 4N-core JVM ~4x less than the
+# N-core one and ships a ramp artifact into the pair ratio. Default 0
+# keeps historical behavior for short sessions; scaling sessions pass
+# ~1400 (the wall a converged 2-core batch spends warming at 120M).
+MIN_WARMUP_WALL = 0
 
 GEN = r"""
 import os, sys
@@ -116,13 +123,21 @@ def job(i):
 # Warmup to steady state: a fresh JVM improves monotonically over its
 # first ~3-6 full-size executions (JIT tiering, Arrow worker pools,
 # JVM native buffers — measured: an 8-core JVM's 4th run was 1.5x
-# faster than its 1st even after two converged-looking warmups; the
-# wider the level, the longer the ramp). Measuring mid-ramp drags the
-# level median for reasons that have nothing to do with the job's
-# scalability, so warmups repeat (max {max_warmups}) until the last one
-# fails to improve the best warmup wall by >{improve_pct}% — i.e. until
-# the JVM stops getting faster. Every warmup wall is published with the
-# runs.
+# faster than its 1st even after two converged-looking warmups).
+# Measuring mid-ramp drags the level median for reasons that have
+# nothing to do with the job's scalability, so warmups repeat until
+# the last one fails to improve the best prior warmup wall by
+# >{improve_pct}% twice in a row — i.e. until the JVM stops getting
+# faster — AND the cumulative warmup wall reaches {min_warmup_wall}s.
+# The wall floor is what makes warmup FAIR ACROSS LEVELS: JIT tiering
+# is driven by wall-clock profiling time, and a 4N-core execution is
+# ~4x shorter, so the old execution-count cap warmed the 4N JVM ~4x
+# less — measured as an 8-core batch whose runs were still improving
+# 27.6k -> 32.3k pts/s AFTER "converged" warmups and quiet sentinels,
+# deflating the pair ratio with a ramp artifact. The same floor
+# seconds at every level gives each JVM equal profiling wall before
+# measurement. Hard cap {max_warmups} warmups; every warmup wall is
+# published with the runs.
 warmup_walls = []
 stall = 0
 for _ in range({max_warmups}):
@@ -136,7 +151,7 @@ for _ in range({max_warmups}):
     # kept improving 13.3k -> 17.4k pts/s after "steady state".
     if len(warmup_walls) > 1 and w > (1 - {improve}) * min(warmup_walls[:-1]):
         stall += 1
-        if stall >= 2:
+        if stall >= 2 and sum(warmup_walls) >= {min_warmup_wall}:
             break
     else:
         stall = 0
@@ -190,12 +205,13 @@ def sentinel_probe() -> float:
 
 
 def run(cores: int, input_path: str, runs_per_jvm: int = 5,
-        heap_gb: int = 16, max_warmups: int = MAX_WARMUPS) -> list[dict]:
+        heap_gb: int = 16, max_warmups: int = MAX_WARMUPS,
+        min_warmup_wall: float = MIN_WARMUP_WALL) -> list[dict]:
     code = JOB.format(
         repo=REPO, cores=cores, input_path=input_path,
         runs_per_jvm=runs_per_jvm, max_warmups=max_warmups,
         improve=WARMUP_IMPROVE, improve_pct=int(WARMUP_IMPROVE * 100),
-        heap_gb=heap_gb,
+        heap_gb=heap_gb, min_warmup_wall=min_warmup_wall,
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
     # one retry: this sandbox occasionally segfaults a whole JVM/worker
@@ -249,6 +265,8 @@ def main() -> None:
     runs_per_jvm = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     heap_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     max_warmups = int(sys.argv[5]) if len(sys.argv) > 5 else MAX_WARMUPS
+    min_warmup_wall = (float(sys.argv[6]) if len(sys.argv) > 6
+                       else MIN_WARMUP_WALL)
     # input on tmpfs: identical bytes for every level, zero disk reads
     input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
     subprocess.run(
@@ -290,7 +308,7 @@ def main() -> None:
             print(f"rep={rep} cores={cores} sentinel={sentinel:.3f}s",
                   flush=True)
             batch = run(cores, input_path, runs_per_jvm, heap_gb,
-                        max_warmups)
+                        max_warmups, min_warmup_wall)
             # a second probe AFTER the batch brackets the window: a
             # quiet pre-sentinel with a stormy post-sentinel flags the
             # mid-batch burst that a single leading probe cannot see
@@ -308,6 +326,15 @@ def main() -> None:
                     f"cores={cores}: {res['pps']:.0f} pts/s ({res['wall']:.1f}s)",
                     flush=True,
                 )
+            # checkpoint the pooled raw after every batch: a session
+            # crash (or an operator kill) must never lose completed
+            # batches — a relaunch re-pools from this file and resumes
+            # with the next rep id
+            with open(raw_path, "w") as f:
+                json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
+                           "max_warmups": max_warmups,
+                           "min_warmup_wall": min_warmup_wall,
+                           "partial": True, "results": results}, f)
 
     best = {c: max(x["pps"] for x in results[c]) for c in levels}
     med = {c: _median([x["pps"] for x in results[c]]) for c in levels}
@@ -418,7 +445,8 @@ Raw runs: {json.dumps(results)}
     # accumulates across sessions at the same size (pooled above)
     with open(raw_path, "w") as f:
         json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
-               "max_warmups": max_warmups,
+                   "max_warmups": max_warmups,
+                   "min_warmup_wall": min_warmup_wall,
                    "pair_eff": pair_eff, "best": best, "med": med,
                    "results": results}, f)
     print(
