@@ -51,7 +51,11 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     cid = pdf["conv_id"].to_numpy()
-    day = pdf["day"].to_numpy()
+    # __day32 is int32 days-since-epoch: vectorized boundary compares,
+    # and no 10^8 boxed datetime.date objects per run (Arrow date32 ->
+    # pandas materializes one Python object PER ROW; shipped as int32,
+    # only the per-group output row pays the date conversion below)
+    day = pdf["__day32"].to_numpy()
     boundary = (cid[1:] != cid[:-1]) | (day[1:] != day[:-1])
     starts = np.concatenate(
         [np.zeros(1, dtype=np.int64), boundary.nonzero()[0] + 1]
@@ -62,7 +66,9 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "conv_id": cid[starts],
-            "day": day[starts],
+            "day": day[starts]
+            .astype("datetime64[D]")
+            .astype(object),  # datetime.date, one per GROUP not per row
             "n": lens,
             "ts_blob": encode_dod_segments(ts, starts),
             "val_blob": encode_gorilla_segments(vals, starts),
@@ -94,25 +100,31 @@ def encode_series(
                 continue
             # input is sorted by (conv_id, day, turn_idx): the last
             # (conv, day) group may continue into the next batch — hold it.
-            last = (pdf["conv_id"].iat[-1], pdf["day"].iat[-1])
-            mask = (pdf["conv_id"] == last[0]) & (pdf["day"] == last[1])
+            last = (pdf["conv_id"].iat[-1], pdf["__day32"].iat[-1])
+            mask = (pdf["conv_id"] == last[0]) & (pdf["__day32"] == last[1])
             head, buf = pdf[~mask], pdf[mask]
             if len(head):
                 yield _encode_groups(head)
         if buf is not None and len(buf):
             yield _encode_groups(buf)
 
+    # __day32 = unix_date: the day boundary as a plain int32 (the Arrow
+    # transfer of a date32 column materializes a boxed datetime.date per
+    # row on the pandas side — measured Python-side CPU, removed by
+    # shipping the int). turn_idx rides along only when the sort still
+    # has to happen; the clustered fast path never reads it, so it never
+    # crosses the Arrow boundary there.
     prepped = signals.select(
         "conv_id",
-        F.to_date("ts").alias("day"),
-        "turn_idx",
+        F.unix_date(F.to_date("ts")).alias("__day32"),
+        *([] if assume_clustered else ["turn_idx"]),
         F.unix_micros("ts").alias("__ts_us"),
         F.col(value_col).cast("double").alias("__val"),
     )
     if not assume_clustered:
         prepped = prepped.repartition("conv_id").sortWithinPartitions(
-            "conv_id", "day", "turn_idx"
-        )
+            "conv_id", "__day32", "turn_idx"
+        ).drop("turn_idx")
     return prepped.mapInPandas(enc, ENCODED_SCHEMA)
 
 

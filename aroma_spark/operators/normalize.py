@@ -71,30 +71,51 @@ def normalize_for_rollup(df: DataFrame, dedup: bool = True) -> DataFrame:
     phase buys with its cores).
 
     Distinct on the hash equals distinct on the value unless two
-    different texts inside the same ``(conv_id, turn_idx, role, tool,
-    ts)`` group collide on 64 bits — groups hold a handful of rows, so
-    the expected corpus-wide collision count at 10^12 turns is ~0
-    (pairs x 2^-64). NULL text hashes to the seed and keeps
-    ``text_len`` NULL, so NULL and empty-string rows stay distinct, as
-    in the exact path.
+    different ``(role, text, tool)`` payloads inside the same
+    ``(conv_id, turn_idx, ts, text_len, tool_call)`` group collide on
+    64 bits — groups hold a handful of rows, so the expected
+    corpus-wide collision count at 10^12 turns is ~0 (pairs x 2^-64).
+    NULL text keeps ``text_len`` NULL, so NULL and empty-string rows
+    stay distinct, as in the exact path; the three ``isNull`` flags
+    inside the hash pin *which* payload fields were NULL (Spark's
+    ``xxhash64`` skips NULL inputs, so without the flags
+    ``(role=NULL, text='x')`` and ``(role='x', text=NULL)`` would hash
+    identically).
+
+    The exchange row is (conv_id, turn_idx, __row_hash, text_len,
+    tool_call, ts) — the ``role``/``tool`` strings themselves never
+    shuffle. The rollup pipeline consumes only (text_len, tool_call)
+    downstream, and dedup equality over the combined payload hash is
+    collision-equivalent to equality over the payload; measured at 8
+    pinned cores this cut the sort/shuffle row ~25%, which is DRAM
+    traffic in the exchange whose CPU cost inflates ~35% under
+    8-core contention (scripts/diag_stages.py).
     """
     from pyspark.sql import Window
 
     text = F.col("text").cast("string")
+    role = F.col("role").cast("string")
+    tool = F.col("tool").cast("string")
     out = df.select(
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("role").cast("string").alias("role"),
-        F.xxhash64(text).alias("__text_hash"),
+        F.xxhash64(
+            role, text, tool,
+            role.isNull(), text.isNull(), tool.isNull(),
+        ).alias("__row_hash"),
         F.length(text).alias("text_len"),
-        F.col("tool").cast("string").alias("tool"),
+        F.when(tool.isNotNull() & (tool != ""), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("tool_call"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
     if dedup:
         # sort by EVERY non-partition column: identical rows are then
         # adjacent, and any full tie is by definition an identical row
-        order_cols = ["turn_idx", "role", "__text_hash", "text_len",
-                      "tool", "ts"]
+        # (modulo the 2^-64 hash-collision argument above)
+        order_cols = ["turn_idx", "__row_hash", "text_len",
+                      "tool_call", "ts"]
         w = Window.partitionBy("conv_id").orderBy(*order_cols)
         row = F.struct(*[F.col(c) for c in order_cols])
         out = (
@@ -104,7 +125,7 @@ def normalize_for_rollup(df: DataFrame, dedup: bool = True) -> DataFrame:
             .where(~F.col("__is_dup"))
             .drop("__is_dup")
         )
-    return out.drop("__text_hash")
+    return out.drop("__row_hash")
 
 
 def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -40,16 +40,27 @@ def with_signals(df: DataFrame) -> DataFrame:
         # the payload never reaches the dedup exchange
         text_len = F.coalesce(F.col("text_len"), F.lit(0)).cast("long")
         carried = [c for c in df.columns if c != "text_len"]
+    if "tool_call" in df.columns:
+        # pruned frames also pre-compute tool_call (the tool string
+        # itself never shuffles)
+        tool_call = F.col("tool_call").cast("long")
+        carried = [c for c in carried if c != "tool_call"]
+    else:
+        tool_call = (
+            F.when(
+                (F.col("tool").isNotNull()) & (F.col("tool") != ""),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     return df.select(
         *carried,
         F.coalesce(ts_us - F.lag(ts_us, 1).over(w), F.lit(0))
         .cast("long")
         .alias("inter_time_us"),
         text_len.alias("text_len"),
-        F.when((F.col("tool").isNotNull()) & (F.col("tool") != ""), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("tool_call"),
+        tool_call.alias("tool_call"),
     )
 
 

@@ -109,6 +109,15 @@ spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
                       # default 30min means shuffle files of finished
                       # runs linger in local.dir for the whole level
                       "spark.cleaner.periodicGC.interval": "1min",
+                      # scan granularity: default 128MB splits pack the
+                      # pre-materialized input into ~10 tasks per 40M
+                      # turns — 1.25 waves at 8 cores leaves the last
+                      # wave 75% idle (measured via diag_stages: scan
+                      # stage span 12.8s for 10.0s of ideal work). 32MB
+                      # splits give every level >=4 tasks/core; a real
+                      # cluster tunes split size to total cores the
+                      # same way.
+                      "spark.sql.files.maxPartitionBytes": "33554432",
                   }})
 spark.sparkContext.setLogLevel("ERROR")
 src = spark.read.parquet({input_path!r})
@@ -283,11 +292,26 @@ def main() -> None:
     # of each session overwriting the last one's evidence.
     raw_path = os.path.join(REPO, "BENCH", f"scaling_raw_{n_turns}.json")
     results: dict[int, list[dict]] = {c: [] for c in levels}
+    # the pool exists to accumulate WEATHER samples of the SAME code;
+    # pooling across code revisions would average two different engines
+    # into one number. A prior pool measured at another rev (or before
+    # revs were recorded) is archived, never silently merged or dropped.
+    git_rev = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip() or "unknown"
     if os.path.exists(raw_path):
         with open(raw_path) as f:
             prior = json.load(f)
-        for k, v in (prior.get("results") or {}).items():
-            results[int(k)].extend(v)
+        prior_rev = prior.get("git_rev", "pre-rev-tracking")
+        if prior_rev != git_rev:
+            archive = raw_path.replace(".json", f"_{prior_rev}.json")
+            os.replace(raw_path, archive)
+            print(f"prior pool measured at rev {prior_rev}; archived to "
+                  f"{archive} — fresh pool at {git_rev}", flush=True)
+        else:
+            for k, v in (prior.get("results") or {}).items():
+                results[int(k)].extend(v)
     rep_offset = 1 + max(
         (x["rep"] for v in results.values() for x in v), default=-1
     )
@@ -334,6 +358,7 @@ def main() -> None:
                 json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
                            "max_warmups": max_warmups,
                            "min_warmup_wall": min_warmup_wall,
+                           "git_rev": git_rev,
                            "partial": True, "results": results}, f)
 
     best = {c: max(x["pps"] for x in results[c]) for c in levels}
@@ -447,6 +472,7 @@ Raw runs: {json.dumps(results)}
         json.dump({"n_turns": n_turns, "heap_gb": heap_gb,
                    "max_warmups": max_warmups,
                    "min_warmup_wall": min_warmup_wall,
+                   "git_rev": git_rev,
                    "pair_eff": pair_eff, "best": best, "med": med,
                    "results": results}, f)
     print(

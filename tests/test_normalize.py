@@ -63,15 +63,21 @@ def test_normalize_for_rollup_matches_exact_path(spark):
     exact = (
         normalize(df)
         .select(
-            "conv_id", "turn_idx", "role",
-            F.length("text").alias("text_len"), "tool", "ts",
+            "conv_id", "turn_idx",
+            F.length("text").alias("text_len"),
+            F.when(
+                F.col("tool").isNotNull() & (F.col("tool") != ""), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("tool_call"),
+            "ts",
         )
         .collect()
     )
     pruned = normalize_for_rollup(df).collect()
     key = lambda r: (
-        r.conv_id, r.turn_idx, r.role,
-        -1 if r.text_len is None else r.text_len, str(r.tool), str(r.ts),
+        r.conv_id, r.turn_idx,
+        -1 if r.text_len is None else r.text_len, r.tool_call, str(r.ts),
     )
     assert sorted(map(key, pruned)) == sorted(map(key, exact))
     assert len(pruned) == 5
