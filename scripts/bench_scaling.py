@@ -302,23 +302,41 @@ def main() -> None:
     # of each session overwriting the last one's evidence.
     raw_path = os.path.join(REPO, "BENCH", f"scaling_raw_{n_turns}.json")
     results: dict[int, list[dict]] = {c: [] for c in levels}
-    # the pool exists to accumulate WEATHER samples of the SAME code;
-    # pooling across code revisions would average two different engines
-    # into one number. A prior pool measured at another rev (or before
-    # revs were recorded) is archived, never silently merged or dropped.
+    # the pool exists to accumulate WEATHER samples of the SAME engine;
+    # pooling across engine changes would average two different engines
+    # into one number. The key is the git TREE hash of aroma_spark/ —
+    # the code actually measured — so doc/harness commits don't
+    # invalidate the sample. A prior pool measured at another engine
+    # tree (or before trees were recorded) is archived, never silently
+    # merged or dropped.
+    def _tree(ref: str = "HEAD") -> str:
+        out = subprocess.run(
+            ["git", "rev-parse", f"{ref}:aroma_spark"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        return out.stdout.strip()[:12] if out.returncode == 0 else ""
+
     git_rev = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, cwd=REPO,
     ).stdout.strip() or "unknown"
+    engine_tree = _tree() or "unknown"
     if os.path.exists(raw_path):
         with open(raw_path) as f:
             prior = json.load(f)
-        prior_rev = prior.get("git_rev", "pre-rev-tracking")
-        if prior_rev != git_rev:
-            archive = raw_path.replace(".json", f"_{prior_rev}.json")
+        prior_tree = prior.get("engine_tree") or (
+            # legacy pools recorded only the commit rev: resolve the
+            # engine tree AT that commit so same-engine pools keep
+            # pooling across doc/harness commits
+            _tree(prior["git_rev"]) if prior.get("git_rev") else ""
+        ) or "pre-tree-tracking"
+        if prior_tree != engine_tree:
+            tag = prior.get("git_rev") or prior_tree
+            archive = raw_path.replace(".json", f"_{tag}.json")
             os.replace(raw_path, archive)
-            print(f"prior pool measured at rev {prior_rev}; archived to "
-                  f"{archive} — fresh pool at {git_rev}", flush=True)
+            print(f"prior pool measured at engine tree {prior_tree}; "
+                  f"archived to {archive} — fresh pool at {engine_tree}",
+                  flush=True)
         else:
             for k, v in (prior.get("results") or {}).items():
                 results.setdefault(int(k), []).extend(v)
@@ -371,6 +389,7 @@ def main() -> None:
                            "max_warmups": max_warmups,
                            "min_warmup_wall": min_warmup_wall,
                            "git_rev": git_rev,
+                           "engine_tree": engine_tree,
                            "partial": True, "results": results}, f)
 
     # every level the POOL holds (this session's plus prior sessions'):
@@ -519,6 +538,7 @@ Raw runs: {json.dumps(results)}
                    "max_warmups": max_warmups,
                    "min_warmup_wall": min_warmup_wall,
                    "git_rev": git_rev,
+                   "engine_tree": engine_tree,
                    "pair_eff": pair_eff, "pairs": eff,
                    "best": best, "med": med,
                    "results": results}, f)
