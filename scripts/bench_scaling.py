@@ -14,17 +14,17 @@ small-N baseline and understating scaling in a way a real 2-core
 executor never sees. With the binding, "local[N] on N cores" is the
 honest single-box proxy for an N-core cluster slice.
 
-Levels:
-- primary  N=2 : 2 cores vs 8 cores  — keeps the box unsaturated; each
-  real cluster executor brings its own memory bandwidth, while cores on
-  one box share it, so wider local runs understate cluster scaling.
-- stress   N=8 : 8 cores vs 32 cores — reported for transparency;
-  bounded by single-host DRAM bandwidth, a lower bound on cluster
-  efficiency.
+Levels (argv[7], default "2,8,32"): every N whose 4N is also measured
+forms an N -> 4N pair. The pairs differ in how much of the ONE shared
+DRAM bus the 4N level saturates — (1,4) barely, (2,8) half, (8,32)
+fully — while real cluster executors each bring their own bus. The
+least-saturated measured pair is therefore the most cluster-faithful
+proxy and is reported as primary; the wider pairs are progressively
+harsher single-box lower bounds, published as the saturation gradient.
 
 efficiency = (pps_4N / pps_N) / 4
 
-Usage: python scripts/bench_scaling.py [n_turns] [repeats] [runs_per_jvm] [heap_gb] [max_warmups]
+Usage: python scripts/bench_scaling.py [n_turns] [repeats] [runs_per_jvm] [heap_gb] [max_warmups] [min_warmup_wall] [levels]
 
 ``heap_gb`` (default 16) sizes the fixed pre-touched JVM heap — the
 120M-turn input needs ~3x the 40M signal-frame cache, and a cache that
