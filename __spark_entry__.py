@@ -1455,6 +1455,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["utilization_1h"] = utilization_1h
 
+    # --- round-5c cohort / engagement wave (tail-registered; validated
+    # by scripts/validate_oracle.py at sf0.01 + sf0.1 this round — the
+    # 50-row driver window is spoken for by the rotation below) ---
+    def cohort_retention_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import cohort_retention
+
+        return cohort_retention(transcripts_from_events(spark, sf))
+
+    q["cohort_retention"] = cohort_retention_q
+
+    def active_7d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import rolling_active_counts
+
+        return rolling_active_counts(
+            transcripts_from_events(spark, sf), window_days=7
+        )
+
+    q["active_7d"] = active_7d
+
+    def funnel_counts(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import funnel_steps
+
+        return funnel_steps(
+            transcripts_from_events(spark, sf),
+            ["view", "click", "purchase"],
+        )
+
+    q["funnel_counts"] = funnel_counts
+
+    def xcorr_len_latency_lag1(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import signal_xcorr
+
+        return signal_xcorr(_signals(spark, sf), lag=1)
+
+    q["xcorr_len_latency_lag1"] = xcorr_len_latency_lag1
+
+    def median_latency_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import exact_median_by_bucket
+
+        return exact_median_by_bucket(
+            _signals(spark, sf), value_col="inter_time_us", unit="day"
+        )
+
+    q["median_latency_1d"] = median_latency_1d
+
+    def transition_latency_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import transition_latency
+
+        return transition_latency(transcripts_from_events(spark, sf))
+
+    q["transition_latency"] = transition_latency_q
+
+    def term_postings_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import term_postings
+
+        return term_postings(
+            load_table(spark, sf, "documents"), min_df=2, max_df=10000
+        )
+
+    q["term_postings"] = term_postings_q
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -3135,4 +3196,95 @@ SELECT doc_id, lang FROM documents
 WHERE {sample_u} < CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.5
                              WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
                              WHEN 'zh' THEN 1.0 ELSE 0.0 END"""
+
+    # --- round-5c cohort / engagement wave ---
+    o["cohort_retention"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+fd AS (SELECT conv_id, min(date_trunc('day', ts)) AS cohort_day
+       FROM t GROUP BY conv_id),
+act AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS active_day FROM t)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, active_day) AS INT) AS offset_day,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM act JOIN fd USING (conv_id)
+GROUP BY cohort_day, offset_day"""
+
+    o["active_7d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+act AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS d FROM t),
+ends AS (SELECT conv_id,
+                unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                       INTERVAL 1 DAY)) AS window_end_day
+         FROM act)
+SELECT window_end_day, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_active
+FROM ends GROUP BY window_end_day"""
+
+    o["funnel_counts"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+s1 AS (SELECT conv_id, min(turn_idx) AS m FROM t
+       WHERE role = 'view' GROUP BY conv_id),
+s2 AS (SELECT t.conv_id, min(t.turn_idx) AS m FROM t
+       JOIN s1 ON t.conv_id = s1.conv_id AND t.turn_idx > s1.m
+       WHERE t.role = 'click' GROUP BY t.conv_id),
+s3 AS (SELECT t.conv_id, min(t.turn_idx) AS m FROM t
+       JOIN s2 ON t.conv_id = s2.conv_id AND t.turn_idx > s2.m
+       WHERE t.role = 'purchase' GROUP BY t.conv_id),
+u AS (
+  SELECT 1 AS step, 'view' AS role,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_convs
+  UNION ALL
+  SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+SELECT CAST(step AS INT) AS step, role, n_convs FROM u WHERE n_convs > 0"""
+
+    o["xcorr_len_latency_lag1"] = f"""{SIG_SQL},
+lagged AS (SELECT conv_id,
+             lag(CAST(text_len AS BIGINT)) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx) AS x,
+             inter_time_us // 1000000 AS y
+           FROM sig),
+p AS (SELECT * FROM lagged WHERE x IS NOT NULL),
+a AS ({_corr_agg})
+SELECT conv_id, n AS n_pairs, {_corr_sql} AS xcorr FROM a"""
+
+    o["median_latency_1d"] = f"""{SIG_SQL},
+ranked AS (
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         CAST(inter_time_us AS BIGINT) AS inter_time_us,
+         row_number() OVER (PARTITION BY date_trunc('day', ts)
+             ORDER BY inter_time_us, conv_id, turn_idx) AS rk,
+         CAST(count(*) OVER (PARTITION BY date_trunc('day', ts))
+              AS BIGINT) AS n_points
+  FROM sig)
+SELECT bucket_ts, n_points,
+       inter_time_us AS median_inter_time_us
+FROM ranked WHERE rk = (n_points + 1) // 2"""
+
+    o["transition_latency"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+e AS (SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+             role,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+      FROM t)
+SELECT prev_role, role,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(gap_us) AS BIGINT) AS sum_latency_us,
+       CAST(min(gap_us) AS BIGINT) AS min_latency_us,
+       CAST(max(gap_us) AS BIGINT) AS max_latency_us
+FROM e WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role"""
+
+    o["term_postings"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))),
+                                      '\\s+')) AS term
+  FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+banded AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM pairs GROUP BY term
+           HAVING count(*) BETWEEN 2 AND 10000)
+SELECT term, df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs JOIN banded USING (term)
+GROUP BY term, df"""
     return o

@@ -364,3 +364,63 @@ def tfidf_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
         "df",
         F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
     )
+
+
+def term_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Inverted-index postings per term: the sorted distinct doc-id list
+    for every term whose document frequency lies in [min_df, max_df] —
+    the keyword-search / co-occurrence primitive a curation stack
+    derives next to TF-IDF (same corpus-standard whitespace tokenizer
+    as :func:`tfidf_terms`, so the two tables line up term-for-term).
+
+    The df band is not a convenience filter, it is the scale contract:
+    ``max_df`` bounds every postings row (a stop-word's postings list
+    at 10^12 docs is the corpus — the classic giant-bucket pathology,
+    cf. dedup.MAX_KEY_DF), and ``min_df`` drops hapax noise. Within the
+    band, postings are emitted as a comma-joined STRING of doc_ids in
+    ascending numeric order — one deterministic scalar per term, which
+    is what keeps the DuckDB twin hash-comparable (array columns
+    stringify differently across engines).
+
+    Shape at 100 TB: explode + distinct on (term, doc_id) (one
+    exchange, map-side combinable), df computed on the SAME aggregation
+    output, band filter BEFORE collect_list so no giant list ever
+    materializes, then one bounded-width aggregation per term.
+    """
+    if min_df < 1 or max_df < min_df:
+        raise ValueError(f"bad df band [{min_df}, {max_df}]")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    pairs = (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    banded = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    return (
+        pairs.join(banded, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.col("doc_id").cast("long"))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("term", "df", "postings")
+    )

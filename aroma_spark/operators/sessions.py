@@ -112,6 +112,40 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def transition_latency(transcripts: DataFrame) -> DataFrame:
+    """Turn-taking latency statistics per role transition — the timing
+    companion to :func:`role_transitions` ("how long does the assistant
+    take to follow a user turn vs a tool result?"). For every adjacent
+    (prev_role -> role) edge in stable turn order, the gap
+    epoch_us(ts) - epoch_us(prev_ts) aggregates to exact int64
+    n / sum / min / max per edge; means and quantiles derive downstream
+    (``exact_median_by_bucket`` / ``histogram_quantiles`` for the
+    distributional view).
+
+    Same physical shape as role_transitions: one lag window on the
+    canonical conv_id exchange, ONE |roles|^2-row aggregation with
+    map-side combine absorbing the hot user->assistant key. Gaps can be
+    negative when the warehouse holds out-of-order timestamps under the
+    deterministic (ts, event_id) turn order tie-break — min_latency_us
+    reports that honestly rather than clamping.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    edges = transcripts.select(
+        F.lag("role").over(w).alias("prev_role"),
+        F.col("role"),
+        gap.alias("gap_us"),
+    ).where(F.col("prev_role").isNotNull())
+    return edges.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("gap_us").cast("long").alias("sum_latency_us"),
+        F.min("gap_us").cast("long").alias("min_latency_us"),
+        F.max("gap_us").cast("long").alias("max_latency_us"),
+    )
+
+
 def conversation_kpis(
     transcripts: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -149,6 +149,106 @@ def signal_autocorr(
     )
 
 
+def signal_xcorr(
+    signals: DataFrame,
+    x_col: str = "text_len",
+    y_col: str = "inter_time_us",
+    lag: int = 1,
+    y_scale_us_to_s: bool = True,
+) -> DataFrame:
+    """Lagged CROSS-correlation between two integer signals per
+    conversation: Pearson r over the pairs (x_{i-lag}, y_i) in stable
+    turn order — "does a long reply predict a long wait before the
+    NEXT turn?", the leading-indicator question :func:`signal_corr`
+    (lag 0, same turn) and :func:`signal_autocorr` (one signal) cannot
+    ask. The first ``lag`` turns contribute no pair.
+
+    Same sufficient-statistic discipline and int64 overflow bounds as
+    :func:`signal_corr` (latency integer-divided to seconds before
+    squaring); one lag window on the canonical conv_id exchange + one
+    map-side-combinable aggregation — no new shuffle at any scale.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = F.col(x_col).cast("long")
+    y = (
+        F.expr(f"CAST({y_col} AS BIGINT) DIV 1000000")
+        if y_scale_us_to_s
+        else F.col(y_col).cast("long")
+    )
+    paired = signals.select(
+        "conv_id",
+        F.lag(x, lag).over(w).alias("x"),
+        y.alias("y"),
+    ).where(F.col("x").isNotNull())
+    agg = (
+        paired.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .where(F.col("n_pairs") >= MIN_PAIRS)
+    )
+    return agg.select(
+        "conv_id",
+        "n_pairs",
+        _corr_expr(
+            F.col("n_pairs"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("xcorr"),
+    )
+
+
+def exact_median_by_bucket(
+    signals: DataFrame,
+    value_col: str = "inter_time_us",
+    unit: str = "day",
+) -> DataFrame:
+    """EXACT lower-median of an integer signal per time bucket — the
+    rank-selection twin of the sketch path (``sketches.histogram_
+    quantiles`` is the 100 TB quantile story; this is its exact oracle
+    and the right tool on bounded slices, e.g. one day of one tenant).
+
+    Lower median = the element at 1-based rank floor((n+1)/2) in
+    (value, conv_id, turn_idx) order — a deterministic ROW, never an
+    interpolated float, so both engines agree bit-for-bit including on
+    even counts and ties.
+
+    Shape: one exchange on the bucket key + a per-bucket sort (this is
+    a sort-selection, there is no cheaper exact form); output is one
+    row per bucket. Emitted columns: ``bucket_ts``, ``n_points``,
+    ``median_<value_col>``.
+    """
+    bucket = F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col(value_col), F.col("conv_id"), F.col("turn_idx")
+    )
+    ranked = signals.select(
+        bucket, F.col(value_col).cast("long").alias(value_col),
+        "conv_id", "turn_idx",
+    ).select(
+        "bucket_ts",
+        value_col,
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bucket_ts"))
+        .cast("long")
+        .alias("n_points"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_points + 1) DIV 2")
+    ).select(
+        "bucket_ts",
+        "n_points",
+        F.col(value_col).alias(f"median_{value_col}"),
+    )
+
+
 def categorical_entropy(
     df: DataFrame,
     categories: tuple[str, ...],

@@ -1,0 +1,194 @@
+"""Goldens for the round-5c cohort / engagement wave: cohort retention,
+rolling actives, funnels, lagged cross-correlation, exact medians,
+transition latency, term postings."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.cohorts import (
+    cohort_retention,
+    funnel_matches,
+    funnel_steps,
+    rolling_active_counts,
+)
+from aroma_spark.operators.sessions import transition_latency
+from aroma_spark.operators.stats import exact_median_by_bucket, signal_xcorr
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_cohort_retention_grid(spark):
+    df = _t(
+        spark,
+        [
+            # a starts day 1, active days 1 and 3
+            ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-01 11:00:00"),
+            ("a", 2, "user", "x", None, "2024-01-03 10:00:00"),
+            # b starts day 1, active day 1 only
+            ("b", 0, "user", "x", None, "2024-01-01 23:00:00"),
+            # c starts day 2, active days 2 and 3
+            ("c", 0, "user", "x", None, "2024-01-02 00:00:00"),
+            ("c", 1, "user", "x", None, "2024-01-03 23:59:59"),
+        ],
+    )
+    out = cohort_retention(df).toPandas()
+    grid = {
+        (r.cohort_day.day, r.offset_day): r.n_convs
+        for r in out.itertuples()
+    }
+    assert grid == {(1, 0): 2, (1, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_rolling_active_counts_window(spark):
+    df = _t(
+        spark,
+        [
+            ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("b", 0, "user", "x", None, "2024-01-03 10:00:00"),
+        ],
+    )
+    out = rolling_active_counts(df, window_days=3).toPandas()
+    counts = {r.window_end_day.day: r.n_active for r in out.itertuples()}
+    # a covers window-ends day1..3, b covers day3..5
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_funnel_strict_order(spark):
+    df = _t(
+        spark,
+        [
+            # conv a: view -> click -> purchase (full funnel)
+            ("a", 0, "view", "x", None, "2024-01-01 00:00:00"),
+            ("a", 1, "click", "x", None, "2024-01-01 00:01:00"),
+            ("a", 2, "purchase", "x", None, "2024-01-01 00:02:00"),
+            # conv b: click BEFORE view, never clicks again -> stops at view
+            ("b", 0, "click", "x", None, "2024-01-01 00:00:00"),
+            ("b", 1, "view", "x", None, "2024-01-01 00:01:00"),
+            ("b", 2, "purchase", "x", None, "2024-01-01 00:02:00"),
+            # conv c: view only
+            ("c", 0, "view", "x", None, "2024-01-01 00:00:00"),
+        ],
+    )
+    out = (
+        funnel_steps(df, ["view", "click", "purchase"])
+        .toPandas()
+        .sort_values("step")
+    )
+    assert out.role.tolist() == ["view", "click", "purchase"]
+    assert out.n_convs.tolist() == [3, 1, 1]
+    m = funnel_matches(df, ["view", "click", "purchase"]).toPandas()
+    a = m[m.conv_id == "a"].sort_values("step")
+    assert a.match_idx.tolist() == [0, 1, 2]
+    assert set(m[m.conv_id == "b"].step) == {1}
+
+
+def test_funnel_first_match_semantics(spark):
+    # the FIRST view is the anchor: a click before it doesn't count,
+    # a click after it does — even if another view follows later
+    df = _t(
+        spark,
+        [
+            ("a", 0, "view", "x", None, "2024-01-01 00:00:00"),
+            ("a", 1, "click", "x", None, "2024-01-01 00:01:00"),
+            ("a", 2, "view", "x", None, "2024-01-01 00:02:00"),
+        ],
+    )
+    out = funnel_steps(df, ["view", "click"]).toPandas()
+    assert out[out.step == 2].n_convs.tolist() == [1]
+
+
+def test_signal_xcorr_perfect_lag(spark):
+    # y_i = x_{i-1} exactly => lag-1 cross-correlation 1.0
+    rows = []
+    xs = [1, 5, 2, 8, 3, 9]
+    for i, x in enumerate(xs):
+        rows.append(("c", i, "user", "a" * x, None, f"2024-01-01 00:0{i}:00"))
+    df = _t(spark, rows)
+    sig = df.select(
+        "conv_id",
+        "turn_idx",
+        F.length("text").cast("long").alias("text_len"),
+        # y in whole seconds-as-us so the DIV 1000000 scaling is exact
+        (F.lag(F.length("text"))
+         .over(__import__("pyspark").sql.Window.partitionBy("conv_id")
+               .orderBy("turn_idx"))
+         .cast("long") * 1_000_000).alias("inter_time_us"),
+    ).where(F.col("inter_time_us").isNotNull())
+    out = signal_xcorr(
+        sig, x_col="text_len", y_col="inter_time_us", lag=1
+    ).toPandas()
+    assert len(out) == 1
+    assert math.isclose(out.xcorr.iloc[0], 1.0, abs_tol=1e-9)
+
+
+def test_exact_median_lower_rule(spark):
+    # even count -> LOWER median (rank (n+1)//2), a real element
+    rows = [
+        ("c", i, "user", "x", None, f"2024-01-01 00:0{i}:00")
+        for i in range(4)
+    ]
+    df = _t(spark, rows)
+    sig = df.select(
+        "conv_id", "turn_idx", "ts",
+        F.lit(10).cast("long").alias("inter_time_us"),
+    )
+    sig = sig.withColumn(
+        "inter_time_us",
+        F.when(F.col("turn_idx") == 0, 1)
+        .when(F.col("turn_idx") == 1, 3)
+        .when(F.col("turn_idx") == 2, 7)
+        .otherwise(100)
+        .cast("long"),
+    )
+    out = exact_median_by_bucket(sig, "inter_time_us", "day").toPandas()
+    assert out.n_points.tolist() == [4]
+    # sorted [1,3,7,100], lower median = rank 2 = 3
+    assert out.median_inter_time_us.tolist() == [3]
+
+
+def test_transition_latency_edges(spark):
+    df = _t(
+        spark,
+        [
+            ("c", 0, "user", "x", None, "2024-01-01 00:00:00"),
+            ("c", 1, "assistant", "x", None, "2024-01-01 00:00:05"),
+            ("c", 2, "user", "x", None, "2024-01-01 00:01:05"),
+            ("c", 3, "assistant", "x", None, "2024-01-01 00:01:15"),
+        ],
+    )
+    out = transition_latency(df).toPandas()
+    ua = out[(out.prev_role == "user") & (out.role == "assistant")]
+    assert ua.n_transitions.tolist() == [2]
+    assert ua.sum_latency_us.tolist() == [15_000_000]
+    assert ua.min_latency_us.tolist() == [5_000_000]
+    assert ua.max_latency_us.tolist() == [10_000_000]
+    au = out[(out.prev_role == "assistant") & (out.role == "user")]
+    assert au.sum_latency_us.tolist() == [60_000_000]
+
+
+def test_term_postings_band_and_order(spark):
+    from aroma_spark.functions.text import term_postings
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana"),
+            (1, "apple cherry"),
+            (2, "apple banana date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = term_postings(docs, min_df=2, max_df=2).toPandas()
+    got = {r.term: (r.df, r.postings) for r in out.itertuples()}
+    # apple df=3 > max_df; cherry/date df=1 < min_df; banana in band,
+    # postings numerically sorted
+    assert got == {"banana": (2, "2,3")}
