@@ -304,11 +304,30 @@ def main() -> None:
     results: dict[int, list[dict]] = {c: [] for c in levels}
     # the pool exists to accumulate WEATHER samples of the SAME engine;
     # pooling across engine changes would average two different engines
-    # into one number. The key is the git TREE hash of aroma_spark/ —
-    # the code actually measured — so doc/harness commits don't
-    # invalidate the sample. A prior pool measured at another engine
-    # tree (or before trees were recorded) is archived, never silently
+    # into one number. The key is the set of git BLOB hashes of the
+    # files the measured job actually EXECUTES (the run_pipeline
+    # closure below) — so doc/harness commits AND additions to
+    # analytics modules the rollup job never runs (new operators
+    # registered for the driver contract) don't invalidate the sample,
+    # while any change to a module the measurement exercises does. The
+    # whole-package tree hash is recorded alongside for transparency.
+    # A prior pool whose measured-path fingerprint differs (or that
+    # predates fingerprint/tree recording) is archived, never silently
     # merged or dropped.
+    MEASURED_PATHS = (
+        # transitive import closure of the JOB template's execution
+        # path: session config, input synth, and run_pipeline ->
+        # normalize_for_rollup / with_signals / incremental_rollup ->
+        # tiers / codec_ops -> codecs. (Package __init__ re-exports
+        # touch other modules at import time only — none of their code
+        # runs inside the measured window.)
+        "session.py", "synth.py",
+        "plans/pipeline.py", "plans/checkpoint.py",
+        "operators/normalize.py", "operators/signals.py",
+        "operators/tiers.py", "operators/codec_ops.py",
+        "functions/codecs.py",
+    )
+
     def _tree(ref: str = "HEAD") -> str:
         out = subprocess.run(
             ["git", "rev-parse", f"{ref}:aroma_spark"],
@@ -316,11 +335,28 @@ def main() -> None:
         )
         return out.stdout.strip()[:12] if out.returncode == 0 else ""
 
+    def _measured_fp(tree: str) -> str:
+        """Fingerprint of the measured-path blobs inside an
+        aroma_spark tree object (12-hex prefix of the hash of the
+        `git ls-tree` listing restricted to MEASURED_PATHS)."""
+        if not tree or tree in ("unknown", "pre-tree-tracking"):
+            return ""
+        out = subprocess.run(
+            ["git", "ls-tree", tree, "--", *MEASURED_PATHS],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if out.returncode != 0 or not out.stdout.strip():
+            return ""
+        import hashlib
+
+        return hashlib.sha256(out.stdout.encode()).hexdigest()[:12]
+
     git_rev = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, cwd=REPO,
     ).stdout.strip() or "unknown"
     engine_tree = _tree() or "unknown"
+    measured_fp = _measured_fp(engine_tree)
     if os.path.exists(raw_path):
         with open(raw_path) as f:
             prior = json.load(f)
@@ -330,14 +366,24 @@ def main() -> None:
             # pooling across doc/harness commits
             _tree(prior["git_rev"]) if prior.get("git_rev") else ""
         ) or "pre-tree-tracking"
-        if prior_tree != engine_tree:
+        prior_fp = prior.get("measured_fp") or _measured_fp(prior_tree)
+        same_engine = prior_tree == engine_tree or (
+            bool(prior_fp) and bool(measured_fp) and prior_fp == measured_fp
+        )
+        if not same_engine:
             tag = prior.get("git_rev") or prior_tree
             archive = raw_path.replace(".json", f"_{tag}.json")
             os.replace(raw_path, archive)
-            print(f"prior pool measured at engine tree {prior_tree}; "
-                  f"archived to {archive} — fresh pool at {engine_tree}",
-                  flush=True)
+            print(f"prior pool measured at engine tree {prior_tree} "
+                  f"(measured-path fp {prior_fp or 'unknown'}); archived "
+                  f"to {archive} — fresh pool at {engine_tree} "
+                  f"(fp {measured_fp})", flush=True)
         else:
+            if prior_tree != engine_tree:
+                print(f"pooling across package trees {prior_tree} -> "
+                      f"{engine_tree}: measured-path fingerprint "
+                      f"{measured_fp} unchanged (only modules the "
+                      "rollup job never executes differ)", flush=True)
             for k, v in (prior.get("results") or {}).items():
                 results.setdefault(int(k), []).extend(v)
     rep_offset = 1 + max(
@@ -390,6 +436,7 @@ def main() -> None:
                            "min_warmup_wall": min_warmup_wall,
                            "git_rev": git_rev,
                            "engine_tree": engine_tree,
+                           "measured_fp": measured_fp,
                            "partial": True, "results": results}, f)
 
     # every level the POOL holds (this session's plus prior sessions'):
@@ -539,6 +586,7 @@ Raw runs: {json.dumps(results)}
                    "min_warmup_wall": min_warmup_wall,
                    "git_rev": git_rev,
                    "engine_tree": engine_tree,
+                   "measured_fp": measured_fp,
                    "pair_eff": pair_eff, "pairs": eff,
                    "best": best, "med": med,
                    "results": results}, f)
