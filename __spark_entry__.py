@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 104 registered queries, ALL 104 with hash-compared DuckDB
+Round 5: 111 registered queries, ALL 111 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -22,8 +22,11 @@ sketch-rollup ``hist_quantiles_1d``, Pearson/autocorrelation
 ``level_shift_w8``, PAA/SAX ``paa_8``/``sax_8``, ``lttb_12``), and —
 new in round 5 — ``streaming_rollup_parity`` (the Structured Streaming
 1m tier run to completion over an 8-micro-batch staged stream,
-hash-compared against the batch SQL twin). All validated hash-exact at
-sf0.01; the doc/dedup family and the round-4 analytics wave
+hash-compared against the batch SQL twin) and the round-5c
+cohort/engagement wave (cohort retention grid, exact trailing-window
+actives, strict ordered funnels, lagged cross-correlation, exact
+lower-medians, per-role-edge transition latency, df-banded inverted
+postings). All validated hash-exact at sf0.01; the doc/dedup family and the round-4 analytics wave
 additionally at sf0.1 (scripts/validate_oracle.py). The registry is
 round-robin ordered so every query's driver-green row is at most one
 round stale (see the rotation note at the end of ``queries()``).
