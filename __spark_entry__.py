@@ -1519,6 +1519,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_postings"] = term_postings_q
 
+    def stickiness_1_7(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import stickiness
+
+        return stickiness(
+            transcripts_from_events(spark, sf), short_days=1, long_days=7
+        )
+
+    q["stickiness_1_7"] = stickiness_1_7
+
+    def burstiness_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import burstiness
+
+        return burstiness(transcripts_from_events(spark, sf))
+
+    q["burstiness"] = burstiness_q
+
+    def lifespan_hist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import lifespan_histogram
+
+        return lifespan_histogram(transcripts_from_events(spark, sf))
+
+    q["lifespan_hist"] = lifespan_hist
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -3290,4 +3313,57 @@ SELECT term, df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM pairs JOIN banded USING (term)
 GROUP BY term, df"""
+
+    def _active_sql(days: int, alias: str) -> str:
+        return f"""(SELECT window_end_day,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS {alias}
+FROM (SELECT conv_id,
+             unnest(generate_series(d, d + INTERVAL {days - 1} DAY,
+                                    INTERVAL 1 DAY)) AS window_end_day
+      FROM (SELECT DISTINCT conv_id, date_trunc('day', ts) AS d FROM t))
+GROUP BY window_end_day)"""
+
+    o["stickiness_1_7"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+s AS {_active_sql(1, "n_short")},
+lw AS {_active_sql(7, "n_long")}
+SELECT window_end_day, n_short, n_long,
+       round(CAST(n_short AS DOUBLE) / CAST(n_long AS DOUBLE), 6)
+         AS stickiness
+FROM s JOIN lw USING (window_end_day)"""
+
+    o["burstiness"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+g AS (SELECT conv_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY conv_id ORDER BY turn_idx)) // 1000000 AS g
+      FROM t),
+a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS s1,
+             CAST(sum(g*g) AS BIGINT) AS s2
+      FROM g WHERE g IS NOT NULL GROUP BY conv_id
+      HAVING count(*) >= 3)
+SELECT conv_id, n_gaps,
+       CASE WHEN (CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))) > 0
+              OR (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) > 0
+       THEN round(
+         (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+          - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         / (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+          + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+       END AS burstiness
+FROM a"""
+
+    o["lifespan_hist"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+span AS (SELECT conv_id,
+                max(epoch_us(ts)) - min(epoch_us(ts)) AS lifespan_us
+         FROM t GROUP BY conv_id)
+SELECT CAST(CASE WHEN lifespan_us <= 0 THEN 0
+            ELSE length(format('{{:b}}', lifespan_us)) END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM span GROUP BY bin"""
     return o

@@ -6,8 +6,9 @@ The product-analytics layer every event warehouse ends up exposing
 active in week 3?", "what is the 7-day active count per day?", "how
 many conversations progress view -> click -> purchase in order?").
 House discipline throughout (see operators/stats.py): everything
-shuffled or summed is an exact int64/date — no floats anywhere in this
-module — so the DuckDB twins hash-match bit-for-bit.
+shuffled or summed is an exact int64/date; floats appear only in final
+single-expression projections (stickiness ratio, burstiness index),
+rounded to 6 — so the DuckDB twins hash-match bit-for-bit.
 
 No reference analog (the reference prepares per-sequence tensors and
 never asks corpus-level engagement questions); natural extension of the
@@ -164,3 +165,109 @@ def funnel_matches(transcripts: DataFrame, steps: list[str]) -> DataFrame:
         )
         out = out.unionByName(reached)
     return out
+
+
+def stickiness(
+    transcripts: DataFrame, short_days: int = 1, long_days: int = 7
+) -> DataFrame:
+    """DAU/WAU-style stickiness ratio per day: active entities in the
+    trailing ``short_days`` window over active entities in the trailing
+    ``long_days`` window — the classic engagement-intensity series
+    (ratio 1.0 = every weekly-active conversation was active today).
+
+    Composes two :func:`rolling_active_counts` frames with one
+    co-keyed join on the day column (both sides are |days|-row tables —
+    negligible at any corpus scale; the corpus itself is touched twice
+    through the shared dedup, once per window explode). The ratio is
+    ONE double division rounded to 6 places over exact int64 counts, so
+    the DuckDB twin matches bit-for-bit. Days inside the long window's
+    trailing reach but past the short one's contribute a NULL-free row
+    only where both windows have a count (inner join; a day with
+    long-window actives but zero short-window actives cannot exist
+    since short ⊆ long when aligned on the same window-end day).
+    """
+    if not (1 <= short_days < long_days):
+        raise ValueError(f"need 1 <= short {short_days} < long {long_days}")
+    s = rolling_active_counts(transcripts, short_days).withColumnRenamed(
+        "n_active", "n_short"
+    )
+    lw = rolling_active_counts(transcripts, long_days).withColumnRenamed(
+        "n_active", "n_long"
+    )
+    return s.join(lw, "window_end_day").select(
+        "window_end_day",
+        "n_short",
+        "n_long",
+        F.round(
+            F.col("n_short").cast("double") / F.col("n_long").cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+def burstiness(transcripts: DataFrame, min_gaps: int = 3) -> DataFrame:
+    """Goh–Barabási burstiness index per conversation over inter-turn
+    gaps: B = (σ − μ) / (σ + μ) ∈ [-1, 1] — B→1 bursty, B≈0 Poisson,
+    B→-1 periodic. The single-number answer to "is this conversation's
+    arrival process bursty or regular?", the shape question the
+    inter-time signal family (reference
+    src/aroma/preprocessing/intertimes.py:44-80) exists to expose.
+
+    House exactness discipline: gaps integer-divide to whole seconds
+    (the signal_corr overflow rationale), n / Σx / Σx² shuffle as exact
+    int64 partials, and μ, σ, B evaluate in ONE fixed double expression
+    rounded to 6 — bit-identical on both engines. Conversations with
+    fewer than ``min_gaps`` gaps or zero-variance gaps emit NULL B
+    (undefined σ+μ=0 only when all gaps are 0 and μ=0 — also NULL).
+    One window pass + one aggregation on the canonical conv_id exchange.
+    """
+    gap_s = F.expr(
+        "CAST(unix_micros(ts) - unix_micros(lag(ts) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx)) AS BIGINT) DIV 1000000"
+    )
+    agg = (
+        transcripts.select("conv_id", gap_s.alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("s1"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+        )
+        .where(F.col("n_gaps") >= min_gaps)
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mu * mu
+    sigma = F.sqrt(var)
+    b = F.when(
+        (var > 0) | (mu > 0), F.round((sigma - mu) / (sigma + mu), 6)
+    )
+    return agg.select("conv_id", "n_gaps", b.alias("burstiness"))
+
+
+def lifespan_histogram(transcripts: DataFrame) -> DataFrame:
+    """Power-of-two histogram of conversation lifespans (max ts − min
+    ts, µs) — "how long do conversations live?" as a bounded mergeable
+    sketch, the entity-level sibling of the per-turn latency histogram
+    (`tiers.latency_histogram`, same exact integer→binary-length bin
+    rule, same sum-to-merge algebra).
+
+    One aggregation per conversation on the canonical exchange, then a
+    ≤64-row aggregation on the bin — at 10^12 turns the output is 64
+    integers no matter what.
+    """
+    span = transcripts.groupBy("conv_id").agg(
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("lifespan_us")
+    )
+    v = F.col("lifespan_us")
+    bin_col = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(v.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return span.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )

@@ -192,3 +192,64 @@ def test_term_postings_band_and_order(spark):
     # apple df=3 > max_df; cherry/date df=1 < min_df; banana in band,
     # postings numerically sorted
     assert got == {"banana": (2, "2,3")}
+
+
+def test_stickiness_ratio(spark):
+    from aroma_spark.operators.cohorts import stickiness
+
+    df = _t(
+        spark,
+        [
+            # a active days 1 and 2; b active day 1 only
+            ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-02 10:00:00"),
+            ("b", 0, "user", "x", None, "2024-01-01 10:00:00"),
+        ],
+    )
+    out = stickiness(df, short_days=1, long_days=3).toPandas()
+    got = {
+        r.window_end_day.day: (r.n_short, r.n_long, r.stickiness)
+        for r in out.itertuples()
+    }
+    # day1: short {a,b}, long {a,b} -> 1.0; day2: short {a}, long {a,b}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (1, 2, 0.5)
+    # inner join: day3 has no short-window actives -> no row
+    assert 3 not in got
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from aroma_spark.operators.cohorts import burstiness
+
+    rows = []
+    # conv r: perfectly regular 60s gaps -> sigma=0, B=-1
+    for i in range(5):
+        rows.append(("r", i, "user", "x", None, f"2024-01-01 00:{i:02d}:00"))
+    # conv b: three 1s gaps then one huge gap -> B positive (one huge
+    # gap among n has B -> (sqrt(n)-1)/(sqrt(n)+1) = 1/3 at n=4)
+    ts = ["00:00:00", "00:00:01", "00:00:02", "00:00:03", "09:00:00"]
+    for i, t in enumerate(ts):
+        rows.append(("b", i, "user", "x", None, f"2024-01-01 {t}"))
+    df = _t(spark, rows)
+    out = burstiness(df).toPandas().set_index("conv_id")
+    assert out.loc["r"].n_gaps == 4
+    assert math.isclose(out.loc["r"].burstiness, -1.0, abs_tol=1e-9)
+    assert 0.2 < out.loc["b"].burstiness < 0.34
+
+
+def test_lifespan_histogram_bins(spark):
+    from aroma_spark.operators.cohorts import lifespan_histogram
+
+    df = _t(
+        spark,
+        [
+            # conv a: 1s lifespan = 1_000_000 us -> 20 binary digits
+            ("a", 0, "user", "x", None, "2024-01-01 00:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-01 00:00:01"),
+            # conv z: zero lifespan -> bin 0
+            ("z", 0, "user", "x", None, "2024-01-01 00:00:00"),
+        ],
+    )
+    out = lifespan_histogram(df).toPandas()
+    got = {r.bin: r.n_convs for r in out.itertuples()}
+    assert got == {20: 1, 0: 1}
