@@ -6,7 +6,7 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 111 registered queries, ALL 111 with hash-compared DuckDB
+Round 5: 114 registered queries, ALL 114 with hash-compared DuckDB
 oracles — including ``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
@@ -26,7 +26,8 @@ hash-compared against the batch SQL twin) and the round-5c
 cohort/engagement wave (cohort retention grid, exact trailing-window
 actives, strict ordered funnels, lagged cross-correlation, exact
 lower-medians, per-role-edge transition latency, df-banded inverted
-postings). All validated hash-exact at sf0.01; the doc/dedup family and the round-4 analytics wave
+postings; DAU/WAU stickiness, Goh-Barabasi burstiness, lifespan
+histogram). All validated hash-exact at sf0.01; the doc/dedup family and the round-4 analytics wave
 additionally at sf0.1 (scripts/validate_oracle.py). The registry is
 round-robin ordered so every query's driver-green row is at most one
 round stale (see the rotation note at the end of ``queries()``).
