@@ -30,12 +30,17 @@ Scale shapes (10^12 turns / 1000 executors):
   classic sketch alternative (HLL per day, union over the window) is
   already available via ``sketches.hll``; this operator is the exact
   path and the oracle for it.
-- ``funnel_steps``: k chained conditional aggregations on the SAME
-  conv_id partitioning (k = number of steps, each a co-partitioned
-  join — Catalyst inserts no new exchange after the first), then one
-  tiny k-row summary. Strict in-order matching uses ``turn_idx``,
-  which is total within a conversation and consistent with (ts,
-  event_id) by construction — no timestamp tie ambiguity.
+- ``funnel_steps``: k chained min-aggregations, every one keyed on
+  conv_id; each step filters its own scan of the step-k turns and
+  joins the (one row per conversation) reached-frame back on conv_id
+  — AQE broadcasts it while it is small (the PLANS.md audit shows 4
+  broadcast joins for a 3-step funnel), falling back to a
+  co-partitioned join at scale. The corpus is scanned once per step
+  with the step predicate pushed to parquet (`EqualTo(event_type,
+  view)` lands in PushedFilters); persist the windowed transcript
+  frame instead when k is large. Strict in-order matching uses
+  ``turn_idx``, which is total within a conversation and consistent
+  with (ts, event_id) by construction — no timestamp tie ambiguity.
 """
 
 from __future__ import annotations
