@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 114 registered queries, ALL 114 with hash-compared DuckDB
-oracles — including ``curate_stats`` (the end-to-end curation pipeline
+Round 5: 120 registered queries, ALL 120 with hash-compared DuckDB
+oracles — including the round-5d sequence-shape wave
+(``spearman_len_latency`` via doubled-average-rank int64 sufficient
+statistics, ``role_streaks`` gaps-and-islands, ``drawdown_text_len``,
+``extrema_text_len``, ``gap_outages_5m``, ``activity_heatmap``),
+``curate_stats`` (the end-to-end curation pipeline
 checked per-stage as one SQL program), ``ivf_topk_trained`` (the
 k-means training loop has no SQL twin, so the trained codebook is
 materialized to a parquet fixture both engines read and the probe
@@ -1542,6 +1546,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lifespan_histogram(transcripts_from_events(spark, sf))
 
     q["lifespan_hist"] = lifespan_hist
+
+    def spearman_len_latency(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import spearman_corr
+
+        return spearman_corr(_signals(spark, sf))
+
+    q["spearman_len_latency"] = spearman_len_latency
+
+    def role_streaks(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import longest_role_streak
+
+        return longest_role_streak(transcripts_from_events(spark, sf))
+
+    q["role_streaks"] = role_streaks
+
+    def drawdown_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import drawdown_stats
+
+        return drawdown_stats(_signals(spark, sf), value_col="text_len")
+
+    q["drawdown_text_len"] = drawdown_text_len
+
+    def extrema_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import local_extrema
+
+        return local_extrema(_signals(spark, sf), value_col="text_len")
+
+    q["extrema_text_len"] = extrema_text_len
+
+    def gap_outages_5m(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import gap_outages
+
+        return gap_outages(_signals(spark, sf), threshold_us=300_000_000)
+
+    q["gap_outages_5m"] = gap_outages_5m
+
+    def activity_heatmap_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import activity_heatmap
+
+        return activity_heatmap(transcripts_from_events(spark, sf))
+
+    q["activity_heatmap"] = activity_heatmap_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3367,4 +3413,85 @@ SELECT CAST(CASE WHEN lifespan_us <= 0 THEN 0
             ELSE length(format('{{:b}}', lifespan_us)) END AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n_convs
 FROM span GROUP BY bin"""
+
+    # round-5d sequence-shape wave (operators/seqshape.py). Spearman
+    # reuses the shared corr agg/combination over DOUBLED average ranks
+    # (2*rank_min + ties - 1, exact int64 — Pearson is affine-invariant
+    # so the result is Spearman's rho).
+    o["spearman_len_latency"] = f"""{SIG_SQL},
+p AS (SELECT conv_id,
+        2 * rank() OVER (PARTITION BY conv_id
+              ORDER BY CAST(text_len AS BIGINT))
+          + count(*) OVER (PARTITION BY conv_id,
+              CAST(text_len AS BIGINT)) - 1 AS x,
+        2 * rank() OVER (PARTITION BY conv_id
+              ORDER BY CAST(inter_time_us AS BIGINT))
+          + count(*) OVER (PARTITION BY conv_id,
+              CAST(inter_time_us AS BIGINT)) - 1 AS y
+      FROM sig),
+a AS ({_corr_agg})
+SELECT conv_id, n AS n_pairs, {_corr_sql} AS spearman FROM a"""
+
+    o["role_streaks"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+i AS (SELECT conv_id, role, turn_idx,
+        turn_idx - row_number() OVER
+          (PARTITION BY conv_id, role ORDER BY turn_idx) AS island
+      FROM t),
+runs AS (SELECT conv_id, role,
+           CAST(count(*) AS BIGINT) AS streak_len,
+           CAST(min(turn_idx) AS INT) AS streak_start
+         FROM i GROUP BY conv_id, role, island),
+ranked AS (SELECT conv_id, role, streak_len, streak_start,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY streak_len DESC, streak_start ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+               AS n_islands
+           FROM runs)
+SELECT conv_id, role AS streak_role, streak_len, streak_start, n_islands
+FROM ranked WHERE rk = 1"""
+
+    o["drawdown_text_len"] = f"""{SIG_SQL},
+r AS (SELECT conv_id, CAST(text_len AS BIGINT) AS v,
+        max(CAST(text_len AS BIGINT)) OVER (PARTITION BY conv_id
+          ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - CAST(text_len AS BIGINT) AS dd
+      FROM sig)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(v) AS BIGINT) AS peak,
+       CAST(max(dd) AS BIGINT) AS max_drawdown
+FROM r GROUP BY conv_id"""
+
+    o["extrema_text_len"] = f"""{SIG_SQL},
+r AS (SELECT conv_id, CAST(text_len AS BIGINT) AS v,
+        lag(CAST(text_len AS BIGINT)) OVER
+          (PARTITION BY conv_id ORDER BY turn_idx) AS pv,
+        lead(CAST(text_len AS BIGINT)) OVER
+          (PARTITION BY conv_id ORDER BY turn_idx) AS nv
+      FROM sig)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      AND v > pv AND v > nv THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_peaks,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      AND v < pv AND v < nv THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_troughs
+FROM r GROUP BY conv_id"""
+
+    o["gap_outages_5m"] = f"""{SIG_SQL}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN inter_time_us > 300000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+       CAST(max(inter_time_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN inter_time_us > 300000000
+                THEN inter_time_us ELSE 0 END) AS BIGINT) AS sum_outage_us
+FROM sig GROUP BY conv_id
+HAVING sum(CASE WHEN inter_time_us > 300000000 THEN 1 ELSE 0 END) > 0"""
+
+    o["activity_heatmap"] = f"""WITH t AS ({TRANSCRIPTS_SQL})
+SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM t GROUP BY dow, hod"""
     return o
