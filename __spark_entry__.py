@@ -6,8 +6,18 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 120 registered queries, ALL 120 with hash-compared DuckDB
-oracles — including the round-5d sequence-shape wave
+Round 5: 128 registered queries, ALL 128 with hash-compared DuckDB
+oracles — including the round-5f corpus-dynamics pair
+(``vocab_growth_daily`` Heaps-law curve, ``zipf_buckets``
+power-of-two frequency histogram — both on the corpus-standard
+whitespace tokenizer shared with ``doc_tfidf``), the round-5e
+runs/distribution wave
+(``latency_episodes_5m`` gaps-and-islands over breaching gaps,
+``record_turns_text_len``, ``monotone_runs_text_len``,
+``turn_share_deciles`` / ``gini_turns`` block-decomposed over the
+distinct-count histogram so no per-conversation global ranking exists
+in either engine, ``benford_text_len``), the round-5d sequence-shape
+wave
 (``spearman_len_latency`` via doubled-average-rank int64 sufficient
 statistics, ``role_streaks`` gaps-and-islands, ``drawdown_text_len``,
 ``extrema_text_len``, ``gap_outages_5m``, ``activity_heatmap``),
@@ -1588,6 +1598,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return activity_heatmap(transcripts_from_events(spark, sf))
 
     q["activity_heatmap"] = activity_heatmap_q
+
+    def latency_episodes_5m(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import breach_episodes
+
+        return breach_episodes(_signals(spark, sf), threshold_us=300_000_000)
+
+    q["latency_episodes_5m"] = latency_episodes_5m
+
+    def record_turns_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import record_turns
+
+        return record_turns(_signals(spark, sf), value_col="text_len")
+
+    q["record_turns_text_len"] = record_turns_text_len
+
+    def monotone_runs_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import longest_monotone_run
+
+        return longest_monotone_run(_signals(spark, sf), value_col="text_len")
+
+    q["monotone_runs_text_len"] = monotone_runs_text_len
+
+    def turn_share_deciles_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import turn_share_deciles
+
+        return turn_share_deciles(transcripts_from_events(spark, sf))
+
+    q["turn_share_deciles"] = turn_share_deciles_q
+
+    def gini_turns_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import gini_turns
+
+        return gini_turns(transcripts_from_events(spark, sf))
+
+    q["gini_turns"] = gini_turns_q
+
+    def benford_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import benford_first_digit
+
+        return benford_first_digit(_signals(spark, sf), value_col="text_len")
+
+    q["benford_text_len"] = benford_text_len
+
+    def vocab_growth_daily_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import vocab_growth_daily
+
+        return vocab_growth_daily(transcripts_from_events(spark, sf))
+
+    q["vocab_growth_daily"] = vocab_growth_daily_q
+
+    def zipf_buckets_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import zipf_buckets
+
+        return zipf_buckets(load_table(spark, sf, "documents"))
+
+    q["zipf_buckets"] = zipf_buckets_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3494,4 +3560,159 @@ SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM t GROUP BY dow, hod"""
+
+    # round-5e wave: breach episodes / record turns / monotone runs
+    # (sequence runs, operators/seqshape.py) + Lorenz deciles / Gini /
+    # Benford (corpus distribution, operators/distribution.py). The
+    # rank statistics are block-decomposed over the distinct-count
+    # histogram in BOTH engines — identical integer arithmetic, no
+    # per-conversation ranking (see distribution.py module docstring).
+    o["latency_episodes_5m"] = f"""{SIG_SQL},
+b AS (SELECT conv_id, turn_idx, CAST(inter_time_us AS BIGINT) AS gap_us,
+        turn_idx - row_number() OVER
+          (PARTITION BY conv_id ORDER BY turn_idx) AS island
+      FROM sig WHERE inter_time_us > 300000000),
+ep AS (SELECT conv_id, island,
+         CAST(count(*) AS BIGINT) AS ep_len,
+         CAST(sum(gap_us) AS BIGINT) AS ep_us
+       FROM b GROUP BY conv_id, island)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(max(ep_len) AS BIGINT) AS max_episode_len,
+       CAST(sum(ep_len) AS BIGINT) AS total_breach_turns,
+       CAST(sum(ep_us) AS BIGINT) AS sum_breach_us
+FROM ep GROUP BY conv_id"""
+
+    o["record_turns_text_len"] = f"""{SIG_SQL},
+r AS (SELECT conv_id, turn_idx,
+        CASE WHEN max(CAST(text_len AS BIGINT)) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               IS NULL
+             OR CAST(text_len AS BIGINT) >
+               max(CAST(text_len AS BIGINT)) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS is_record
+      FROM sig)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(is_record) AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN is_record = 1 THEN turn_idx END) AS INT)
+         AS last_record_turn
+FROM r GROUP BY conv_id"""
+
+    o["monotone_runs_text_len"] = f"""{SIG_SQL},
+base AS (SELECT conv_id, turn_idx, CAST(text_len AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS rn,
+           lag(CAST(text_len AS BIGINT)) OVER
+             (PARTITION BY conv_id ORDER BY turn_idx) AS pv
+         FROM sig),
+incs AS (SELECT conv_id,
+           rn - row_number() OVER
+             (PARTITION BY conv_id ORDER BY turn_idx) AS island
+         FROM base WHERE pv IS NOT NULL AND v > pv),
+runs AS (SELECT conv_id, CAST(max(n_incs) AS BIGINT) AS max_incs
+         FROM (SELECT conv_id, island, count(*) AS n_incs
+               FROM incs GROUP BY conv_id, island)
+         GROUP BY conv_id),
+tot AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        FROM base GROUP BY conv_id)
+SELECT t.conv_id, t.n_turns,
+       CAST(COALESCE(r.max_incs, 0) + 1 AS BIGINT) AS longest_inc_run
+FROM tot t LEFT JOIN runs r ON t.conv_id = r.conv_id"""
+
+    _hist_blocks = """cnt AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY conv_id),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM cnt GROUP BY c)"""
+
+    o["turn_share_deciles"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+{_hist_blocks},
+blk AS (SELECT c, k,
+          CAST(COALESCE(sum(k) OVER (ORDER BY c DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+            AS BIGINT) AS s,
+          CAST(sum(k) OVER () AS BIGINT) AS n_convs,
+          CAST(sum(c * k) OVER () AS BIGINT) AS total_turns
+        FROM hist),
+sp AS (SELECT c, k, s, s + k - 1 AS e, n_convs, total_turns,
+         CAST(unnest(generate_series((s - 1) * 10 // n_convs,
+                                     (s + k - 2) * 10 // n_convs))
+           AS INT) AS decile
+       FROM blk),
+ov AS (SELECT decile,
+         least(e, ((CAST(decile AS BIGINT) + 1) * n_convs - 1) // 10 + 1)
+           - greatest(s, (CAST(decile AS BIGINT) * n_convs + 9) // 10 + 1)
+           + 1 AS n_in,
+         c, total_turns
+       FROM sp)
+SELECT decile, CAST(sum(n_in) AS BIGINT) AS n_convs,
+       CAST(sum(n_in * c) AS BIGINT) AS sum_turns,
+       CAST(sum(n_in * c) AS DOUBLE) / CAST(max(total_turns) AS DOUBLE)
+         AS turn_share
+FROM ov WHERE n_in > 0 GROUP BY decile"""
+
+    o["gini_turns"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+{_hist_blocks},
+blk AS (SELECT c, k,
+          CAST(COALESCE(sum(k) OVER (ORDER BY c ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+            AS BIGINT) AS s,
+          CAST(sum(k) OVER () AS BIGINT) AS n_convs,
+          CAST(sum(c * k) OVER () AS BIGINT) AS total_turns
+        FROM hist),
+a AS (SELECT n_convs, total_turns,
+        CAST(sum(c * (k * s + (k * (k - 1)) // 2)) AS BIGINT) AS s2
+      FROM blk GROUP BY n_convs, total_turns)
+SELECT n_convs, total_turns,
+       CAST(2 * s2 - (n_convs + 1) * total_turns AS DOUBLE)
+         / CAST(n_convs * total_turns AS DOUBLE) AS gini
+FROM a"""
+
+    o["benford_text_len"] = f"""{SIG_SQL},
+d AS (SELECT CAST(substr(CAST(text_len AS VARCHAR), 1, 1) AS INT)
+        AS digit
+      FROM sig WHERE text_len > 0),
+a AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_values
+      FROM d GROUP BY digit)
+SELECT digit, n_values,
+       CAST(n_values AS DOUBLE) / CAST(sum(n_values) OVER () AS DOUBLE)
+         AS share
+FROM a"""
+
+    # round-5f corpus-dynamics wave (functions/text.py): Heaps-law
+    # vocabulary growth over the transcript stream, Zipf power-of-two
+    # frequency histogram over the documents corpus — both on the
+    # corpus-standard whitespace tokenizer shared with doc_tfidf.
+    o["vocab_growth_daily"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT CAST(ts AS DATE) AS day,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+tk AS (SELECT day, term FROM tok WHERE term <> ''),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+          FROM tk GROUP BY day),
+nbd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_terms
+        FROM (SELECT term, min(day) AS day FROM tk GROUP BY term)
+        GROUP BY day),
+j AS (SELECT d.day, d.n_tokens, d.n_distinct_terms,
+        CAST(COALESCE(n.n_new_terms, 0) AS BIGINT) AS n_new_terms
+      FROM daily d LEFT JOIN nbd n ON d.day = n.day)
+SELECT day, n_tokens, n_distinct_terms, n_new_terms,
+       CAST(sum(n_new_terms) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size,
+       CAST(n_distinct_terms AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+FROM j"""
+
+    o["zipf_buckets"] = """WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                      '\\s+')) AS term
+  FROM documents),
+f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE term <> '' GROUP BY term)
+SELECT CAST(length(format('{:b}', freq)) AS INT) AS freq_bin,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(freq) AS BIGINT) AS sum_tokens
+FROM f GROUP BY freq_bin"""
     return o

@@ -424,3 +424,106 @@ def term_postings(
         )
         .select("term", "df", "postings")
     )
+
+
+def vocab_growth_daily(
+    df: DataFrame, text_col: str = "text", ts_col: str = "ts"
+) -> DataFrame:
+    """Daily vocabulary-growth (Heaps'-law) curve: per day, the token
+    volume, the day's distinct-term count, the number of terms seen
+    for the FIRST time that day, the cumulative vocabulary size, and
+    the type-token ratio — the curve a curation pipeline watches to
+    spot corpus saturation (new-term rate decaying) or contamination
+    (a sudden vocabulary spike from an off-distribution source).
+
+    Same corpus-standard whitespace tokenizer as :func:`tfidf_terms`
+    (byte-identical twin in DuckDB). All counts exact int64; ``ttr``
+    is the ONE float division.
+
+    Returns (day, n_tokens, n_distinct_terms, n_new_terms, vocab_size,
+    ttr), one row per day with at least one token; ``vocab_size`` is
+    the running sum of ``n_new_terms`` in day order (every term's
+    first day has tokens, so the day spine needs no gap fill).
+
+    Shape at 100 TB: explode + a (day, term) and a (term) hash
+    aggregation (both map-side combinable; the term exchange is the
+    same Zipf-headed one TF-IDF rides — partial aggregation bounds the
+    hot keys), then a cumulative window over DISTINCT DAYS only —
+    thousands of rows at any corpus size, never per-term or per-turn.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    daily = toks.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_distinct_terms"),
+    )
+    new_by_day = (
+        toks.groupBy("term")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_terms"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = daily.join(new_by_day, "day", "left").select(
+        "day",
+        "n_tokens",
+        "n_distinct_terms",
+        F.coalesce(F.col("n_new_terms"), F.lit(0))
+        .cast("long")
+        .alias("n_new_terms"),
+    )
+    return joined.select(
+        "day",
+        "n_tokens",
+        "n_distinct_terms",
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("long").alias("vocab_size"),
+        (
+            F.col("n_distinct_terms").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("ttr"),
+    )
+
+
+def zipf_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf curve as a power-of-two histogram: terms grouped by the
+    binary length of their corpus frequency (bin b holds terms with
+    2^(b-1) <= freq < 2^b) — the rank-free way to see the head/tail
+    balance ("is this corpus boilerplate-heavy?") without ever
+    RANKING terms globally. Integer bit-length binning, same rule as
+    the latency/lifespan histograms (tiers.latency_histogram,
+    cohorts.lifespan_histogram) — no float log, bins engine-exact.
+
+    Same corpus-standard whitespace tokenizer as :func:`tfidf_terms`.
+    Returns (freq_bin, n_terms, sum_tokens) — at most 64 rows;
+    ``sum_tokens`` recovers the token-mass share of each bin, so
+    bin-width-corrected slopes can be fit downstream.
+
+    Shape at 100 TB: explode + one (term) hash aggregation (map-side
+    combinable, hot Zipf keys bounded at one partial row per task),
+    then a <= 64-key aggregation — output constant-size no matter the
+    corpus.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    freqs = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    bin_col = (
+        F.length(F.conv(F.col("freq").cast("string"), 10, 2)).cast("int")
+    )
+    return freqs.groupBy(bin_col.alias("freq_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("freq").cast("long").alias("sum_tokens"),
+    )

@@ -279,6 +279,132 @@ def gap_outages(
     )
 
 
+def breach_episodes(
+    signals: DataFrame, threshold_us: int = 3_600_000_000
+) -> DataFrame:
+    """Per-conversation breach EPISODES: consecutive turns whose
+    inter-turn gap exceeds ``threshold_us``, collapsed into runs — the
+    incident-shaped view of :func:`gap_outages` ("one 40-minute
+    outage" instead of "eight breaching gaps"). All-int64 exact; only
+    conversations with at least one episode are emitted, so output
+    scales with incidents, not corpus.
+
+    Returns (conv_id, n_episodes, max_episode_len, total_breach_turns,
+    sum_breach_us) where an episode's length counts its breaching
+    turns and ``n_episodes <= n_outages`` always.
+
+    Shape: gaps-and-islands restricted to the (rare) breaching rows —
+    one row_number window + two aggregations, all on the conv_id
+    exchange. The filter runs FIRST, so the windows see only incident
+    rows.
+    """
+    if threshold_us <= 0:
+        raise ValueError(f"threshold_us must be > 0, got {threshold_us}")
+    g = F.col("inter_time_us").cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    breaches = signals.where(g > F.lit(threshold_us)).select(
+        "conv_id",
+        "turn_idx",
+        g.alias("gap_us"),
+        (F.col("turn_idx") - F.row_number().over(w)).alias("island"),
+    )
+    episodes = breaches.groupBy("conv_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("ep_len"),
+        F.sum("gap_us").cast("long").alias("ep_us"),
+    )
+    return episodes.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes"),
+        F.max("ep_len").cast("long").alias("max_episode_len"),
+        F.sum("ep_len").cast("long").alias("total_breach_turns"),
+        F.sum("ep_us").cast("long").alias("sum_breach_us"),
+    )
+
+
+def record_turns(
+    signals: DataFrame, value_col: str = "text_len"
+) -> DataFrame:
+    """Per-conversation count of RECORD turns — turns whose value
+    strictly exceeds every earlier value in stable turn order (the
+    first turn is a record by convention). The classic
+    record-statistics measure: an i.i.d. series sets ~ln(n) records;
+    a trending one sets far more. All-int64 exact.
+
+    Returns (conv_id, n_turns, n_records, last_record_turn).
+
+    Shape: one running-max window (offset one row back) + one
+    aggregation on the conv_id exchange.
+    """
+    v = F.col(value_col).cast("long")
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = signals.select(
+        "conv_id",
+        "turn_idx",
+        (F.max(v).over(w_prev).isNull() | (v > F.max(v).over(w_prev)))
+        .cast("long")
+        .alias("is_record"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("is_record").cast("long").alias("n_records"),
+        F.max(
+            F.when(F.col("is_record") == 1, F.col("turn_idx"))
+        ).cast("int").alias("last_record_turn"),
+    )
+
+
+def longest_monotone_run(
+    signals: DataFrame, value_col: str = "text_len"
+) -> DataFrame:
+    """Per-conversation longest STRICTLY INCREASING run of an integer
+    signal in stable turn order, measured in TURNS (a run of k
+    consecutive increases spans k+1 turns; every conversation has a
+    run of at least 1). The trend-persistence twin of
+    :func:`local_extrema`. All-int64 exact.
+
+    Returns (conv_id, n_turns, longest_inc_run).
+
+    Shape: one lag window to flag increases, gaps-and-islands over the
+    increase rows (their row_number vs the conversation row_number),
+    then a per-conversation aggregate LEFT-JOINED back to the
+    conversation totals — all joins and windows on the one conv_id
+    exchange.
+    """
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = signals.select(
+        "conv_id",
+        "turn_idx",
+        v.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.lag(v, 1).over(w).alias("pv"),
+    )
+    incs = base.where(F.col("pv").isNotNull() & (F.col("v") > F.col("pv")))
+    islands = incs.select(
+        "conv_id",
+        (F.col("rn") - F.row_number().over(w)).alias("island"),
+    )
+    runs = (
+        islands.groupBy("conv_id", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_incs"))
+        .groupBy("conv_id")
+        .agg(F.max("n_incs").alias("max_incs"))
+    )
+    totals = base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    return totals.join(runs, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        (F.coalesce(F.col("max_incs"), F.lit(0)) + F.lit(1))
+        .cast("long")
+        .alias("longest_inc_run"),
+    )
+
+
 def activity_heatmap(transcripts: DataFrame) -> DataFrame:
     """Day-of-week x hour-of-day (UTC) load matrix: turn count and
     distinct-conversation count per (dow, hod) cell — the 7x24 heatmap

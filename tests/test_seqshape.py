@@ -173,3 +173,64 @@ def test_activity_heatmap_dow_hod(spark):
     assert out[(0, 9)]["n_convs"] == 2
     assert out[(5, 23)]["n_turns"] == 1
     assert out[(5, 23)]["n_convs"] == 1
+
+
+def test_breach_episodes_collapses_consecutive(spark):
+    # gaps: 0, 400, 500, 10, 600 (threshold 100): turns 1-2 form one
+    # episode (len 2, 900us), turn 4 another (len 1, 600us)
+    rows = [
+        ("a", 0, 1, 0),
+        ("a", 1, 1, 400),
+        ("a", 2, 1, 500),
+        ("a", 3, 1, 10),
+        ("a", 4, 1, 600),
+        ("clean", 0, 1, 0),
+        ("clean", 1, 1, 50),  # no breach -> not emitted
+    ]
+    from aroma_spark.operators.seqshape import breach_episodes
+
+    out = breach_episodes(_sig(spark, rows), threshold_us=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv_id"] == "a"
+    assert r["n_episodes"] == 2
+    assert r["max_episode_len"] == 2
+    assert r["total_breach_turns"] == 3
+    assert r["sum_breach_us"] == 1500
+
+
+def test_record_turns_strict_running_max(spark):
+    # v = 3,1,4,4,5: records at turns 0 (first), 2 (4>3), 4 (5>4);
+    # the repeat 4 at turn 3 is NOT a record (strict >)
+    rows = [
+        ("a", 0, 3, 0),
+        ("a", 1, 1, 1),
+        ("a", 2, 4, 2),
+        ("a", 3, 4, 3),
+        ("a", 4, 5, 4),
+    ]
+    from aroma_spark.operators.seqshape import record_turns
+
+    r = record_turns(_sig(spark, rows)).collect()[0]
+    assert (r["n_turns"], r["n_records"], r["last_record_turn"]) == (5, 3, 4)
+
+
+def test_longest_monotone_run(spark):
+    from aroma_spark.operators.seqshape import longest_monotone_run
+
+    rows = [
+        # a: 1,2,3,2,3,4,5 -> runs of 3 and 4 turns -> longest 4
+        ("a", 0, 1, 0), ("a", 1, 2, 1), ("a", 2, 3, 2), ("a", 3, 2, 3),
+        ("a", 4, 3, 4), ("a", 5, 4, 5), ("a", 6, 5, 6),
+        # flat: equal values never increase strictly -> 1
+        ("flat", 0, 2, 0), ("flat", 1, 2, 1), ("flat", 2, 2, 2),
+        # single turn -> 1
+        ("one", 0, 9, 0),
+    ]
+    out = {
+        r["conv_id"]: r for r in longest_monotone_run(_sig(spark, rows)).collect()
+    }
+    assert out["a"]["longest_inc_run"] == 4
+    assert out["flat"]["longest_inc_run"] == 1
+    assert out["one"]["longest_inc_run"] == 1
+    assert out["a"]["n_turns"] == 7

@@ -192,3 +192,36 @@ def test_domain_counts(spark):
     assert out["cdn.example.org"] == (3, 2)
     assert out["other.example.net"] == (1, 1)
     assert len(out) == 2
+
+
+def test_vocab_growth_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.functions.text import vocab_growth_daily
+
+    rows = [
+        ("c", 0, "a b a", "2024-01-01 10:00:00"),
+        ("c", 1, "b c", "2024-01-02 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r for r in vocab_growth_daily(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_tokens"], d1["n_distinct_terms"], d1["n_new_terms"]) == (3, 2, 2)
+    assert d1["vocab_size"] == 2 and math.isclose(d1["ttr"], 2 / 3)
+    assert (d2["n_tokens"], d2["n_distinct_terms"], d2["n_new_terms"]) == (2, 2, 1)
+    assert d2["vocab_size"] == 3 and d2["ttr"] == 1.0
+
+
+def test_zipf_buckets(spark):
+    from aroma_spark.functions.text import zipf_buckets
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c"), (2, None)], "doc_id long, text string"
+    )
+    # freqs: a=3 (bin 2), b=2 (bin 2), c=1 (bin 1)
+    out = {r["freq_bin"]: r for r in zipf_buckets(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[2]["n_terms"], out[2]["sum_tokens"]) == (2, 5)
+    assert (out[1]["n_terms"], out[1]["sum_tokens"]) == (1, 1)
