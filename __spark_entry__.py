@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 128 registered queries, ALL 128 with hash-compared DuckDB
-oracles — including the round-5f corpus-dynamics pair
+Round 5: 130 registered queries, ALL 130 with hash-compared DuckDB
+oracles — including the round-5g observability pair (``tool_usage``,
+``latency_drift_daily`` day-over-day histogram L1 drift with an
+integer cross-multiplied numerator so no float accumulation order
+exists), the round-5f corpus-dynamics pair
 (``vocab_growth_daily`` Heaps-law curve, ``zipf_buckets``
 power-of-two frequency histogram — both on the corpus-standard
 whitespace tokenizer shared with ``doc_tfidf``), the round-5e
@@ -1654,6 +1657,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zipf_buckets(load_table(spark, sf, "documents"))
 
     q["zipf_buckets"] = zipf_buckets_q
+
+    def tool_usage_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_usage
+
+        return tool_usage(_signals(spark, sf))
+
+    q["tool_usage"] = tool_usage_q
+
+    def latency_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import hist_drift_daily
+
+        return hist_drift_daily(_signals(spark, sf))
+
+    q["latency_drift_daily"] = latency_drift_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3715,4 +3732,48 @@ SELECT CAST(length(format('{:b}', freq)) AS INT) AS freq_bin,
        CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(freq) AS BIGINT) AS sum_tokens
 FROM f GROUP BY freq_bin"""
+
+    # round-5g observability pair: per-tool usage rollup
+    # (operators/sessions.py) and day-over-day histogram L1 drift
+    # (operators/anomaly.py — integer cross-multiplied numerator, ONE
+    # float division, no float accumulation order to disagree on).
+    o["tool_usage"] = f"""{SIG_SQL}
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+       CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+FROM sig WHERE tool IS NOT NULL AND tool <> ''
+GROUP BY tool"""
+
+    o["latency_drift_daily"] = f"""{SIG_SQL},
+h AS (SELECT CAST(ts AS DATE) AS day,
+        CAST(CASE WHEN inter_time_us <= 0 THEN 0
+             ELSE length(format('{{:b}}', inter_time_us)) END AS INT)
+          AS bin,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM sig GROUP BY day, bin),
+j AS (SELECT COALESCE(l.pair_day, r.pair_day) AS pair_day,
+        COALESCE(l.bin, r.bin) AS bin,
+        CAST(COALESCE(l.cnt, 0) AS BIGINT) AS cnt_l,
+        CAST(COALESCE(r.cnt, 0) AS BIGINT) AS cnt_r
+      FROM (SELECT day AS pair_day, bin, cnt FROM h) l
+      FULL OUTER JOIN (SELECT day - 1 AS pair_day, bin, cnt FROM h) r
+      ON l.pair_day = r.pair_day AND l.bin = r.bin),
+tw AS (SELECT pair_day, cnt_l, cnt_r,
+        CAST(sum(cnt_l) OVER (PARTITION BY pair_day) AS BIGINT)
+          AS total_l,
+        CAST(sum(cnt_r) OVER (PARTITION BY pair_day) AS BIGINT)
+          AS total_r
+      FROM j),
+a AS (SELECT pair_day,
+        CAST(sum(abs(cnt_l * total_r - cnt_r * total_l)) AS BIGINT)
+          AS num,
+        CAST(max(total_l) AS BIGINT) AS total_l,
+        CAST(max(total_r) AS BIGINT) AS total_r
+      FROM tw GROUP BY pair_day
+      HAVING max(total_l) > 0 AND max(total_r) > 0)
+SELECT pair_day AS day, total_l, total_r,
+       CAST(num AS DOUBLE)
+         / (CAST(total_l AS DOUBLE) * CAST(total_r AS DOUBLE)) AS l1
+FROM a"""
     return o

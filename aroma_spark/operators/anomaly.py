@@ -208,3 +208,106 @@ def level_shift_score(
             ).alias("is_shift"),
         )
     )
+
+
+def hist_drift_daily(
+    signals: DataFrame, value_col: str = "inter_time_us"
+) -> DataFrame:
+    """Day-over-day distribution drift of an integer signal: the L1
+    (total-variation x2) distance between consecutive days'
+    power-of-two histograms — the "did today's latency distribution
+    change shape, not just level" screen that catches what the
+    mean/zscore monitors miss (a bimodal split leaves the mean flat).
+
+    Bins are the binary length of the value (0 bin for values <= 0) —
+    the same engine-exact integer rule as the latency/lifespan
+    histograms. The L1 distance is kept EXACT in int64 until one
+    final division: with c_l/c_r the per-bin counts and T_l/T_r the
+    day totals,
+
+        L1 = sum_bins |c_l * T_r - c_r * T_l| / (T_l * T_r)
+
+    so the summation is over exact integers (no float accumulation
+    order to disagree across engines); only the single division is
+    float. Overflow bound: |c * T| < T^2 needs day volume T < ~3e9
+    turns — beyond that, widen the two moments to decimal(38,0).
+
+    Returns (day, total_l, total_r, l1) for each day whose SUCCESSOR
+    day also has data (day pairs with a missing side are not drift,
+    they are an outage — gap-shaped questions belong to
+    seqshape.gap_outages). L1 is in [0, 2]; 0 = identical shapes.
+
+    Shape at 100 TB: ONE (day, bin) aggregation over the corpus
+    (map-side combine, <= 64 bins/day) — the consecutive-day pairing
+    is NOT a self-join (which would scan the corpus twice): each tiny
+    histogram row is exploded to its two pair roles (left of its own
+    day, right of the preceding day) and merged by a second, <=
+    128-rows-per-day aggregation; every structure after the first
+    aggregation is per-day-constant-size.
+    """
+    v = F.col(value_col).cast("long")
+    bin_col = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(v.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    h = (
+        signals.select(F.to_date("ts").alias("day"), bin_col.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    zero = F.lit(0).cast("long")
+    sides = h.select(
+        "bin",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("day").alias("pair_day"),
+                    F.col("cnt").alias("l"),
+                    zero.alias("r"),
+                ),
+                F.struct(
+                    F.date_sub("day", 1).alias("pair_day"),
+                    zero.alias("l"),
+                    F.col("cnt").alias("r"),
+                ),
+            )
+        ).alias("s"),
+    )
+    j = (
+        sides.select("bin", "s.pair_day", "s.l", "s.r")
+        .groupBy("pair_day", "bin")
+        .agg(
+            F.sum("l").cast("long").alias("cnt_l"),
+            F.sum("r").cast("long").alias("cnt_r"),
+        )
+    )
+    wp = Window.partitionBy("pair_day")
+    totals = j.select(
+        "pair_day",
+        "cnt_l",
+        "cnt_r",
+        F.sum("cnt_l").over(wp).cast("long").alias("total_l"),
+        F.sum("cnt_r").over(wp).cast("long").alias("total_r"),
+    )
+    num = F.abs(
+        F.col("cnt_l") * F.col("total_r") - F.col("cnt_r") * F.col("total_l")
+    )
+    agg = (
+        totals.groupBy("pair_day")
+        .agg(
+            F.sum(num).cast("long").alias("num"),
+            F.max("total_l").cast("long").alias("total_l"),
+            F.max("total_r").cast("long").alias("total_r"),
+        )
+        .where((F.col("total_l") > 0) & (F.col("total_r") > 0))
+    )
+    return agg.select(
+        F.col("pair_day").alias("day"),
+        "total_l",
+        "total_r",
+        (
+            F.col("num").cast("double")
+            / (F.col("total_l").cast("double") * F.col("total_r").cast("double"))
+        ).alias("l1"),
+    )

@@ -180,3 +180,32 @@ def conversation_kpis(
         .alias("sum_text_len"),
         F.countDistinct("role").cast("long").alias("n_roles"),
     )
+
+
+def tool_usage(signals: DataFrame) -> DataFrame:
+    """Per-tool usage rollup over the signal frame: call volume,
+    distinct conversations touching the tool, text volume of the
+    invoking turns, and the exact int64 latency sum of those turns —
+    the "which tools carry the load, and are they slow" table an
+    agent-transcript dashboard leads with.
+
+    Only turns with a non-empty ``tool`` are counted (the signal
+    frame's ``tool_call`` definition, operators/signals.py). All
+    sums exact int64; no float appears at all.
+
+    Shape at 100 TB: ONE hash aggregation keyed by tool name — tool
+    cardinality is tiny and fixed, so map-side combine collapses every
+    partition to a handful of partial rows; the count-distinct adds
+    the standard two-phase expansion on (tool, conv_id).
+    """
+    used = signals.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    )
+    return used.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.col("text_len").cast("long")).cast("long")
+        .alias("sum_text_len"),
+        F.sum(F.col("inter_time_us").cast("long")).cast("long")
+        .alias("sum_latency_us"),
+    )

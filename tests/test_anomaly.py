@@ -67,3 +67,30 @@ def test_seasonal_profile_rows(spark, tiny_transcripts):
     assert r["sum_tool_calls"] == 1
     # partials re-aggregate: total turns across cells == corpus turns
     assert sum(r["n_turns"] for r in rows.values()) == 7
+
+
+def test_hist_drift_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.anomaly import hist_drift_daily
+
+    # day1 and day2 share the bin shape (l1 = 0); day3 is disjoint
+    # from day2 (l1 = 2, the L1 maximum); day3 has no successor.
+    rows = [
+        ("a", "2024-01-01 10:00:00", 1),
+        ("a", "2024-01-01 11:00:00", 1),
+        ("a", "2024-01-01 12:00:00", 2),
+        ("a", "2024-01-01 13:00:00", 2),
+        ("a", "2024-01-02 10:00:00", 1),
+        ("a", "2024-01-02 11:00:00", 3),  # bin2, same as value 2
+        ("a", "2024-01-03 10:00:00", 4),  # bin3
+        ("a", "2024-01-03 11:00:00", 4),
+    ]
+    sig = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r for r in hist_drift_daily(sig).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02"}
+    assert out["2024-01-01"]["l1"] == 0.0
+    assert (out["2024-01-01"]["total_l"], out["2024-01-01"]["total_r"]) == (4, 2)
+    assert out["2024-01-02"]["l1"] == 2.0

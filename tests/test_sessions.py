@@ -71,3 +71,29 @@ def test_unknown_gap_unit_raises():
     assert _interval_to_us("2 days") == 2 * 86_400_000_000
     with pytest.raises(ValueError, match="unsupported interval unit"):
         _interval_to_us("3 fortnights")
+
+
+def test_tool_usage_rollup(spark):
+    from aroma_spark.operators.sessions import tool_usage
+
+    rows = [
+        ("a", "search", 10, 100),
+        ("a", "search", 20, 200),
+        ("b", "search", 5, 50),
+        ("a", "", 9, 9),      # empty tool excluded
+        ("b", None, 9, 9),    # null tool excluded
+        ("b", "calc", 7, 70),
+    ]
+    sig = spark.createDataFrame(
+        rows, "conv_id string, tool string, text_len long, inter_time_us long"
+    )
+    out = {r["tool"]: r for r in tool_usage(sig).collect()}
+    assert set(out) == {"search", "calc"}
+    s = out["search"]
+    assert (s["n_calls"], s["n_convs"], s["sum_text_len"], s["sum_latency_us"]) == (
+        3, 2, 35, 350,
+    )
+    c = out["calc"]
+    assert (c["n_calls"], c["n_convs"], c["sum_text_len"], c["sum_latency_us"]) == (
+        1, 1, 7, 70,
+    )
