@@ -6,8 +6,13 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 130 registered queries, ALL 130 with hash-compared DuckDB
-oracles — including the round-5g observability pair (``tool_usage``,
+Round 5: 133 registered queries, ALL 133 with hash-compared DuckDB
+oracles — including the round-5h robust-statistics wave
+(``mad_outliers_daily`` exact rank-selected median/MAD outlier counts,
+``cusum_changepoint`` integer-scaled Page-CUSUM level-shift location,
+``skew_kurt_daily`` winsorized moments from int64 power sums with the
+g1/g2 combination shared verbatim between engines), the round-5g
+observability pair (``tool_usage``,
 ``latency_drift_daily`` day-over-day histogram L1 drift with an
 integer cross-multiplied numerator so no float accumulation order
 exists), the round-5f corpus-dynamics pair
@@ -1671,6 +1676,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_drift_daily(_signals(spark, sf))
 
     q["latency_drift_daily"] = latency_drift_daily
+
+    def mad_outliers_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import mad_outliers_by_bucket
+
+        return mad_outliers_by_bucket(_signals(spark, sf))
+
+    q["mad_outliers_daily"] = mad_outliers_daily
+
+    def cusum_changepoint_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import cusum_changepoint
+
+        return cusum_changepoint(_signals(spark, sf))
+
+    q["cusum_changepoint"] = cusum_changepoint_q
+
+    def skew_kurt_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import skew_kurt_by_bucket
+
+        return skew_kurt_by_bucket(_signals(spark, sf))
+
+    q["skew_kurt_daily"] = skew_kurt_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3776,4 +3802,76 @@ SELECT pair_day AS day, total_l, total_r,
        CAST(num AS DOUBLE)
          / (CAST(total_l AS DOUBLE) * CAST(total_r AS DOUBLE)) AS l1
 FROM a"""
+
+    # round-5h robust-statistics wave (operators/robust.py): exact
+    # lower-medians by rank selection (a real row, never interpolated),
+    # integer CUSUM via n-scaled prefix sums, winsorized moments from
+    # int64 power sums with the g1/g2 combination shared VERBATIM
+    # between engines via skew_kurt_sql().
+    o["mad_outliers_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS bucket_ts,
+           CAST(text_len AS BIGINT) AS v, conv_id, turn_idx FROM sig),
+medr AS (SELECT bucket_ts, v,
+           row_number() OVER (PARTITION BY bucket_ts
+             ORDER BY v, conv_id, turn_idx) AS rk,
+           CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT) AS np
+         FROM base),
+med AS (SELECT bucket_ts, v AS med FROM medr WHERE rk = (np + 1) // 2),
+dev AS (SELECT b.bucket_ts, b.conv_id, b.turn_idx, m.med,
+          abs(b.v - m.med) AS d
+        FROM base b JOIN med m ON b.bucket_ts = m.bucket_ts),
+madr AS (SELECT bucket_ts, d,
+           row_number() OVER (PARTITION BY bucket_ts
+             ORDER BY d, conv_id, turn_idx) AS rk,
+           CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT) AS np
+         FROM dev),
+madt AS (SELECT bucket_ts, d AS mad FROM madr WHERE rk = (np + 1) // 2)
+SELECT v.bucket_ts, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(v.med) AS BIGINT) AS median_text_len,
+       CAST(min(m.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN v.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(max(v.d) AS BIGINT) AS max_abs_dev
+FROM dev v JOIN madt m ON v.bucket_ts = m.bucket_ts
+GROUP BY v.bucket_ts"""
+
+    o["cusum_changepoint"] = f"""{SIG_SQL},
+vr AS (SELECT conv_id, turn_idx, CAST(text_len AS BIGINT) AS v FROM sig),
+c AS (SELECT conv_id, turn_idx,
+        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_turns,
+        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+          * CAST(sum(v) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
+          - CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY turn_idx) AS BIGINT)
+          * CAST(sum(v) OVER (PARTITION BY conv_id) AS BIGINT)
+          AS c_scaled
+      FROM vr),
+p AS (SELECT conv_id, n_turns, turn_idx,
+        CAST(abs(c_scaled) AS BIGINT) AS abs_c,
+        row_number() OVER (PARTITION BY conv_id
+          ORDER BY abs(c_scaled) DESC, turn_idx ASC) AS pk
+      FROM c WHERE n_turns >= 4)
+SELECT conv_id, n_turns, turn_idx AS split_turn_idx,
+       abs_c AS max_cusum_scaled,
+       round(CAST(abs_c AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)
+         AS max_cusum
+FROM p WHERE pk = 1"""
+
+    from aroma_spark.operators.robust import skew_kurt_sql
+
+    _skew, _kurt = skew_kurt_sql()
+    o["skew_kurt_daily"] = f"""{SIG_SQL},
+b AS (SELECT date_trunc('day', ts) AS bucket_ts,
+        least(CAST(text_len AS BIGINT), 1024) AS v FROM sig),
+agg AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s1,
+          CAST(sum(v * v) AS BIGINT) AS s2,
+          CAST(sum(v * v * v) AS BIGINT) AS s3,
+          CAST(sum(v * v * v * v) AS BIGINT) AS s4
+        FROM b GROUP BY bucket_ts HAVING count(*) >= 4)
+SELECT bucket_ts, n AS n_points, s1, s2, s3, s4,
+       {_skew} AS skewness, {_kurt} AS kurtosis
+FROM agg"""
     return o

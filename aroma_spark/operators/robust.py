@@ -1,0 +1,283 @@
+"""Robust (rank/median-based) statistics per time bucket and exact
+CUSUM changepoint location per conversation.
+
+The outlier-resistant complement to the moment family
+(operators/stats.py): the classic 3-sigma z-score (anomaly.zscore_*)
+is itself dragged by the outliers it hunts, so production monitors use
+the median / MAD pair — a 50% breakdown point instead of 0% — and the
+CUSUM statistic locates WHERE a level shift happened, not just that
+one did (anomaly.level_shift_score flags the neighborhood; this names
+the split turn).
+
+House bit-determinism discipline (see operators/stats.py): medians are
+EXACT lower-medians selected by rank over a total order (value,
+conv_id, turn_idx) — a real row, never an interpolated float — so the
+outlier test |x - med| > k * MAD compares int64s exactly; CUSUM is
+kept integral by scaling the mean-deviation prefix sums by n
+(C_k = n*prefix_k - k*S); skewness/kurtosis aggregate exact int64
+power sums S1..S4 and combine them in ONE fixed double expression
+shared verbatim (F.expr) with the DuckDB twin.
+
+Overflow bounds (int64, documented like stats.signal_corr):
+- CUSUM: |n*prefix - k*S| <= n^2 * max|x|; with text_len <= 2^20 a
+  conversation holds ~2^21 (~2M) turns before saturation.
+- S4: n * max|x|^4 < 2^63 requires the clamp — values are winsorized
+  at ``clamp`` (default 2^10), giving n <= 2^23 (~8M) rows/bucket
+  headroom; the clamp is part of the operator contract (documented
+  winsorized moments, standard practice for heavy-tail telemetry).
+
+Physical shape at 100 TB: the bucket medians are sort-selections on
+the bucket key (#buckets = #days — tiny output), joined back
+broadcast; CUSUM rides the canonical conv_id exchange every other
+per-conversation operator shares (one window pass + one aggregation).
+
+No reference analog (the reference computes no robust statistics);
+natural extensions of the north_star's derived-signal family over the
+fixed signal schema of operators/signals.py (reference
+src/aroma/preprocessing/intertimes.py:44-80 for the inter-time
+signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# a defined (non-degenerate) CUSUM / moment needs a few points
+MIN_TURNS = 4
+
+
+def _lower_median(
+    df: DataFrame, key: str, value: str, out: str
+) -> DataFrame:
+    """Exact lower-median of ``value`` per ``key``: the row at 1-based
+    rank floor((n+1)/2) in (value, conv_id, turn_idx) order — the same
+    deterministic rank-selection as stats.exact_median_by_bucket."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(value), F.col("conv_id"), F.col("turn_idx")
+    )
+    ranked = df.select(
+        key,
+        value,
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(key))
+        .cast("long")
+        .alias("n_points"),
+    )
+    return ranked.where(F.col("rk") == F.expr("(n_points + 1) DIV 2")).select(
+        key, "n_points", F.col(value).alias(out)
+    )
+
+
+def mad_outliers_by_bucket(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    unit: str = "day",
+    k: int = 3,
+) -> DataFrame:
+    """Median / MAD / robust-outlier count of an integer signal per
+    time bucket — "how many points sat more than ``k`` MADs from the
+    day's median".
+
+    Two exact rank-selections (median, then median of absolute
+    deviations), both lower-medians over a total order, so every
+    quantity is int64 and the outlier predicate |x - med| > k*MAD is
+    an exact integer comparison — no float ever shuffles and the
+    DuckDB twin matches bit-for-bit. A constant bucket has MAD = 0 and
+    then every x != med is an outlier (the standard MAD degeneracy;
+    callers who dislike it filter mad > 0).
+
+    Emits one row per bucket: ``bucket_ts, n_points, median_<col>,
+    mad, n_outliers, max_abs_dev``.
+    """
+    x = F.col(value_col).cast("long").alias("v")
+    base = signals.select(
+        F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        x,
+        "conv_id",
+        "turn_idx",
+    )
+    med = _lower_median(base, "bucket_ts", "v", "med")
+    dev = base.join(F.broadcast(med), "bucket_ts").select(
+        "bucket_ts",
+        "conv_id",
+        "turn_idx",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = _lower_median(dev, "bucket_ts", "d", "mad").select(
+        "bucket_ts", "mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "bucket_ts")
+        .groupBy("bucket_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("med").cast("long").alias(f"median_{value_col}"),
+            F.min("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > F.lit(int(k)) * F.col("mad"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("d").cast("long").alias("max_abs_dev"),
+        )
+    )
+
+
+def cusum_changepoint(
+    signals: DataFrame, value_col: str = "text_len"
+) -> DataFrame:
+    """Exact CUSUM changepoint per conversation: the turn index where
+    the cumulative deviation from the conversation mean peaks in
+    absolute value — the classic "where did the level shift" locator
+    (Page 1954 statistic, evaluated exactly).
+
+    C_k = sum_{i<=k}(x_i - mean) is rational; scaling by n makes it
+    the exact int64 ``n*prefix_k - k*S``. The peak row is selected by
+    (|C| desc, turn_idx asc) — deterministic under ties. ``max_cusum``
+    (float, = max|C_k| / n) appears only in the final projection, ONE
+    expression shape shared with the DuckDB twin.
+
+    Emits one row per conversation with >= MIN_TURNS turns:
+    ``conv_id, n_turns, split_turn_idx, max_cusum_scaled, max_cusum``.
+    """
+    wseq = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wall = Window.partitionBy("conv_id")
+    x = F.col(value_col).cast("long")
+    rows = signals.select(
+        "conv_id",
+        "turn_idx",
+        x.alias("v"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.count(F.lit(1)).over(wall).cast("long")
+            * F.sum("v")
+            .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            - F.row_number().over(wseq).cast("long")
+            * F.sum("v").over(wall).cast("long")
+        ).alias("c_scaled"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_turns"),
+    )
+    peaked = rows.where(F.col("n_turns") >= MIN_TURNS).select(
+        "conv_id",
+        "n_turns",
+        "turn_idx",
+        F.abs(F.col("c_scaled")).alias("abs_c"),
+        F.row_number()
+        .over(
+            Window.partitionBy("conv_id").orderBy(
+                F.abs(F.col("c_scaled")).desc(), F.col("turn_idx").asc()
+            )
+        )
+        .alias("pk"),
+    )
+    return peaked.where(F.col("pk") == 1).select(
+        "conv_id",
+        "n_turns",
+        F.col("turn_idx").alias("split_turn_idx"),
+        F.col("abs_c").alias("max_cusum_scaled"),
+        F.round(
+            F.col("abs_c").cast("double") / F.col("n_turns").cast("double"),
+            6,
+        ).alias("max_cusum"),
+    )
+
+
+# the ONE skew/kurtosis combination, shared verbatim with the DuckDB
+# oracle (identical parse tree -> identical IEEE-754 doubles). Inputs
+# are int64 columns n, s1..s4; {p} is the output prefix.
+SKEW_KURT_EXPR = """
+CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+""".strip()
+
+_M2 = (
+    "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - ({m}) * ({m}))"
+)
+_M3 = (
+    "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - 3.0 * ({m}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " + 2.0 * ({m}) * ({m}) * ({m}))"
+)
+_M4 = (
+    "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - 4.0 * ({m}) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " + 6.0 * ({m}) * ({m}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " - 3.0 * ({m}) * ({m}) * ({m}) * ({m}))"
+)
+
+
+def skew_kurt_sql(mean_sql: str = SKEW_KURT_EXPR) -> tuple[str, str]:
+    """(skewness_sql, excess_kurtosis_sql) over columns n, s1..s4 —
+    the shared expression strings both engines evaluate."""
+    m = mean_sql
+    m2 = _M2.format(m=m)
+    m3 = _M3.format(m=m)
+    m4 = _M4.format(m=m)
+    skew = (
+        f"CASE WHEN {m2} > 0 THEN"
+        f" round(({m3}) / (sqrt({m2}) * ({m2})), 6) END"
+    )
+    kurt = (
+        f"CASE WHEN {m2} > 0 THEN"
+        f" round(({m4}) / (({m2}) * ({m2})) - 3.0, 6) END"
+    )
+    return skew, kurt
+
+
+def skew_kurt_by_bucket(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    unit: str = "day",
+    clamp: int = 1024,
+) -> DataFrame:
+    """Winsorized skewness and excess kurtosis of an integer signal per
+    time bucket, from exact int64 power sums S1..S4.
+
+    Values are clamped to ``clamp`` (power-sum overflow headroom — see
+    module docstring) before summing; the moments therefore describe
+    the winsorized distribution, the standard robustification for
+    heavy-tailed telemetry. The four sums shuffle as exact int64; the
+    g1/g2 combination is ONE double expression (:func:`skew_kurt_sql`)
+    shared verbatim with the oracle, NULL for constant buckets.
+
+    Emits ``bucket_ts, n_points, s1, s2, s3, s4, skewness, kurtosis``.
+    """
+    x = F.least(F.col(value_col).cast("long"), F.lit(int(clamp)))
+    agg = (
+        signals.select(
+            F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+            x.alias("v"),
+        )
+        .groupBy("bucket_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+            F.sum(F.col("v") * F.col("v") * F.col("v"))
+            .cast("long")
+            .alias("s3"),
+            F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+            .cast("long")
+            .alias("s4"),
+        )
+        .where(F.col("n") >= MIN_TURNS)
+    )
+    skew, kurt = skew_kurt_sql()
+    return agg.select(
+        "bucket_ts",
+        F.col("n").alias("n_points"),
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.expr(skew).alias("skewness"),
+        F.expr(kurt).alias("kurtosis"),
+    )
