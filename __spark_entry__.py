@@ -6,8 +6,13 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 133 registered queries, ALL 133 with hash-compared DuckDB
-oracles — including the round-5h robust-statistics wave
+Round 5: 136 registered queries, ALL 136 with hash-compared DuckDB
+oracles — including the round-5i ordinal-analysis wave
+(``kendall_len_latency`` exact tau-b from int64 pair counts inside a
+conv_id-confined self-join, ``perm_entropy_text_len`` Bandt-Pompe
+order-3 pattern entropy on the shared conv_id exchange,
+``tukey_fences_daily`` nearest-rank boxplot quartiles with integral
+1.5*IQR fences), the round-5h robust-statistics wave
 (``mad_outliers_daily`` exact rank-selected median/MAD outlier counts,
 ``cusum_changepoint`` integer-scaled Page-CUSUM level-shift location,
 ``skew_kurt_daily`` winsorized moments from int64 power sums with the
@@ -1697,6 +1702,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew_kurt_by_bucket(_signals(spark, sf))
 
     q["skew_kurt_daily"] = skew_kurt_daily
+
+    def kendall_len_latency(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.ordinal import kendall_tau
+
+        return kendall_tau(_signals(spark, sf))
+
+    q["kendall_len_latency"] = kendall_len_latency
+
+    def perm_entropy_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.ordinal import perm_entropy
+
+        return perm_entropy(_signals(spark, sf))
+
+    q["perm_entropy_text_len"] = perm_entropy_text_len
+
+    def tukey_fences_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import tukey_fences_by_bucket
+
+        return tukey_fences_by_bucket(_signals(spark, sf))
+
+    q["tukey_fences_daily"] = tukey_fences_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3874,4 +3900,90 @@ agg AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n,
 SELECT bucket_ts, n AS n_points, s1, s2, s3, s4,
        {_skew} AS skewness, {_kurt} AS kurtosis
 FROM agg"""
+
+    # round-5i ordinal-analysis wave (operators/ordinal.py + robust.py
+    # Tukey fences): exact int64 pair/pattern counts, ONE shared float
+    # expression per statistic (tau_b_sql / perm_entropy_sql), and
+    # nearest-rank quartiles with integral 1.5*IQR fences.
+    from aroma_spark.operators.ordinal import perm_entropy_sql, tau_b_sql
+
+    o["kendall_len_latency"] = f"""{SIG_SQL},
+vr AS (SELECT conv_id, turn_idx, CAST(text_len AS BIGINT) AS x,
+         CAST(inter_time_us AS BIGINT) AS y FROM sig),
+nn AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM vr
+       GROUP BY conv_id HAVING count(*) >= 4),
+pr AS (SELECT a.conv_id, sign(b.x - a.x) AS dx, sign(b.y - a.y) AS dy
+       FROM vr a JOIN vr b ON a.conv_id = b.conv_id
+         AND a.turn_idx < b.turn_idx),
+ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS ties_x,
+         CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS ties_y,
+         CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS ties_xy
+       FROM pr GROUP BY conv_id)
+SELECT ag.conv_id, nn.n_turns, n_pairs, concordant, discordant,
+       ties_x, ties_y, ties_xy, {tau_b_sql()} AS tau_b
+FROM ag JOIN nn ON ag.conv_id = nn.conv_id"""
+
+    _h, _hn = perm_entropy_sql()
+    o["perm_entropy_text_len"] = f"""{SIG_SQL},
+vr AS (SELECT conv_id, CAST(text_len AS BIGINT) AS x0,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_turns,
+         lead(CAST(text_len AS BIGINT), 1) OVER (PARTITION BY conv_id
+           ORDER BY turn_idx) AS x1,
+         lead(CAST(text_len AS BIGINT), 2) OVER (PARTITION BY conv_id
+           ORDER BY turn_idx) AS x2
+       FROM sig),
+tp AS (SELECT conv_id,
+         (CASE WHEN x0 <= x1 THEN 4 ELSE 0 END
+          + CASE WHEN x0 <= x2 THEN 2 ELSE 0 END
+          + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS pid
+       FROM vr WHERE x2 IS NOT NULL AND n_turns >= 4),
+ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(sum(CASE WHEN pid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN pid = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN pid = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN pid = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN pid = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         CAST(sum(CASE WHEN pid = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+       FROM tp GROUP BY conv_id)
+SELECT conv_id, n_triples, c0, c1, c3, c4, c6, c7,
+       {_h} AS entropy, {_hn} AS norm_entropy
+FROM ag"""
+
+    o["tukey_fences_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS bucket_ts,
+           CAST(text_len AS BIGINT) AS v, conv_id, turn_idx FROM sig),
+rkd AS (SELECT bucket_ts, v,
+          row_number() OVER (PARTITION BY bucket_ts
+            ORDER BY v, conv_id, turn_idx) AS rk,
+          CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT) AS n
+        FROM base),
+q AS (SELECT bucket_ts, CAST(max(n) AS BIGINT) AS n_points,
+        CAST(min(v) AS BIGINT) AS min_text_len,
+        CAST(max(CASE WHEN rk = (n + 3) // 4 THEN v END) AS BIGINT)
+          AS q1,
+        CAST(max(CASE WHEN rk = (n + 1) // 2 THEN v END) AS BIGINT)
+          AS median_text_len,
+        CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN v END) AS BIGINT)
+          AS q3,
+        CAST(max(v) AS BIGINT) AS max_text_len
+      FROM rkd GROUP BY bucket_ts),
+qq AS (SELECT *, CAST(q3 - q1 AS BIGINT) AS iqr FROM q),
+ct AS (SELECT b.bucket_ts,
+         CAST(sum(CASE WHEN 2 * b.v < 2 * qq.q1 - 3 * qq.iqr
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+         CAST(sum(CASE WHEN 2 * b.v > 2 * qq.q3 + 3 * qq.iqr
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+       FROM base b JOIN qq ON b.bucket_ts = qq.bucket_ts
+       GROUP BY b.bucket_ts)
+SELECT qq.bucket_ts, n_points, min_text_len, q1, median_text_len, q3,
+       max_text_len, iqr, n_low_outliers, n_high_outliers
+FROM qq JOIN ct ON qq.bucket_ts = ct.bucket_ts"""
     return o

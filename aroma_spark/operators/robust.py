@@ -129,6 +129,99 @@ def mad_outliers_by_bucket(
     )
 
 
+def tukey_fences_by_bucket(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    unit: str = "day",
+) -> DataFrame:
+    """Exact boxplot five-number summary + Tukey-fence outlier counts
+    of an integer signal per time bucket.
+
+    Quartiles are nearest-rank (ceil) selections over the same total
+    order as :func:`mad_outliers_by_bucket`: Q1 at 1-based rank
+    ceil(n/4) = (n+3) DIV 4, median at ceil(n/2) = (n+1) DIV 2, Q3 at
+    ceil(3n/4) = (3n+3) DIV 4 — real rows, never interpolated, so all
+    five numbers are int64. The 1.5*IQR fences stay integral by
+    cross-multiplying: x is a low outlier iff 2x < 2*Q1 - 3*IQR and a
+    high outlier iff 2x > 2*Q3 + 3*IQR — exact integer comparisons the
+    DuckDB twin reproduces bit-for-bit.
+
+    Physical shape: one rank window on the bucket key + one conditional
+    aggregation selecting the three ranks, then the tiny per-bucket
+    summary (#buckets = #days) broadcast back for the fence counts —
+    the mad_outliers two-pass shape.
+
+    Emits one row per bucket: ``bucket_ts, n_points, min_<col>, q1,
+    median_<col>, q3, max_<col>, iqr, n_low_outliers,
+    n_high_outliers``.
+    """
+    base = signals.select(
+        F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        F.col(value_col).cast("long").alias("v"),
+        "conv_id",
+        "turn_idx",
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col("v"), F.col("conv_id"), F.col("turn_idx")
+    )
+    ranked = base.select(
+        "bucket_ts",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bucket_ts"))
+        .cast("long")
+        .alias("n"),
+    )
+    q = ranked.groupBy("bucket_ts").agg(
+        F.max("n").alias("n_points"),
+        F.min("v").cast("long").alias(f"min_{value_col}"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("v")))
+        .cast("long")
+        .alias("q1"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("v")))
+        .cast("long")
+        .alias(f"median_{value_col}"),
+        F.max(F.when(F.col("rk") == F.expr("(3 * n + 3) DIV 4"), F.col("v")))
+        .cast("long")
+        .alias("q3"),
+        F.max("v").cast("long").alias(f"max_{value_col}"),
+    )
+    q = q.withColumn("iqr", (F.col("q3") - F.col("q1")).cast("long"))
+    counted = (
+        base.join(F.broadcast(q), "bucket_ts")
+        .groupBy("bucket_ts")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("v") < 2 * F.col("q1") - 3 * F.col("iqr"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    2 * F.col("v") > 2 * F.col("q3") + 3 * F.col("iqr"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )
+    return q.join(F.broadcast(counted), "bucket_ts").select(
+        "bucket_ts",
+        "n_points",
+        f"min_{value_col}",
+        "q1",
+        f"median_{value_col}",
+        "q3",
+        f"max_{value_col}",
+        "iqr",
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
 def cusum_changepoint(
     signals: DataFrame, value_col: str = "text_len"
 ) -> DataFrame:

@@ -12,6 +12,7 @@ from aroma_spark.operators.robust import (
     cusum_changepoint,
     mad_outliers_by_bucket,
     skew_kurt_by_bucket,
+    tukey_fences_by_bucket,
 )
 
 
@@ -124,3 +125,38 @@ def test_skew_kurt_clamp_winsorizes(spark):
 
 def test_skew_kurt_min_points_filter(spark):
     assert skew_kurt_by_bucket(_sig(spark, _day("a", [1, 2, 3]))).count() == 0
+
+
+def test_tukey_nine_points_with_high_outlier(spark):
+    # sorted [1..8,100], n=9: Q1 rank ceil(9/4)=3 -> 3, med rank 5 -> 5,
+    # Q3 rank ceil(27/4)=7 -> 7, IQR=4; high fence 2x > 2*7+3*4=26 ->
+    # x > 13 -> only 100.
+    r = tukey_fences_by_bucket(
+        _sig(spark, _day("a", [1, 2, 3, 4, 5, 6, 7, 8, 100]))
+    ).collect()[0]
+    assert (r["q1"], r["median_text_len"], r["q3"], r["iqr"]) == (3, 5, 7, 4)
+    assert (r["min_text_len"], r["max_text_len"]) == (1, 100)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (0, 1)
+
+
+def test_tukey_four_points_nearest_rank(spark):
+    # n=4: Q1 rank (4+3)//4=1 -> 1, med rank 2 -> 2, Q3 rank 3 -> 3.
+    r = tukey_fences_by_bucket(_sig(spark, _day("a", [1, 2, 3, 4]))).collect()[0]
+    assert (r["q1"], r["median_text_len"], r["q3"]) == (1, 2, 3)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (0, 0)
+
+
+def test_tukey_low_outlier(spark):
+    # sorted [-100,10,11,12,13,14,15,16,17], n=9: Q1=11, med=13, Q3=15,
+    # IQR=4; low fence 2x < 22-12=10 -> x < 5 -> only -100.
+    r = tukey_fences_by_bucket(
+        _sig(spark, _day("a", [-100, 10, 11, 12, 13, 14, 15, 16, 17]))
+    ).collect()[0]
+    assert (r["q1"], r["q3"]) == (11, 15)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (1, 0)
+
+
+def test_tukey_constant_bucket(spark):
+    r = tukey_fences_by_bucket(_sig(spark, _day("a", [7, 7, 7, 7]))).collect()[0]
+    assert (r["q1"], r["q3"], r["iqr"]) == (7, 7, 0)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (0, 0)
