@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 136 registered queries, ALL 136 with hash-compared DuckDB
-oracles — including the round-5i ordinal-analysis wave
+Round 5: 138 registered queries, ALL 138 with hash-compared DuckDB
+oracles — including the round-5j observability/corpus pair
+(``slo_burn_1h`` multi-window SRE error-budget burn-rate alerts with
+an integer cross-multiplied page predicate, ``doc_collocations`` PMI
+bigram mining on the corpus-standard tokenizer), the round-5i
+ordinal-analysis wave
 (``kendall_len_latency`` exact tau-b from int64 pair counts inside a
 conv_id-confined self-join, ``perm_entropy_text_len`` Bandt-Pompe
 order-3 pattern entropy on the shared conv_id exchange,
@@ -1723,6 +1727,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tukey_fences_by_bucket(_signals(spark, sf))
 
     q["tukey_fences_daily"] = tukey_fences_daily
+
+    def slo_burn_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import slo_burn_rate
+
+        return slo_burn_rate(_signals(spark, sf))
+
+    q["slo_burn_1h"] = slo_burn_1h
+
+    def doc_collocations(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import bigram_collocations
+
+        return bigram_collocations(load_table(spark, sf, "documents"))
+
+    q["doc_collocations"] = doc_collocations
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -3986,4 +4004,55 @@ ct AS (SELECT b.bucket_ts,
 SELECT qq.bucket_ts, n_points, min_text_len, q1, median_text_len, q3,
        max_text_len, iqr, n_low_outliers, n_high_outliers
 FROM qq JOIN ct ON qq.bucket_ts = ct.bucket_ts"""
+
+    # round-5j observability/corpus pair: multi-window SLO burn-rate
+    # alerts (integer cross-multiplied predicate, hourly aggregate +
+    # calendar-sized trailing window) and PMI bigram collocations
+    # (exact int64 counts, ONE shared ln expression).
+    o["slo_burn_1h"] = f"""{SIG_SQL},
+h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+        CAST(count(*) AS BIGINT) AS n_turns,
+        CAST(sum(CASE WHEN inter_time_us > 300000000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_bad
+      FROM sig GROUP BY hour_ts),
+s AS (SELECT hour_ts, n_turns, n_bad,
+        CAST(sum(n_turns) OVER w AS BIGINT) AS n_slow,
+        CAST(sum(n_bad) OVER w AS BIGINT) AS bad_slow
+      FROM h
+      WINDOW w AS (ORDER BY hour_ts RANGE BETWEEN
+        INTERVAL 5 HOUR PRECEDING AND CURRENT ROW))
+SELECT hour_ts, n_turns, n_bad, n_slow, bad_slow,
+       round(CAST(n_bad AS DOUBLE) * 1000000.0
+         / (CAST(n_turns AS DOUBLE) * 1000.0), 6) AS burn_fast,
+       round(CAST(bad_slow AS DOUBLE) * 1000000.0
+         / (CAST(n_slow AS DOUBLE) * 1000.0), 6) AS burn_slow,
+       CAST(CASE WHEN 10000000 * n_bad >= 144000 * n_turns
+                  AND 10000000 * bad_slow >= 144000 * n_slow
+            THEN 1 ELSE 0 END AS INT) AS alert
+FROM s"""
+
+    from aroma_spark.functions.text import collocation_pmi_sql
+
+    o["doc_collocations"] = f"""WITH tokd AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(COALESCE(text,
+           ''))), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS term FROM tokd),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_term FROM uni
+       GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM uni),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       FROM (SELECT toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM tokd)),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bg),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+       GROUP BY w1, w2 HAVING count(*) >= 3),
+j AS (SELECT bc.w1, bc.w2, bc.c_xy, ux.c_term AS c_x,
+        uy.c_term AS c_y, btot.n_bigrams, tot.n_tokens
+      FROM bc JOIN uc ux ON bc.w1 = ux.term
+        JOIN uc uy ON bc.w2 = uy.term, btot, tot)
+SELECT w1, w2, c_xy, c_x, c_y, n_bigrams, n_tokens,
+       {collocation_pmi_sql()} AS pmi
+FROM j"""
     return o

@@ -527,3 +527,95 @@ def zipf_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("freq").cast("long").alias("sum_tokens"),
     )
+
+
+def collocation_pmi_sql() -> str:
+    """The ONE PMI expression over exact int64 columns c_xy, c_x, c_y,
+    n_bigrams, n_tokens — shared verbatim between Spark and the DuckDB
+    twin (ln's last-ulp wobble absorbed by round(6), the tfidf
+    pattern). PMI = ln( P(xy) / (P(x) P(y)) ) with bigram and unigram
+    probabilities estimated from corpus counts."""
+    return (
+        "round(ln(CAST(c_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE)"
+        " * CAST(n_tokens AS DOUBLE)"
+        " / (CAST(n_bigrams AS DOUBLE) * CAST(c_x AS DOUBLE)"
+        " * CAST(c_y AS DOUBLE))), 6)"
+    )
+
+
+def bigram_collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 3
+) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations over the
+    document corpus — the classic phrase/multi-word-expression miner
+    (Church & Hanks 1990) a training-data pipeline runs to find
+    boilerplate phrases and build tokenizer merge hints.
+
+    Tokenization is the corpus-standard whitespace split on
+    lower(trim(text)) shared with :func:`tfidf_terms` (empty terms
+    dropped BEFORE adjacency, so "a  b" still yields bigram (a, b)).
+    All counts — per-bigram c_xy, per-unigram c_x/c_y, corpus totals —
+    are exact int64; PMI is ONE shared float expression
+    (:func:`collocation_pmi_sql`). Bigrams rarer than ``min_count``
+    are dropped (standard practice: PMI is unstable at tiny counts,
+    and the cut bounds the output).
+
+    Shape at 100 TB: two explode + hash-aggregate passes (bigrams on a
+    (w1, w2) exchange, unigrams on a term exchange, both map-side
+    combinable against the Zipf head), two vocabulary-sized joins (AQE
+    broadcasts when the vocab fits), totals via broadcast 1-row
+    aggregates — never a driver collect, no cross-document pairs.
+
+    Emits one row per surviving bigram: ``w1, w2, c_xy, c_x, c_y,
+    n_bigrams, n_tokens, pmi``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), "\\s+"), lambda x: x != ""
+    )
+    base = df.select(toks.alias("toks"))
+    uni = base.select(F.explode("toks").alias("term"))
+    uni_counts = uni.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_term")
+    )
+    n_tok = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    bg = base.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    n_bg = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= int(min_count))
+    )
+    joined = (
+        counts.join(
+            uni_counts.select(
+                F.col("term").alias("w1"), F.col("c_term").alias("c_x")
+            ),
+            "w1",
+        )
+        .join(
+            uni_counts.select(
+                F.col("term").alias("w2"), F.col("c_term").alias("c_y")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_tok))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        "n_bigrams",
+        "n_tokens",
+        F.expr(collocation_pmi_sql()).alias("pmi"),
+    )

@@ -311,3 +311,87 @@ def hist_drift_daily(
             / (F.col("total_l").cast("double") * F.col("total_r").cast("double"))
         ).alias("l1"),
     )
+
+
+def slo_burn_rate(
+    signals: DataFrame,
+    threshold_us: int = 300_000_000,
+    budget_ppm: int = 1_000,
+    burn_alert_tenths: int = 144,
+    slow_window_hours: int = 6,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn rate per hour — the Google
+    SRE-workbook alerting rule (public: SRE Workbook ch. 5,
+    multiwindow multi-burn-rate alerts) over the transcript latency
+    signal.
+
+    A turn is "bad" when its inter-arrival gap exceeds ``threshold_us``
+    (the latency SLI); the SLO allows ``budget_ppm`` bad turns per
+    million. Each hour emits its fast-window (1h) and slow-window
+    (trailing ``slow_window_hours``) burn rates — bad-fraction divided
+    by budget — and an alert flag that fires only when BOTH windows
+    burn faster than ``burn_alert_tenths``/10 (default 14.4x, the
+    standard page threshold), which suppresses both stale alerts (fast
+    window already recovered) and flappy ones (slow window still
+    within budget).
+
+    Bit-determinism: the window partials are int64 counts; the alert
+    predicate stays integral by cross-multiplying
+    (10_000_000 * bad >= burn_alert_tenths * budget_ppm * n); the two
+    burn columns are each ONE rounded float expression. Trailing
+    windows range over the hourly aggregate rows that exist (hours
+    with zero turns contribute nothing, identically in both engines).
+
+    Physical shape at 100 TB: one map-side-combinable aggregation onto
+    the hour key (#rows = corpus hours, tiny), then a single-partition
+    range window over that aggregate — serial but proportional to the
+    calendar, not the data (the concurrency.py carry argument).
+
+    Emits one row per hour: ``hour_ts, n_turns, n_bad, n_slow,
+    bad_slow, burn_fast, burn_slow, alert``.
+    """
+    hourly = (
+        signals.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.when(F.col("inter_time_us") > int(threshold_us), 1)
+            .otherwise(0)
+            .alias("bad"),
+        )
+        .groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("hour_ts"))
+        .rangeBetween(-(int(slow_window_hours) - 1) * 3600, 0)
+    )
+    slow = hourly.select(
+        "hour_ts",
+        "n_turns",
+        "n_bad",
+        F.sum("n_turns").over(w).cast("long").alias("n_slow"),
+        F.sum("n_bad").over(w).cast("long").alias("bad_slow"),
+    )
+    k = int(burn_alert_tenths) * int(budget_ppm)
+    burn = (
+        "round(CAST({bad} AS DOUBLE) * 1000000.0"
+        " / (CAST({n} AS DOUBLE) * {ppm}.0), 6)"
+    )
+    return slow.select(
+        "hour_ts",
+        "n_turns",
+        "n_bad",
+        "n_slow",
+        "bad_slow",
+        F.expr(burn.format(bad="n_bad", n="n_turns", ppm=int(budget_ppm)))
+        .alias("burn_fast"),
+        F.expr(burn.format(bad="bad_slow", n="n_slow", ppm=int(budget_ppm)))
+        .alias("burn_slow"),
+        F.expr(
+            f"CAST(CASE WHEN 10000000 * n_bad >= {k} * n_turns"
+            f" AND 10000000 * bad_slow >= {k} * n_slow"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("alert"),
+    )
