@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 138 registered queries, ALL 138 with hash-compared DuckDB
-oracles — including the round-5j observability/corpus pair
+Round 5: 140 registered queries, ALL 140 with hash-compared DuckDB
+oracles — including the round-5k pair (``turn_repetition``
+adjacent-turn token-set Jaccard for agent-loop detection,
+``latency_pct_daily`` exact nearest-rank p50/p90/p95/p99 bands), the
+round-5j observability/corpus pair
 (``slo_burn_1h`` multi-window SRE error-budget burn-rate alerts with
 an integer cross-multiplied page predicate, ``doc_collocations`` PMI
 bigram mining on the corpus-standard tokenizer), the round-5i
@@ -1741,6 +1744,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_collocations(load_table(spark, sf, "documents"))
 
     q["doc_collocations"] = doc_collocations
+
+    def turn_repetition(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import turn_overlap
+
+        return turn_overlap(transcripts_from_events(spark, sf))
+
+    q["turn_repetition"] = turn_repetition
+
+    def latency_pct_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import latency_percentiles_by_bucket
+
+        return latency_percentiles_by_bucket(_signals(spark, sf))
+
+    q["latency_pct_daily"] = latency_pct_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4055,4 +4072,61 @@ j AS (SELECT bc.w1, bc.w2, bc.c_xy, ux.c_term AS c_x,
 SELECT w1, w2, c_xy, c_x, c_y, n_bigrams, n_tokens,
        {collocation_pmi_sql()} AS pmi
 FROM j"""
+
+    # round-5k pair: adjacent-turn token-set overlap (agent-loop
+    # detection; exact int64 set sizes, inclusion-exclusion union) and
+    # nearest-rank p50/p90/p95/p99 latency bands.
+    o["turn_repetition"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT conv_id, turn_idx,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+tk AS (SELECT DISTINCT conv_id, turn_idx, term FROM tok
+       WHERE term <> ''),
+sz AS (SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_set
+       FROM tk GROUP BY conv_id, turn_idx),
+cm AS (SELECT b.conv_id, b.turn_idx,
+         CAST(count(*) AS BIGINT) AS n_common
+       FROM tk a JOIN tk b ON a.conv_id = b.conv_id
+         AND a.turn_idx = b.turn_idx - 1 AND a.term = b.term
+       GROUP BY b.conv_id, b.turn_idx),
+sp AS (SELECT conv_id, turn_idx FROM t WHERE turn_idx >= 1),
+j AS (SELECT sp.conv_id, sp.turn_idx,
+        CAST(COALESCE(cur.n_set, 0) AS BIGINT) AS n_terms,
+        CAST(COALESCE(prv.n_set, 0) AS BIGINT) AS n_prev_terms,
+        CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common
+      FROM sp
+      LEFT JOIN sz cur ON sp.conv_id = cur.conv_id
+        AND sp.turn_idx = cur.turn_idx
+      LEFT JOIN sz prv ON sp.conv_id = prv.conv_id
+        AND sp.turn_idx = prv.turn_idx + 1
+      LEFT JOIN cm ON sp.conv_id = cm.conv_id
+        AND sp.turn_idx = cm.turn_idx)
+SELECT conv_id, turn_idx, n_terms, n_prev_terms, n_common,
+       CASE WHEN n_terms + n_prev_terms - n_common > 0 THEN
+         round(CAST(n_common AS DOUBLE)
+           / CAST(n_terms + n_prev_terms - n_common AS DOUBLE), 6)
+       END AS jaccard
+FROM j"""
+
+    o["latency_pct_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS bucket_ts,
+           CAST(inter_time_us AS BIGINT) AS v, conv_id, turn_idx
+         FROM sig),
+rkd AS (SELECT bucket_ts, v,
+          row_number() OVER (PARTITION BY bucket_ts
+            ORDER BY v, conv_id, turn_idx) AS rk,
+          CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT) AS n
+        FROM base)
+SELECT bucket_ts, CAST(max(n) AS BIGINT) AS n_points,
+       CAST(max(CASE WHEN rk = (1 * n + 1) // 2 THEN v END) AS BIGINT)
+         AS p50,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN v END) AS BIGINT)
+         AS p90,
+       CAST(max(CASE WHEN rk = (19 * n + 19) // 20 THEN v END)
+         AS BIGINT) AS p95,
+       CAST(max(CASE WHEN rk = (99 * n + 99) // 100 THEN v END)
+         AS BIGINT) AS p99,
+       CAST(max(v) AS BIGINT) AS max_inter_time_us
+FROM rkd GROUP BY bucket_ts"""
     return o

@@ -374,3 +374,59 @@ def skew_kurt_by_bucket(
         F.expr(skew).alias("skewness"),
         F.expr(kurt).alias("kurtosis"),
     )
+
+
+def latency_percentiles_by_bucket(
+    signals: DataFrame,
+    value_col: str = "inter_time_us",
+    unit: str = "day",
+) -> DataFrame:
+    """Exact p50/p90/p95/p99 latency bands per time bucket — the ops
+    dashboard percentile row, by nearest-rank (ceil) selection over
+    the same total order as :func:`tukey_fences_by_bucket`.
+
+    Rank of percentile p (1-based) is ceil(p*n) = (p_num*n + p_den - 1)
+    DIV p_den — a real observed row, never interpolated, so every band
+    is int64 and the DuckDB twin matches bit-for-bit. One rank window
+    on the bucket key + one conditional aggregation; #buckets = #days.
+
+    Emits one row per bucket: ``bucket_ts, n_points, p50, p90, p95,
+    p99, max_<col>``.
+    """
+    base = signals.select(
+        F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        F.col(value_col).cast("long").alias("v"),
+        "conv_id",
+        "turn_idx",
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col("v"), F.col("conv_id"), F.col("turn_idx")
+    )
+    ranked = base.select(
+        "bucket_ts",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bucket_ts"))
+        .cast("long")
+        .alias("n"),
+    )
+
+    def _at(num: int, den: int):
+        return (
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr(f"({num} * n + {den - 1}) DIV {den}"),
+                    F.col("v"),
+                )
+            ).cast("long")
+        )
+
+    return ranked.groupBy("bucket_ts").agg(
+        F.max("n").alias("n_points"),
+        _at(1, 2).alias("p50"),
+        _at(9, 10).alias("p90"),
+        _at(19, 20).alias("p95"),
+        _at(99, 100).alias("p99"),
+        F.max("v").cast("long").alias(f"max_{value_col}"),
+    )

@@ -440,3 +440,93 @@ def activity_heatmap(transcripts: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").cast("long").alias("n_convs"),
         )
     )
+
+
+def turn_overlap(transcripts: DataFrame) -> DataFrame:
+    """Token-set Jaccard overlap between each turn and its predecessor
+    — the agent-loop / self-repetition detector: a run of turns whose
+    distinct-token sets barely change is the classic signature of an
+    agent stuck retrying the same action, and the per-pair overlap is
+    the per-turn evidence an alerting rule aggregates.
+
+    Tokenization is the corpus-standard whitespace split on
+    lower(trim(text)) shared with functions/text.py; each turn
+    contributes its DISTINCT token set, adjacency is turn_idx - 1 (the
+    normalized transcript frame has dense per-conversation turn
+    indices — sources/transcripts.py W2). |A∩B| comes from an
+    equi-join on (conv_id, term) between a turn and its successor —
+    set sizes and the intersection are exact int64, union by
+    inclusion-exclusion, and Jaccard is ONE rounded division (NULL
+    when both sets are empty).
+
+    Physical shape at 100 TB: tokens explode on the conv_id exchange;
+    the intersection is a (conv_id, term) self-equi-join — candidate
+    pairs only ever meet inside one conversation at adjacent turns,
+    never across conversations. No list UDFs, no per-row Python.
+
+    Emits one row per turn with a predecessor: ``conv_id, turn_idx,
+    n_terms, n_prev_terms, n_common, jaccard``.
+    """
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_set")
+    )
+    common = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx") - 1)
+            & (F.col("a.term") == F.col("b.term")),
+        )
+        .groupBy(F.col("b.conv_id").alias("conv_id"), F.col("b.turn_idx").alias("turn_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    spine = transcripts.select("conv_id", "turn_idx").where(
+        F.col("turn_idx") >= 1
+    )
+    cur = sizes.select(
+        "conv_id", "turn_idx", F.col("n_set").alias("n_terms")
+    )
+    prev = sizes.select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("n_set").alias("n_prev_terms"),
+    )
+    out = (
+        spine.join(cur, ["conv_id", "turn_idx"], "left")
+        .join(prev, ["conv_id", "turn_idx"], "left")
+        .join(common, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("n_prev_terms", F.lit(0))
+            .cast("long")
+            .alias("n_prev_terms"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    union = (
+        F.col("n_terms") + F.col("n_prev_terms") - F.col("n_common")
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "n_terms",
+        "n_prev_terms",
+        "n_common",
+        F.when(
+            union > 0,
+            F.round(F.col("n_common").cast("double") / union.cast("double"), 6),
+        ).alias("jaccard"),
+    )
