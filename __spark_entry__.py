@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 143 registered queries, ALL 143 with hash-compared DuckDB
-oracles — including the round-5l nonparametric wave
+Round 5: 145 registered queries, ALL 145 with hash-compared DuckDB
+oracles — including the round-5m pair (``runs_test_text_len``
+Wald-Wolfowitz runs about the conversation median,
+``phi_tool_role_daily`` per-day 2x2 phi + log odds), the
+round-5l nonparametric wave
 (``ks_drift_daily`` exact two-sample Kolmogorov-Smirnov day-over-day
 drift with an int64 cross-multiplied ECDF numerator,
 ``mannwhitney_latency_daily`` exact Mann-Whitney 2U/AUC between the
@@ -1790,6 +1793,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return theil_sen(_signals(spark, sf))
 
     q["theilsen_text_len"] = theilsen_text_len
+
+    def runs_test_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.nonparam import runs_test
+
+        return runs_test(_signals(spark, sf))
+
+    q["runs_test_text_len"] = runs_test_text_len
+
+    def phi_tool_role_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.nonparam import phi_association_daily
+
+        # roles in the driver tables are event types (see
+        # mannwhitney_latency_daily)
+        return phi_association_daily(
+            _signals(spark, sf), role_a="click", role_b="view"
+        )
+
+    q["phi_tool_role_daily"] = phi_tool_role_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4242,4 +4263,66 @@ med AS (SELECT conv_id, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
 SELECT med.conv_id, nn.n_turns, med.n_pairs, slope_num, slope_den,
        {slope_sql()} AS slope
 FROM med JOIN nn ON med.conv_id = nn.conv_id"""
+
+    # round-5m pair (operators/nonparam.py): Wald-Wolfowitz runs test
+    # about the conversation median and per-day 2x2 role-vs-tool
+    # association; exact int64 counts, ONE shared float expression per
+    # statistic (runs_z_sql / phi_sql / log_odds_sql).
+    from aroma_spark.operators.nonparam import (
+        log_odds_sql,
+        phi_sql,
+        runs_z_sql,
+    )
+
+    o["runs_test_text_len"] = f"""{SIG_SQL},
+vr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(text_len AS BIGINT) AS v FROM sig),
+rkd AS (SELECT conv_id, turn_idx, v,
+          row_number() OVER (PARTITION BY conv_id
+            ORDER BY v, turn_idx) AS rk,
+          CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+            AS n_turns
+        FROM vr),
+fl AS (SELECT * FROM rkd WHERE n_turns >= 4),
+med AS (SELECT conv_id, n_turns, v AS median_value FROM fl
+        WHERE rk = (n_turns + 1) // 2),
+sg AS (SELECT f.conv_id, m.n_turns, m.median_value, f.turn_idx,
+         CASE WHEN f.v > m.median_value THEN 1 ELSE -1 END AS s
+       FROM fl f JOIN med m ON f.conv_id = m.conv_id
+       WHERE f.v <> m.median_value),
+stp AS (SELECT conv_id, n_turns, median_value, s,
+          CASE WHEN lag(s) OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx) IS NULL
+                 OR lag(s) OVER (PARTITION BY conv_id
+                   ORDER BY turn_idx) <> s
+               THEN 1 ELSE 0 END AS is_run_start
+        FROM sg),
+ag AS (SELECT conv_id, n_turns, median_value,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_plus,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minus,
+         CAST(sum(is_run_start) AS BIGINT) AS n_runs
+       FROM stp GROUP BY conv_id, n_turns, median_value)
+SELECT conv_id, n_turns, median_value, n_plus, n_minus, n_runs,
+       {runs_z_sql()} AS z
+FROM ag"""
+
+    o["phi_tool_role_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS day, role,
+           CAST(tool_call AS BIGINT) AS tc
+         FROM sig WHERE role IN ('click', 'view')),
+ag AS (SELECT day,
+         CAST(sum(CASE WHEN role = 'click' AND tc = 1 THEN 1 ELSE 0
+           END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN role = 'click' AND tc = 0 THEN 1 ELSE 0
+           END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN role = 'view' AND tc = 1 THEN 1 ELSE 0
+           END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN role = 'view' AND tc = 0 THEN 1 ELSE 0
+           END) AS BIGINT) AS d
+       FROM base GROUP BY day)
+SELECT day AS day_ts, a, b, c, d, {phi_sql()} AS phi,
+       {log_odds_sql()} AS log_odds
+FROM ag WHERE (a + b) > 0 AND (c + d) > 0"""
     return o

@@ -289,3 +289,199 @@ def theil_sen(
         "slope_den",
         F.expr(slope_sql()).alias("slope"),
     )
+
+
+def runs_z_sql() -> str:
+    """The ONE float expression for the Wald-Wolfowitz z-score over
+    exact int64 columns n_plus, n_minus, n_runs. With n = n1+n2,
+    mu = 1 + 2 n1 n2 / n and var = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1));
+    NULL when the variance is not positive (all signs equal or n < 2)."""
+    n1 = "CAST(n_plus AS DOUBLE)"
+    n2 = "CAST(n_minus AS DOUBLE)"
+    n = f"({n1} + {n2})"
+    two = f"(2.0 * {n1} * {n2})"
+    mu = f"(1.0 + {two} / {n})"
+    var = f"({two} * ({two} - {n}) / ({n} * {n} * ({n} - 1.0)))"
+    return (
+        f"CASE WHEN n_plus > 0 AND n_minus > 0 AND {two} > {n} THEN"
+        f" round((CAST(n_runs AS DOUBLE) - {mu}) / sqrt({var}), 6) END"
+    )
+
+
+def runs_test(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    min_turns: int = MIN_TURNS,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per conversation: is the sequence of
+    ``value_col`` observations randomly scattered about its own median,
+    or does it clump (fewer runs) / oscillate (more runs) than chance?
+
+    Standard construction: each turn is marked +1 above / -1 below the
+    conversation's nearest-rank (lower) median, exact ties with the
+    median are DROPPED, and ``n_runs`` counts maximal same-sign blocks
+    in turn order. n_plus / n_minus / n_runs are exact int64; the
+    z-score is one shared float expression (:func:`runs_z_sql`).
+
+    Scale shape: one rank window to find the median, one conv_id-keyed
+    join back (both sides already partitioned by conv_id — AQE turns
+    the second exchange into a reuse), one lag window, one aggregate.
+    No self-join, linear in rows.
+
+    Emits ``conv_id, n_turns, median_value, n_plus, n_minus, n_runs,
+    z`` for conversations with >= ``min_turns`` turns.
+    """
+    vr = signals.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w_rk = Window.partitionBy("conv_id").orderBy("v", "turn_idx")
+    w_tot = Window.partitionBy("conv_id")
+    ranked = vr.select(
+        "conv_id",
+        "turn_idx",
+        "v",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_tot).alias("n_turns"),
+    ).filter(F.col("n_turns") >= min_turns)
+    med = ranked.filter(
+        F.col("rk") == F.floor((F.col("n_turns") + F.lit(1)) / F.lit(2))
+    ).select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("v").alias("median_value"),
+    )
+    signed = (
+        ranked.select("conv_id", "turn_idx", "v")
+        .join(med, "conv_id")
+        .filter(F.col("v") != F.col("median_value"))
+        .select(
+            "conv_id",
+            "n_turns",
+            "median_value",
+            "turn_idx",
+            F.when(F.col("v") > F.col("median_value"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    w_seq = Window.partitionBy("conv_id").orderBy("turn_idx")
+    stepped = signed.select(
+        "conv_id",
+        "n_turns",
+        "median_value",
+        "s",
+        F.when(
+            F.lag("s").over(w_seq).isNull()
+            | (F.lag("s").over(w_seq) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_run_start"),
+    )
+    agg = stepped.groupBy("conv_id", "n_turns", "median_value").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_minus"),
+        F.sum("is_run_start").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "median_value",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.expr(runs_z_sql()).alias("z"),
+    )
+
+
+def phi_sql() -> str:
+    """The ONE float expression for the 2x2 phi coefficient over exact
+    int64 cells a, b, c, d — every product taken in DOUBLE so no
+    intermediate overflows int64. NULL when any margin is zero."""
+    da, db, dc, dd = (f"CAST({x} AS DOUBLE)" for x in "abcd")
+    num = f"({da} * {dd} - {db} * {dc})"
+    den = (
+        f"sqrt(({da} + {db}) * ({dc} + {dd})"
+        f" * ({da} + {dc}) * ({db} + {dd}))"
+    )
+    return (
+        "CASE WHEN (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0"
+        f" AND (b + d) > 0 THEN round({num} / {den}, 6) END"
+    )
+
+
+def log_odds_sql() -> str:
+    """The ONE float expression for the 2x2 log odds ratio over exact
+    int64 cells a, b, c, d; NULL when any cell is zero (the classical
+    estimator is undefined there)."""
+    return (
+        "CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN"
+        " round(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))"
+        " / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6) END"
+    )
+
+
+def phi_association_daily(
+    signals: DataFrame,
+    role_a: str = "assistant",
+    role_b: str = "user",
+) -> DataFrame:
+    """Per-day 2x2 association between role and tool use: does
+    ``role_a`` call tools disproportionately more than ``role_b``?
+
+    The contingency table is four exact int64 cells —
+    a = (role_a, tool), b = (role_a, no tool), c = (role_b, tool),
+    d = (role_b, no tool) — from ONE linear aggregation. phi (the 2x2
+    Pearson correlation, equal to sqrt(chi2/N)) and the log odds ratio
+    are each one shared float expression (:func:`phi_sql` /
+    :func:`log_odds_sql`) so both engines agree bitwise.
+
+    Emits ``day_ts, a, b, c, d, phi, log_odds`` for days where both
+    roles appear.
+    """
+    base = signals.filter(F.col("role").isin(role_a, role_b)).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("role"),
+        F.col("tool_call").cast("long").alias("tc"),
+    )
+    agg = (
+        base.groupBy("day")
+        .agg(
+            F.sum(
+                F.when((F.col("role") == role_a) & (F.col("tc") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("a"),
+            F.sum(
+                F.when((F.col("role") == role_a) & (F.col("tc") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("b"),
+            F.sum(
+                F.when((F.col("role") == role_b) & (F.col("tc") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+            F.sum(
+                F.when((F.col("role") == role_b) & (F.col("tc") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .filter((F.col("a") + F.col("b") > 0) & (F.col("c") + F.col("d") > 0))
+    )
+    return agg.select(
+        F.col("day").alias("day_ts"),
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(phi_sql()).alias("phi"),
+        F.expr(log_odds_sql()).alias("log_odds"),
+    )

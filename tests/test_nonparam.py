@@ -147,3 +147,96 @@ def test_theil_sen_outlier_resistance(spark):
     r = theil_sen(_sig(spark, rows)).collect()[0]
     assert (r["n_pairs"], r["slope"]) == (10, 1.0)
     assert (r["slope_num"], r["slope_den"]) == (2, 2)
+
+
+# ------------------------------------------------------- runs test
+
+
+def _sig_tool(spark, rows):
+    """rows = (conv_id, turn_idx, role, text_len, tool_call, ts)."""
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text_len long,"
+        " tool_call long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_runs_hand_computed(spark):
+    # [1,5,2,6,3,7]: median rank (6+1)//2=3 of sorted [1,2,3,5,6,7] ->
+    # med=3; signs in turn order (3 dropped): -,+,-,+,+ -> 4 runs,
+    # n_plus=3, n_minus=2. mu=1+12/5=3.4, var=12*7/100=0.84,
+    # z=(4-3.4)/sqrt(0.84)=0.654654
+    from aroma_spark.operators.nonparam import runs_test
+
+    rows = _day_rows("2024-01-01", [1, 5, 2, 6, 3, 7])
+    r = runs_test(_sig(spark, rows)).collect()[0]
+    assert (r["n_turns"], r["median_value"]) == (6, 3)
+    assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (3, 2, 4)
+    assert r["z"] == 0.654654
+
+
+def test_runs_clumped_one_sided_null_z(spark):
+    # [1,1,9,9]: med (rank 2) = 1; ties dropped -> only +,+ -> one run,
+    # n_minus=0 -> z undefined
+    from aroma_spark.operators.nonparam import runs_test
+
+    rows = _day_rows("2024-01-01", [1, 1, 9, 9])
+    r = runs_test(_sig(spark, rows)).collect()[0]
+    assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (2, 0, 1)
+    assert r["z"] is None
+
+
+def test_runs_constant_conv_dropped(spark):
+    from aroma_spark.operators.nonparam import runs_test
+
+    rows = _day_rows("2024-01-01", [7, 7, 7, 7])
+    assert runs_test(_sig(spark, rows)).count() == 0
+
+
+def test_runs_min_turns(spark):
+    from aroma_spark.operators.nonparam import runs_test
+
+    rows = _day_rows("2024-01-01", [1, 2, 3])
+    assert runs_test(_sig(spark, rows)).count() == 0
+
+
+# ----------------------------------------------------- phi / log-odds
+
+
+def test_phi_hand_computed(spark):
+    # a=3 (A,tool), b=1, c=1, d=3: phi=(9-1)/sqrt(4^4)=0.5,
+    # log_odds=ln(9)=2.197225
+    from aroma_spark.operators.nonparam import phi_association_daily
+
+    rows = []
+    for i, tc in enumerate([1, 1, 1, 0]):  # role A: a=3, b=1
+        rows.append(("a", i, "assistant", 1, tc, f"2024-01-01 0{i}:00:00"))
+    for i, tc in enumerate([1, 0, 0, 0]):  # role B: c=1, d=3
+        rows.append(("b", i, "user", 1, tc, f"2024-01-01 1{i}:00:00"))
+    r = phi_association_daily(_sig_tool(spark, rows)).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 1, 1, 3)
+    assert r["phi"] == 0.5
+    assert r["log_odds"] == 2.197225
+
+
+def test_phi_zero_cell_null_log_odds(spark):
+    # a=2,b=0,c=1,d=1: phi = 2/sqrt(2*2*3*1) = 0.577350; log_odds NULL
+    from aroma_spark.operators.nonparam import phi_association_daily
+
+    rows = [
+        ("a", 0, "assistant", 1, 1, "2024-01-01 00:00:00"),
+        ("a", 1, "assistant", 1, 1, "2024-01-01 01:00:00"),
+        ("b", 0, "user", 1, 1, "2024-01-01 02:00:00"),
+        ("b", 1, "user", 1, 0, "2024-01-01 03:00:00"),
+    ]
+    r = phi_association_daily(_sig_tool(spark, rows)).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (2, 0, 1, 1)
+    assert r["phi"] == 0.57735
+    assert r["log_odds"] is None
+
+
+def test_phi_requires_both_roles(spark):
+    from aroma_spark.operators.nonparam import phi_association_daily
+
+    rows = [("a", 0, "assistant", 1, 1, "2024-01-01 00:00:00")]
+    assert phi_association_daily(_sig_tool(spark, rows)).count() == 0
