@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 145 registered queries, ALL 145 with hash-compared DuckDB
-oracles — including the round-5m pair (``runs_test_text_len``
+Round 5: 147 registered queries, ALL 147 with hash-compared DuckDB
+oracles — including the round-5n pair (``seasonal_backtest``
+seasonal-naive vs naive hourly backtest, ``rs_range_text_len``
+rescaled-range R/S from integral prefix deviations), the round-5m
+pair (``runs_test_text_len``
 Wald-Wolfowitz runs about the conversation median,
 ``phi_tool_role_daily`` per-day 2x2 phi + log odds), the
 round-5l nonparametric wave
@@ -1811,6 +1814,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["phi_tool_role_daily"] = phi_tool_role_daily
+
+    def seasonal_backtest(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.forecast import seasonal_backtest_daily
+
+        return seasonal_backtest_daily(_signals(spark, sf))
+
+    q["seasonal_backtest"] = seasonal_backtest
+
+    def rs_range_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.forecast import rs_range
+
+        return rs_range(_signals(spark, sf))
+
+    q["rs_range_text_len"] = rs_range_text_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4325,4 +4342,57 @@ ag AS (SELECT day,
 SELECT day AS day_ts, a, b, c, d, {phi_sql()} AS phi,
        {log_odds_sql()} AS log_odds
 FROM ag WHERE (a + b) > 0 AND (c + d) > 0"""
+
+    # round-5n forecast/long-memory pair (operators/forecast.py):
+    # seasonal-naive vs naive backtest on the hourly rollup, and the
+    # rescaled-range statistic with integral prefix deviations
+    # D'_k = n*P_k - k*S; ONE shared float expression per statistic
+    # (mase_like_sql / rs_sql).
+    from aroma_spark.operators.forecast import mase_like_sql, rs_sql
+
+    o["seasonal_backtest"] = f"""{SIG_SQL},
+hourly AS (SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sig GROUP BY 1),
+j AS (SELECT h.hour_ts, h.n, s24.n AS n_s24, s1.n AS n_s1
+      FROM hourly h
+      LEFT JOIN hourly s24
+        ON h.hour_ts = s24.hour_ts + INTERVAL 24 HOURS
+      LEFT JOIN hourly s1
+        ON h.hour_ts = s1.hour_ts + INTERVAL 1 HOUR),
+ag AS (SELECT date_trunc('day', hour_ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(abs(n - n_s24)) AS BIGINT) AS sae_seasonal,
+         CAST(count(n_s24) AS BIGINT) AS cnt_seasonal,
+         CAST(sum(abs(n - n_s1)) AS BIGINT) AS sae_naive,
+         CAST(count(n_s1) AS BIGINT) AS cnt_naive
+       FROM j GROUP BY day)
+SELECT day AS day_ts, n_hours, sae_seasonal, cnt_seasonal, sae_naive,
+       cnt_naive, {mase_like_sql()} AS mase_like
+FROM ag WHERE cnt_seasonal > 0 AND cnt_naive > 0"""
+
+    o["rs_range_text_len"] = f"""{SIG_SQL},
+vr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(text_len AS BIGINT) AS v FROM sig),
+stp AS (SELECT conv_id,
+          CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+            * sum(v) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
+            * sum(v) OVER (PARTITION BY conv_id) AS d_k,
+          CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+            AS n_points,
+          CAST(sum(v) OVER (PARTITION BY conv_id) AS BIGINT) AS s_sum,
+          CAST(sum(v * v) OVER (PARTITION BY conv_id) AS BIGINT)
+            AS q_sum
+        FROM vr),
+ag AS (SELECT conv_id, CAST(max(n_points) AS BIGINT) AS n_points,
+         CAST(max(s_sum) AS BIGINT) AS s_sum,
+         CAST(max(q_sum) AS BIGINT) AS q_sum,
+         CAST(max(d_k) - min(d_k) AS BIGINT) AS r_scaled
+       FROM stp GROUP BY conv_id HAVING max(n_points) >= 4)
+SELECT conv_id, n_points, s_sum, q_sum, r_scaled, {rs_sql()} AS rs
+FROM ag"""
     return o
