@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 147 registered queries, ALL 147 with hash-compared DuckDB
-oracles — including the round-5n pair (``seasonal_backtest``
+Round 5: 149 registered queries, ALL 149 with hash-compared DuckDB
+oracles — including the round-5o pair (``acf_profile_text_len``
+lags 1-4 from one window pass, ``haar_energy_text_len`` integer Haar
+detail energies over 3 dyadic levels), the round-5n pair (``seasonal_backtest``
 seasonal-naive vs naive hourly backtest, ``rs_range_text_len``
 rescaled-range R/S from integral prefix deviations), the round-5m
 pair (``runs_test_text_len``
@@ -1828,6 +1830,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rs_range(_signals(spark, sf))
 
     q["rs_range_text_len"] = rs_range_text_len
+
+    def acf_profile_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.multiscale import acf_profile
+
+        return acf_profile(_signals(spark, sf))
+
+    q["acf_profile_text_len"] = acf_profile_text_len
+
+    def haar_energy_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.multiscale import haar_energy
+
+        return haar_energy(_signals(spark, sf))
+
+    q["haar_energy_text_len"] = haar_energy_text_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4395,4 +4411,60 @@ ag AS (SELECT conv_id, CAST(max(n_points) AS BIGINT) AS n_points,
        FROM stp GROUP BY conv_id HAVING max(n_points) >= 4)
 SELECT conv_id, n_points, s_sum, q_sum, r_scaled, {rs_sql()} AS rs
 FROM ag"""
+
+    # round-5o multi-scale pair (operators/multiscale.py): per-lag
+    # Pearson over exact int64 sufficient statistics (the house
+    # _corr_sql expression, one block per lag), and the integer Haar
+    # cascade (kernel [1,-1], no normalization, trailing odd elements
+    # dropped per level).
+    acf_blocks = []
+    for _L in (1, 2, 3, 4):
+        acf_blocks.append(
+            f"""SELECT conv_id, CAST({_L} AS BIGINT) AS lag, n AS n_pairs,
+       {_corr_sql} AS autocorr
+FROM (SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x*y) AS BIGINT) AS sxy,
+        CAST(sum(x*x) AS BIGINT) AS sxx,
+        CAST(sum(y*y) AS BIGINT) AS syy
+      FROM (SELECT conv_id,
+              lag(CAST(text_len AS BIGINT), {_L}) OVER
+                (PARTITION BY conv_id ORDER BY turn_idx) AS x,
+              CAST(text_len AS BIGINT) AS y FROM sig)
+      WHERE x IS NOT NULL GROUP BY conv_id HAVING count(*) >= 3)"""
+        )
+    o["acf_profile_text_len"] = (
+        SIG_SQL + "\n" + "\nUNION ALL\n".join(acf_blocks)
+    )
+
+    haar_ctes = [
+        """c0 AS (SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id
+           ORDER BY turn_idx) - 1 AS BIGINT) AS k,
+         CAST(text_len AS BIGINT) AS v FROM sig)"""
+    ]
+    for _lvl in (1, 2, 3):
+        haar_ctes.append(
+            f"""p{_lvl} AS (SELECT conv_id, k // 2 AS g,
+         sum(CASE WHEN k % 2 = 0 THEN v END) AS ev,
+         sum(CASE WHEN k % 2 = 1 THEN v END) AS od
+       FROM c{_lvl - 1} GROUP BY conv_id, k // 2
+       HAVING count(*) = 2)"""
+        )
+        haar_ctes.append(
+            f"""l{_lvl} AS (SELECT conv_id, CAST({_lvl} AS BIGINT) AS level,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum((ev - od) * (ev - od)) AS BIGINT) AS energy
+       FROM p{_lvl} GROUP BY conv_id)"""
+        )
+        haar_ctes.append(
+            f"c{_lvl} AS (SELECT conv_id, g AS k, ev + od AS v FROM p{_lvl})"
+        )
+    o["haar_energy_text_len"] = (
+        SIG_SQL
+        + ",\n"
+        + ",\n".join(haar_ctes)
+        + "\nSELECT * FROM l1 UNION ALL SELECT * FROM l2"
+        + " UNION ALL SELECT * FROM l3"
+    )
     return o
