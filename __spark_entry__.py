@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 149 registered queries, ALL 149 with hash-compared DuckDB
-oracles — including the round-5o pair (``acf_profile_text_len``
+Round 5: 151 registered queries, ALL 151 with hash-compared DuckDB
+oracles — including the round-5p pair (``gmd_text_len_daily`` exact
+Gini mean difference via the sorted-prefix identity, ``day_streaks``
+gaps-and-islands consecutive-day streaks), the round-5o pair (``acf_profile_text_len``
 lags 1-4 from one window pass, ``haar_energy_text_len`` integer Haar
 detail energies over 3 dyadic levels), the round-5n pair (``seasonal_backtest``
 seasonal-naive vs naive hourly backtest, ``rs_range_text_len``
@@ -1844,6 +1846,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return haar_energy(_signals(spark, sf))
 
     q["haar_energy_text_len"] = haar_energy_text_len
+
+    def gmd_text_len_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import gmd_by_bucket
+
+        return gmd_by_bucket(_signals(spark, sf))
+
+    q["gmd_text_len_daily"] = gmd_text_len_daily
+
+    def day_streaks(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import active_day_streaks
+
+        return active_day_streaks(transcripts_from_events(spark, sf))
+
+    q["day_streaks"] = day_streaks
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4467,4 +4483,35 @@ FROM (SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
         + "\nSELECT * FROM l1 UNION ALL SELECT * FROM l2"
         + " UNION ALL SELECT * FROM l3"
     )
+
+    # round-5p dispersion/engagement pair: Gini mean difference via
+    # the sorted-prefix identity (distribution.gmd_by_bucket) and
+    # gaps-and-islands day streaks (cohorts.active_day_streaks).
+    from aroma_spark.operators.distribution import gmd_sql
+
+    o["gmd_text_len_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS bucket_ts,
+           CAST(text_len AS BIGINT) AS v FROM sig),
+rkd AS (SELECT bucket_ts,
+          (2 * row_number() OVER (PARTITION BY bucket_ts ORDER BY v)
+           - CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT)
+           - 1) * v AS w_term
+        FROM base),
+ag AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(w_term) AS BIGINT) AS gmd_num
+       FROM rkd GROUP BY bucket_ts HAVING count(*) >= 2)
+SELECT bucket_ts, n_points, gmd_num, {gmd_sql()} AS gmd FROM ag"""
+
+    o["day_streaks"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+days AS (SELECT DISTINCT conv_id, CAST(ts AS DATE) AS d FROM t),
+anch AS (SELECT conv_id,
+           d - CAST(row_number() OVER (PARTITION BY conv_id
+                 ORDER BY d) AS INTEGER) AS anchor
+         FROM days),
+st AS (SELECT conv_id, anchor, CAST(count(*) AS BIGINT) AS streak_days
+       FROM anch GROUP BY conv_id, anchor)
+SELECT conv_id, CAST(sum(streak_days) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(streak_days) AS BIGINT) AS max_streak_days
+FROM st GROUP BY conv_id"""
     return o

@@ -276,3 +276,41 @@ def lifespan_histogram(transcripts: DataFrame) -> DataFrame:
     return span.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_convs")
     )
+
+
+def active_day_streaks(transcripts: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per conversation — the
+    classic gaps-and-islands engagement metric ("how many days in a
+    row was this entity active, at best?").
+
+    Distinct active days are ranked per conversation; subtracting the
+    rank (in days) from each day maps every consecutive run onto one
+    shared anchor date, so one aggregation per (conv_id, anchor)
+    yields streak lengths and a second per conv_id picks the max.
+    Everything is exact DATE/int64 arithmetic — no floats anywhere.
+
+    Scale shape: dedup to (conv_id, day) rides the canonical conv_id
+    exchange; the rank window and both aggregations stay keyed on
+    conv_id (prefix keys), so after the dedup shuffle nothing
+    re-exchanges. Linear in distinct (conv, day) pairs.
+
+    Emits ``conv_id, n_active_days, n_streaks, max_streak_days``.
+    """
+    from pyspark.sql import Window
+
+    days = transcripts.select(
+        "conv_id", F.to_date(F.col("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("conv_id").orderBy("d")
+    anchored = days.select(
+        "conv_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("conv_id", "anchor").agg(
+        F.count("*").cast("long").alias("streak_days")
+    )
+    return streaks.groupBy("conv_id").agg(
+        F.sum("streak_days").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("streak_days").cast("long").alias("max_streak_days"),
+    )

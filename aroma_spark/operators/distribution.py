@@ -220,3 +220,63 @@ def benford_first_digit(
             "share"
         ),
     )
+
+
+def gmd_sql() -> str:
+    """The ONE float expression for the Gini mean difference over
+    exact int64 columns gmd_num (= sum over i<j of |x_i - x_j|) and
+    n_points: GMD = gmd_num / (n*(n-1)/2) — cross-multiplied so the
+    only division is the final one. Requires n_points >= 2 (the
+    operator filters)."""
+    return (
+        "round(2.0 * CAST(gmd_num AS DOUBLE)"
+        " / (CAST(n_points AS DOUBLE) * (CAST(n_points AS DOUBLE) - 1.0)),"
+        " 6)"
+    )
+
+
+def gmd_by_bucket(
+    signals: DataFrame, value_col: str = "text_len", unit: str = "day"
+) -> DataFrame:
+    """Gini mean difference of ``value_col`` per time bucket — the
+    mean absolute difference between every pair of observations, the
+    robust dispersion measure that (unlike variance) doesn't square
+    outliers and (unlike MAD) uses every pair.
+
+    The O(n^2) pair sum collapses to one sorted pass via the identity
+        sum_{i<j} |x_i - x_j|  =  sum_i (2i - n - 1) * x_(i)
+    over the ascending order statistics x_(1..n): exact int64
+    (``gmd_num``), one rank window per bucket, no self-join. The
+    final normalization is one shared float (:func:`gmd_sql`).
+
+    int64 headroom: |gmd_num| <= n^2 * max|x| (safe for day buckets
+    to ~3e6 rows at text_len ~1e6; beyond that pre-aggregate to the
+    distinct-value histogram as gini_turns does).
+
+    Emits ``bucket_ts, n_points, gmd_num, gmd`` for buckets with
+    >= 2 points.
+    """
+    base = signals.select(
+        F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w_rk = Window.partitionBy("bucket_ts").orderBy("v")
+    w_tot = Window.partitionBy("bucket_ts")
+    ranked = base.select(
+        "bucket_ts",
+        (
+            (F.lit(2) * F.row_number().over(w_rk) - F.count("*").over(w_tot) - F.lit(1))
+            * F.col("v")
+        ).alias("w_term"),
+    )
+    out = (
+        ranked.groupBy("bucket_ts")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("w_term").cast("long").alias("gmd_num"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+    return out.select(
+        "bucket_ts", "n_points", "gmd_num", F.expr(gmd_sql()).alias("gmd")
+    )

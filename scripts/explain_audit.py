@@ -121,6 +121,9 @@ AUDITED = (
     # round-5o multi-scale pair
     "acf_profile_text_len",
     "haar_energy_text_len",
+    # round-5p dispersion/engagement pair
+    "gmd_text_len_daily",
+    "day_streaks",
 )
 
 
