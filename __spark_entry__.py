@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 151 registered queries, ALL 151 with hash-compared DuckDB
-oracles — including the round-5p pair (``gmd_text_len_daily`` exact
+Round 5: 153 registered queries, ALL 153 with hash-compared DuckDB
+oracles — including the round-5q pair (``variance_ratio_q2``
+Lo-MacKinlay random-walk diagnostic, ``turning_points_text_len``
+Kendall turning-points randomness test), the round-5p pair (``gmd_text_len_daily`` exact
 Gini mean difference via the sorted-prefix identity, ``day_streaks``
 gaps-and-islands consecutive-day streaks), the round-5o pair (``acf_profile_text_len``
 lags 1-4 from one window pass, ``haar_energy_text_len`` integer Haar
@@ -1860,6 +1862,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return active_day_streaks(transcripts_from_events(spark, sf))
 
     q["day_streaks"] = day_streaks
+
+    def variance_ratio_q2(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.multiscale import variance_ratio
+
+        return variance_ratio(_signals(spark, sf), q=2)
+
+    q["variance_ratio_q2"] = variance_ratio_q2
+
+    def turning_points_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.multiscale import turning_points
+
+        return turning_points(_signals(spark, sf))
+
+    q["turning_points_text_len"] = turning_points_text_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4514,4 +4530,43 @@ SELECT conv_id, CAST(sum(streak_days) AS BIGINT) AS n_active_days,
        CAST(count(*) AS BIGINT) AS n_streaks,
        CAST(max(streak_days) AS BIGINT) AS max_streak_days
 FROM st GROUP BY conv_id"""
+
+    # round-5q randomness-diagnostics pair (operators/multiscale.py):
+    # Lo-MacKinlay variance ratio at horizon q=2 and the Kendall
+    # turning-points test; exact int64 diff statistics, ONE shared
+    # float expression each (vr_sql / tp_z_sql).
+    from aroma_spark.operators.multiscale import tp_z_sql, vr_sql
+
+    o["variance_ratio_q2"] = f"""{SIG_SQL},
+dd AS (SELECT conv_id,
+         CAST(text_len AS BIGINT)
+           - lag(CAST(text_len AS BIGINT), 1) OVER w AS d1,
+         CAST(text_len AS BIGINT)
+           - lag(CAST(text_len AS BIGINT), 2) OVER w AS dq
+       FROM sig
+       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+ag AS (SELECT conv_id,
+         CAST(count(d1) AS BIGINT) AS m1,
+         CAST(sum(d1) AS BIGINT) AS s1,
+         CAST(sum(d1 * d1) AS BIGINT) AS s1sq,
+         CAST(count(dq) AS BIGINT) AS mq,
+         CAST(sum(dq) AS BIGINT) AS sq,
+         CAST(sum(dq * dq) AS BIGINT) AS sqsq
+       FROM dd GROUP BY conv_id HAVING count(dq) >= 2)
+SELECT conv_id, m1, s1, s1sq, mq, sq, sqsq, {vr_sql(2)} AS vr
+FROM ag"""
+
+    o["turning_points_text_len"] = f"""{SIG_SQL},
+mk AS (SELECT conv_id,
+         (CAST(text_len AS BIGINT)
+            - lag(CAST(text_len AS BIGINT), 1) OVER w)
+         * (lead(CAST(text_len AS BIGINT), 1) OVER w
+            - CAST(text_len AS BIGINT)) < 0 AS is_tp
+       FROM sig
+       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN is_tp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tp
+       FROM mk GROUP BY conv_id HAVING count(*) >= 3)
+SELECT conv_id, n_turns, n_tp, {tp_z_sql()} AS z FROM ag"""
     return o

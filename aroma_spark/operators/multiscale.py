@@ -177,3 +177,127 @@ def haar_energy(
             (F.col("ev") + F.col("od")).alias("v"),
         )
     return out
+
+
+def vr_sql(q: int) -> str:
+    """The ONE float expression for the Lo-MacKinlay variance ratio
+    over exact int64 columns m1, s1, s1sq (lag-1 diff count/sum/sum of
+    squares) and mq, sq, sqsq (lag-q): VR = Var_q / (q * Var_1) with
+    population variances (m*ssq - s^2)/m^2, cross-multiplied into one
+    final division. NULL when the lag-1 variance is zero."""
+    v1num = "(CAST(m1 AS DOUBLE) * CAST(s1sq AS DOUBLE)" \
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    vqnum = "(CAST(mq AS DOUBLE) * CAST(sqsq AS DOUBLE)" \
+            " - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+    return (
+        f"CASE WHEN {v1num} > 0 THEN"
+        f" round(({vqnum} * CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))"
+        f" / ({v1num} * {q}.0 * CAST(mq AS DOUBLE) * CAST(mq AS DOUBLE)),"
+        " 6) END"
+    )
+
+
+def tp_z_sql() -> str:
+    """The ONE float expression for the turning-points z-score over
+    exact int64 columns n_turns, n_tp: E[T] = 2(n-2)/3,
+    Var[T] = (16n - 29)/90 (Kendall); NULL when n_turns < 3."""
+    n = "CAST(n_turns AS DOUBLE)"
+    return (
+        "CASE WHEN n_turns >= 3 THEN"
+        f" round((CAST(n_tp AS DOUBLE) - 2.0 * ({n} - 2.0) / 3.0)"
+        f" / sqrt((16.0 * {n} - 29.0) / 90.0), 6) END"
+    )
+
+
+def variance_ratio(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    q: int = 2,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per conversation: is the
+    signal a random walk (VR = 1), mean-reverting (VR < 1), or
+    trending (VR > 1)?
+
+    VR(q) = Var(x_t - x_{t-q}) / (q * Var(x_t - x_{t-1})). Both
+    difference samples come from two lag() calls in the same window
+    pass; their count/sum/sum-of-squares are exact int64 and the
+    ratio is one shared float (:func:`vr_sql`). The natural companion
+    to :func:`~aroma_spark.operators.forecast.rs_range` — VR tests a
+    specific horizon q, R/S summarizes all horizons.
+
+    Emits ``conv_id, m1, s1, s1sq, mq, sq, sqsq, vr`` for
+    conversations with at least 2 lag-q differences.
+    """
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    v = F.col(value_col).cast("long")
+    diffed = signals.select(
+        "conv_id",
+        (v - F.lag(v, 1).over(w)).alias("d1"),
+        (v - F.lag(v, q).over(w)).alias("dq"),
+    )
+    agg = (
+        diffed.groupBy("conv_id")
+        .agg(
+            F.count("d1").cast("long").alias("m1"),
+            F.sum("d1").cast("long").alias("s1"),
+            F.sum(F.col("d1") * F.col("d1")).cast("long").alias("s1sq"),
+            F.count("dq").cast("long").alias("mq"),
+            F.sum("dq").cast("long").alias("sq"),
+            F.sum(F.col("dq") * F.col("dq")).cast("long").alias("sqsq"),
+        )
+        .filter(F.col("mq") >= 2)
+    )
+    return agg.select(
+        "conv_id",
+        "m1",
+        "s1",
+        "s1sq",
+        "mq",
+        "sq",
+        "sqsq",
+        F.expr(vr_sql(q)).alias("vr"),
+    )
+
+
+def turning_points(
+    signals: DataFrame,
+    value_col: str = "text_len",
+) -> DataFrame:
+    """Kendall turning-points randomness test per conversation: count
+    strict local extrema (sign change between consecutive
+    differences) and compare with the 2(n-2)/3 expected under
+    randomness.
+
+    A turn t is a turning point when
+    (x_t - x_{t-1}) * (x_{t+1} - x_t) < 0 — ties produce a zero
+    product and never count, a deterministic convention both engines
+    share. Counts are exact int64; the z-score is one shared float
+    (:func:`tp_z_sql`). One lag + one lead in the same window pass,
+    one aggregation.
+
+    Emits ``conv_id, n_turns, n_tp, z`` for conversations with
+    >= 3 turns.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    v = F.col(value_col).cast("long")
+    marked = signals.select(
+        "conv_id",
+        (
+            (v - F.lag(v, 1).over(w)) * (F.lead(v, 1).over(w) - v) < 0
+        ).alias("is_tp"),
+    )
+    agg = (
+        marked.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.when(F.col("is_tp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tp"),
+        )
+        .filter(F.col("n_turns") >= 3)
+    )
+    return agg.select(
+        "conv_id", "n_turns", "n_tp", F.expr(tp_z_sql()).alias("z")
+    )

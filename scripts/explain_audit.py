@@ -124,6 +124,9 @@ AUDITED = (
     # round-5p dispersion/engagement pair
     "gmd_text_len_daily",
     "day_streaks",
+    # round-5q randomness-diagnostics pair
+    "variance_ratio_q2",
+    "turning_points_text_len",
 )
 
 
