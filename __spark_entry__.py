@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 153 registered queries, ALL 153 with hash-compared DuckDB
-oracles — including the round-5q pair (``variance_ratio_q2``
+Round 5: 155 registered queries, ALL 155 with hash-compared DuckDB
+oracles — including the round-5r pair (``topterms_overlap_daily``
+top-20 term-set day-over-day Jaccard, ``term_fano`` Church-Gale
+burstiness), the round-5q pair (``variance_ratio_q2``
 Lo-MacKinlay random-walk diagnostic, ``turning_points_text_len``
 Kendall turning-points randomness test), the round-5p pair (``gmd_text_len_daily`` exact
 Gini mean difference via the sorted-prefix identity, ``day_streaks``
@@ -1876,6 +1878,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return turning_points(_signals(spark, sf))
 
     q["turning_points_text_len"] = turning_points_text_len
+
+    def topterms_overlap_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import top_terms_overlap_daily
+
+        return top_terms_overlap_daily(transcripts_from_events(spark, sf))
+
+    q["topterms_overlap_daily"] = topterms_overlap_daily
+
+    def term_fano_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import term_fano
+
+        return term_fano(transcripts_from_events(spark, sf))
+
+    q["term_fano"] = term_fano_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4569,4 +4585,55 @@ ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
            AS n_tp
        FROM mk GROUP BY conv_id HAVING count(*) >= 3)
 SELECT conv_id, n_turns, n_tp, {tp_z_sql()} AS z FROM ag"""
+
+    # round-5r corpus-dynamics pair (functions/text.py): top-K term-set
+    # day-over-day Jaccard and Church-Gale per-term Fano burstiness;
+    # corpus-standard whitespace tokenizer, exact int64 counts, ONE
+    # shared float expression each.
+    from aroma_spark.functions.text import fano_sql, topterms_jaccard_sql
+
+    o["topterms_overlap_daily"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT date_trunc('day', ts) AS day,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+counts AS (SELECT day, term, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE term <> '' GROUP BY day, term),
+topk AS (SELECT day, term FROM
+           (SELECT day, term,
+              row_number() OVER (PARTITION BY day
+                ORDER BY c DESC, term ASC) AS rk
+            FROM counts)
+         WHERE rk <= 20),
+u AS (SELECT day AS pair_day, term, 1 AS in_cur, 0 AS in_prev
+      FROM topk
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY AS pair_day, term, 0 AS in_cur,
+             1 AS in_prev
+      FROM topk),
+g AS (SELECT pair_day, term, max(in_cur) AS cc, max(in_prev) AS cp
+      FROM u GROUP BY pair_day, term),
+ag AS (SELECT pair_day, CAST(sum(cp) AS BIGINT) AS k_prev,
+         CAST(sum(cc) AS BIGINT) AS k_cur,
+         CAST(sum(cc * cp) AS BIGINT) AS n_common
+       FROM g GROUP BY pair_day
+       HAVING sum(cp) > 0 AND sum(cc) > 0)
+SELECT pair_day AS day_ts, k_prev, k_cur, n_common,
+       {topterms_jaccard_sql()} AS jaccard
+FROM ag"""
+
+    o["term_fano"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT date_trunc('day', ts) AS day,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+daily AS (SELECT day, term, CAST(count(*) AS BIGINT) AS c
+          FROM tok WHERE term <> '' GROUP BY day, term),
+nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days
+       FROM daily),
+ag AS (SELECT term, CAST(sum(c) AS BIGINT) AS total_count,
+         CAST(sum(c * c) AS BIGINT) AS sumsq_daily
+       FROM daily GROUP BY term HAVING sum(c) >= 20)
+SELECT term, n_days, total_count, sumsq_daily, {fano_sql()} AS fano
+FROM ag CROSS JOIN nd"""
     return o

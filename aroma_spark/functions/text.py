@@ -619,3 +619,156 @@ def bigram_collocations(
         "n_tokens",
         F.expr(collocation_pmi_sql()).alias("pmi"),
     )
+
+
+def topterms_jaccard_sql() -> str:
+    """The ONE float expression for top-K term-set overlap over exact
+    int64 columns n_common, k_prev, k_cur: Jaccard of the two top-K
+    sets. Denominator > 0 whenever either set is non-empty (the
+    operator only emits pairs where both are)."""
+    return (
+        "round(CAST(n_common AS DOUBLE)"
+        " / CAST(k_prev + k_cur - n_common AS DOUBLE), 6)"
+    )
+
+
+def fano_sql() -> str:
+    """The ONE float expression for the Fano factor (variance-to-mean
+    ratio, sample variance) over exact int64 columns n_days,
+    total_count, sumsq_daily:
+    F = (n*sumsq - total^2) / (total * (n-1)). NULL when n_days < 2."""
+    n = "CAST(n_days AS DOUBLE)"
+    t = "CAST(total_count AS DOUBLE)"
+    s2 = "CAST(sumsq_daily AS DOUBLE)"
+    return (
+        "CASE WHEN n_days > 1 THEN"
+        f" round(({n} * {s2} - {t} * {t}) / ({t} * ({n} - 1.0)), 6) END"
+    )
+
+
+def top_terms_overlap_daily(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Day-over-day stability of the top-K term ranking: the Jaccard
+    overlap between each day's K most frequent terms and the previous
+    day's — "did what the corpus talks about change overnight?", the
+    set-level drift signal that complements count-level histogram
+    drift (anomaly.latency_drift_daily) and vocabulary growth
+    (vocab_growth_daily).
+
+    Top-K per day is totally ordered by (count DESC, term ASC) —
+    ties cut deterministically — with the corpus-standard whitespace
+    tokenizer of :func:`tfidf_terms`. Both per-day top-K sets are tiny
+    (K rows/day), so the consecutive-day pairing and the term
+    intersection are joins between K-row tables: free at any corpus
+    scale. Counts are exact int64; the Jaccard is one shared float
+    (:func:`topterms_jaccard_sql`).
+
+    Emits ``day_ts, k_prev, k_cur, n_common, jaccard`` per day whose
+    predecessor is present (day_ts = the LATER day).
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    counts = (
+        df.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("day", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("c").desc(), F.col("term").asc())
+    topk = counts.select(
+        "day", "term", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= k)
+    # the KS-drift union trick: each top-K row participates as "cur"
+    # of its own day and "prev" of the next — two narrow projections,
+    # ONE aggregation chain, no join of recomputed branches
+    cur = topk.select(
+        F.col("day").alias("pair_day"),
+        "term",
+        F.lit(1).alias("in_cur"),
+        F.lit(0).alias("in_prev"),
+    )
+    prev = topk.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("pair_day"),
+        "term",
+        F.lit(0).alias("in_cur"),
+        F.lit(1).alias("in_prev"),
+    )
+    g = (
+        cur.unionByName(prev)
+        .groupBy("pair_day", "term")
+        .agg(
+            F.max("in_cur").alias("cc"),
+            F.max("in_prev").alias("cp"),
+        )
+    )
+    ag = (
+        g.groupBy("pair_day")
+        .agg(
+            F.sum("cp").cast("long").alias("k_prev"),
+            F.sum("cc").cast("long").alias("k_cur"),
+            F.sum(F.col("cc") * F.col("cp")).cast("long").alias("n_common"),
+        )
+        .filter((F.col("k_prev") > 0) & (F.col("k_cur") > 0))
+    )
+    return ag.select(
+        F.col("pair_day").alias("day_ts"),
+        "k_prev",
+        "k_cur",
+        "n_common",
+        F.expr(topterms_jaccard_sql()).alias("jaccard"),
+    )
+
+
+def term_fano(
+    df: DataFrame, text_col: str = "text", min_total: int = 20
+) -> DataFrame:
+    """Church-Gale burstiness per term: the Fano factor
+    (variance-to-mean ratio) of the term's DAILY count series over
+    every day the corpus spans — content words clump in time
+    (F >> 1), function words arrive Poisson-like (F ~ 1).
+
+    Days where a term never occurs contribute zero counts: with T the
+    term's total and n the GLOBAL day count, sum over all days of
+    (c - T/n)^2 = sumsq - T^2/n needs only the days the term DOES
+    appear (zeros add nothing to sumsq) — so no day-spine join is
+    ever built. n arrives as a broadcast 1-row aggregate (the
+    tfidf_terms pattern). All counts exact int64; the Fano factor is
+    one shared float (:func:`fano_sql`).
+
+    Emits ``term, n_days, total_count, sumsq_daily, fano`` for terms
+    with total >= ``min_total``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("day", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_days = daily.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    agg = (
+        daily.groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("total_count"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq_daily"),
+        )
+        .where(F.col("total_count") >= min_total)
+        .crossJoin(F.broadcast(n_days))
+    )
+    return agg.select(
+        "term",
+        "n_days",
+        "total_count",
+        "sumsq_daily",
+        F.expr(fano_sql()).alias("fano"),
+    )

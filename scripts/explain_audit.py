@@ -127,6 +127,9 @@ AUDITED = (
     # round-5q randomness-diagnostics pair
     "variance_ratio_q2",
     "turning_points_text_len",
+    # round-5r corpus-dynamics pair
+    "topterms_overlap_daily",
+    "term_fano",
 )
 
 
