@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 155 registered queries, ALL 155 with hash-compared DuckDB
-oracles — including the round-5r pair (``topterms_overlap_daily``
+Round 5: 157 registered queries, ALL 157 with hash-compared DuckDB
+oracles — including the round-5s pair (``seasonal_outliers_1h``
+hour-of-day residual Tukey anomalies, ``peak_factor_1h`` per-hour
+burst headroom), the round-5r pair (``topterms_overlap_daily``
 top-20 term-set day-over-day Jaccard, ``term_fano`` Church-Gale
 burstiness), the round-5q pair (``variance_ratio_q2``
 Lo-MacKinlay random-walk diagnostic, ``turning_points_text_len``
@@ -1892,6 +1894,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return term_fano(transcripts_from_events(spark, sf))
 
     q["term_fano"] = term_fano_q
+
+    def seasonal_outliers_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import seasonal_residual_outliers
+
+        return seasonal_residual_outliers(_signals(spark, sf))
+
+    q["seasonal_outliers_1h"] = seasonal_outliers_1h
+
+    def peak_factor_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import hourly_peak_factor
+
+        return hourly_peak_factor(transcripts_from_events(spark, sf))
+
+    q["peak_factor_1h"] = peak_factor_1h
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4636,4 +4652,54 @@ ag AS (SELECT term, CAST(sum(c) AS BIGINT) AS total_count,
        FROM daily GROUP BY term HAVING sum(c) >= 20)
 SELECT term, n_days, total_count, sumsq_daily, {fano_sql()} AS fano
 FROM ag CROSS JOIN nd"""
+
+    # round-5s seasonal-anomaly/load-shape pair: hour-of-day residual
+    # Tukey outliers (anomaly.seasonal_residual_outliers — all-integer
+    # fences via the 2r vs 2q±3IQR scaling) and the hourly peak factor
+    # (concurrency.hourly_peak_factor).
+    from aroma_spark.operators.concurrency import peak_factor_sql
+
+    o["seasonal_outliers_1h"] = f"""{SIG_SQL},
+hourly AS (SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n_points
+           FROM sig GROUP BY 1),
+h2 AS (SELECT hour_ts, n_points,
+         CAST(hour(hour_ts) AS BIGINT) AS hod FROM hourly),
+rkd AS (SELECT hod, n_points, hour_ts,
+          row_number() OVER (PARTITION BY hod
+            ORDER BY n_points, hour_ts) AS rk,
+          CAST(count(*) OVER (PARTITION BY hod) AS BIGINT) AS n_hours
+        FROM h2),
+prof AS (SELECT hod, n_points AS med_hod FROM rkd
+         WHERE rk = (n_hours + 1) // 2),
+res AS (SELECT h2.hour_ts, h2.n_points, h2.hod, prof.med_hod,
+          h2.n_points - prof.med_hod AS residual
+        FROM h2 JOIN prof ON h2.hod = prof.hod),
+fen AS (SELECT *,
+          row_number() OVER (ORDER BY residual, hour_ts) AS grk,
+          CAST(count(*) OVER () AS BIGINT) AS gn
+        FROM res),
+qq AS (SELECT *,
+         max(CASE WHEN grk = (gn + 3) // 4 THEN residual END)
+           OVER () AS q1,
+         max(CASE WHEN grk = (3 * gn + 3) // 4 THEN residual END)
+           OVER () AS q3
+       FROM fen)
+SELECT hour_ts, n_points, hod, med_hod, residual,
+       (2 * residual < 2 * q1 - 3 * (q3 - q1)
+        OR 2 * residual > 2 * q3 + 3 * (q3 - q1)) AS is_outlier
+FROM qq"""
+
+    o["peak_factor_1h"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+mins AS (SELECT date_trunc('minute', ts) AS minute_ts,
+           CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1),
+hrs AS (SELECT date_trunc('hour', minute_ts) AS hour_ts,
+          CAST(count(*) AS BIGINT) AS n_minutes,
+          CAST(sum(n) AS BIGINT) AS total,
+          CAST(max(n) AS BIGINT) AS peak_minute
+        FROM mins GROUP BY 1)
+SELECT hour_ts, n_minutes, total, peak_minute,
+       {peak_factor_sql()} AS peak_factor
+FROM hrs"""
     return o

@@ -395,3 +395,102 @@ def slo_burn_rate(
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("alert"),
     )
+
+
+def seasonal_residual_outliers(signals: DataFrame) -> DataFrame:
+    """Seasonally-adjusted robust outlier detection on the hourly
+    count series: subtract each hour-of-day's own nearest-rank median
+    (so 3am is judged against 3am, not against noon) and flag hours
+    whose residual falls outside the Tukey fences of the residual
+    distribution.
+
+    This is the detector the plain z-score (rolling_zscore) and the
+    raw Tukey fences (robust.tukey_fences_by_bucket) both miss on
+    diurnal data: a quiet night hour that matches every other night is
+    NOT an anomaly even though it is far below the all-day mean.
+
+    Everything shuffled is exact int64: hourly counts, per-hour-of-day
+    nearest-rank (lower) medians with a (n, hour_ts) total order,
+    integer residuals, and integral fences — a residual r is an
+    outlier iff 2r < 2q1 - 3(q3-q1) or 2r > 2q3 + 3(q3-q1), the
+    robust.tukey scaling trick that keeps 1.5*IQR in integers. No
+    floats anywhere.
+
+    Scale shape: the raw corpus collapses to the HOURLY rollup first
+    (map-side combinable count) — everything after runs on a
+    calendar-bounded table (8,760 rows/year regardless of corpus
+    size): one 24-group rank window for the profile, one broadcast
+    join back, one global rank window for the quartiles. The single
+    unpartitioned window is safe BECAUSE the series is
+    calendar-bounded (the gini_turns precedent).
+
+    Emits ``hour_ts, n_points, hod, med_hod, residual, is_outlier``
+    for every hour present in the data.
+    """
+    from pyspark.sql import Window
+
+    hourly = signals.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n_points"))
+    hourly = hourly.select(
+        "hour_ts", "n_points", F.hour("hour_ts").cast("long").alias("hod")
+    )
+    w_rk = Window.partitionBy("hod").orderBy("n_points", "hour_ts")
+    w_tot = Window.partitionBy("hod")
+    ranked = hourly.select(
+        "hod",
+        "n_points",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_tot).alias("n_hours"),
+    )
+    profile = ranked.filter(
+        F.col("rk") == F.floor((F.col("n_hours") + F.lit(1)) / F.lit(2))
+    ).select("hod", F.col("n_points").alias("med_hod"))
+    resid = hourly.join(F.broadcast(profile), "hod").select(
+        "hour_ts",
+        "n_points",
+        "hod",
+        "med_hod",
+        (F.col("n_points") - F.col("med_hod")).alias("residual"),
+    )
+    w_g_rk = Window.orderBy("residual", "hour_ts")
+    w_g = Window.partitionBy()
+    fenced = resid.select(
+        "hour_ts",
+        "n_points",
+        "hod",
+        "med_hod",
+        "residual",
+        F.row_number().over(w_g_rk).alias("grk"),
+        F.count("*").over(w_g).alias("gn"),
+    )
+    # nearest-rank quartiles of the residual distribution, as columns
+    q1 = F.max(
+        F.when(F.col("grk") == F.floor((F.col("gn") + 3) / 4), F.col("residual"))
+    ).over(w_g)
+    q3 = F.max(
+        F.when(
+            F.col("grk") == F.floor((3 * F.col("gn") + 3) / 4), F.col("residual")
+        )
+    ).over(w_g)
+    out = fenced.select(
+        "hour_ts",
+        "n_points",
+        "hod",
+        "med_hod",
+        "residual",
+        q1.alias("q1"),
+        q3.alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return out.select(
+        "hour_ts",
+        "n_points",
+        "hod",
+        "med_hod",
+        "residual",
+        (
+            (F.lit(2) * F.col("residual") < F.lit(2) * F.col("q1") - F.lit(3) * iqr)
+            | (F.lit(2) * F.col("residual") > F.lit(2) * F.col("q3") + F.lit(3) * iqr)
+        ).alias("is_outlier"),
+    )

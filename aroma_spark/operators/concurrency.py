@@ -208,3 +208,50 @@ def hourly_utilization(transcripts: DataFrame) -> DataFrame:
             F.col("busy_us") / F.lit(float(HOUR_US)),
         )
     )
+
+
+def peak_factor_sql() -> str:
+    """The ONE float expression for the hourly peak factor over exact
+    int64 columns peak_minute, n_minutes, total: peak-to-mean ratio
+    = peak * n_minutes / total, cross-multiplied so the only division
+    is the final one. total > 0 always (hours only exist because rows
+    do)."""
+    return (
+        "round(CAST(peak_minute AS DOUBLE) * CAST(n_minutes AS DOUBLE)"
+        " / CAST(total AS DOUBLE), 6)"
+    )
+
+
+def hourly_peak_factor(transcripts: DataFrame) -> DataFrame:
+    """Peak-to-mean load ratio inside each hour: the busiest minute's
+    turn count over the mean minute count (active minutes only) — the
+    burst-headroom number capacity planning actually sizes against
+    (a 1.0 hour is flat; a 30x hour needs 30x the steady-state
+    provisioning).
+
+    Two map-side-combinable aggregations — (minute) counts, then
+    (hour) max/sum/count — and one shared float expression
+    (:func:`peak_factor_sql`). The mean is over minutes WITH data;
+    empty minutes are reported via ``n_minutes`` (60 - n_minutes are
+    silent) rather than imputed as zeros, so the two engines never
+    disagree about a synthetic row.
+
+    Emits ``hour_ts, n_minutes, total, peak_minute, peak_factor``.
+    """
+    minutes = transcripts.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    hours = minutes.groupBy(
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts")
+    ).agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("peak_minute"),
+    )
+    return hours.select(
+        "hour_ts",
+        "n_minutes",
+        "total",
+        "peak_minute",
+        F.expr(peak_factor_sql()).alias("peak_factor"),
+    )

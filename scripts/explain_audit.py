@@ -130,6 +130,9 @@ AUDITED = (
     # round-5r corpus-dynamics pair
     "topterms_overlap_daily",
     "term_fano",
+    # round-5s seasonal-anomaly/load-shape pair
+    "seasonal_outliers_1h",
+    "peak_factor_1h",
 )
 
 
