@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 157 registered queries, ALL 157 with hash-compared DuckDB
-oracles — including the round-5s pair (``seasonal_outliers_1h``
+Round 5: 159 registered queries, ALL 159 with hash-compared DuckDB
+oracles — including the round-5t pair (``pq_assign``
+product-quantization codes, ``cluster_purity`` IVF-cell label
+purity), the round-5s pair (``seasonal_outliers_1h``
 hour-of-day residual Tukey anomalies, ``peak_factor_1h`` per-hour
 burst headroom), the round-5r pair (``topterms_overlap_daily``
 top-20 term-set day-over-day Jaccard, ``term_fano`` Church-Gale
@@ -1908,6 +1910,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hourly_peak_factor(transcripts_from_events(spark, sf))
 
     q["peak_factor_1h"] = peak_factor_1h
+
+    def pq_assign_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import pq_assign
+
+        return pq_assign(load_table(spark, sf, "embeddings"), m=4, sub_dim=16, k=16)
+
+    q["pq_assign"] = pq_assign_q
+
+    def cluster_purity_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import cluster_purity
+
+        return cluster_purity(load_table(spark, sf, "embeddings"), n_centroids=16)
+
+    q["cluster_purity"] = cluster_purity_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4702,4 +4718,43 @@ hrs AS (SELECT date_trunc('hour', minute_ts) AS hour_ts,
 SELECT hour_ts, n_minutes, total, peak_minute,
        {peak_factor_sql()} AS peak_factor
 FROM hrs"""
+
+    # round-5t PQ / cluster-quality pair (operators/similarity.py):
+    # product-quantization codes over 4x16-dim subspaces of the shared
+    # placeholder codebook, and label purity of the IVF cells.
+    pq_blocks = []
+    for _s in range(4):
+        _lo, _hi = _s * 16 + 1, _s * 16 + 16
+        _sv, _cv = f"e.embedding[{_lo}:{_hi}]", f"c.embedding[{_lo}:{_hi}]"
+        pq_blocks.append(
+            f"""SELECT e.vec_id, CAST({_s} AS BIGINT) AS subspace,
+       c.vec_id AS code, round({_cos(_sv, _cv)}, 6) AS sub_cosine
+FROM embeddings e, embeddings c WHERE c.vec_id < 16"""
+        )
+    _pq_union = "\nUNION ALL\n".join(pq_blocks)
+    o["pq_assign"] = f"""WITH sc2 AS ({_pq_union}),
+rk2 AS (SELECT vec_id, subspace, code, sub_cosine,
+          row_number() OVER (PARTITION BY vec_id, subspace
+            ORDER BY sub_cosine DESC, code) AS rn
+        FROM sc2)
+SELECT vec_id, subspace, code, sub_cosine FROM rk2 WHERE rn = 1"""
+
+    o["cluster_purity"] = f"""WITH {ivf_assign_sql},
+a1 AS (SELECT vec_id, centroid_id FROM asg WHERE rn = 1),
+jj AS (SELECT a1.centroid_id, CAST(e.label AS BIGINT) AS lbl
+       FROM a1 JOIN embeddings e ON a1.vec_id = e.vec_id),
+per AS (SELECT centroid_id, lbl, CAST(count(*) AS BIGINT) AS cnt
+        FROM jj GROUP BY centroid_id, lbl),
+rk3 AS (SELECT centroid_id, lbl, cnt,
+          row_number() OVER (PARTITION BY centroid_id
+            ORDER BY cnt DESC, lbl) AS rn2,
+          CAST(sum(cnt) OVER (PARTITION BY centroid_id) AS BIGINT)
+            AS n_vecs,
+          CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+            AS n_labels
+        FROM per)
+SELECT centroid_id, n_vecs, n_labels, lbl AS top_label,
+       cnt AS top_count,
+       round(CAST(cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity
+FROM rk3 WHERE rn2 = 1"""
     return o

@@ -549,3 +549,135 @@ def lsh_ann_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def pq_assign(
+    vectors: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the PQ half
+    of IVFADC): split each vector into ``m`` contiguous ``sub_dim``
+    subspaces and record, per subspace, the max-cosine sub-centroid —
+    the 8-bit-code-per-subspace compression that makes billion-vector
+    ANN memory-resident (m codes replace m*sub_dim floats).
+
+    The codebook is the deterministic placeholder quantizer of
+    :func:`_centroids` (lowest-``k`` ids, sliced per subspace) so both
+    engines share it bit-for-bit — swap in a trained codebook exactly
+    as :func:`ivf_assign` does. Ties break by centroid id; cosines
+    round to 6 (the house cross-engine float discipline).
+
+    Scale shape: ONE pass over the corpus — vectors explode to
+    (vec_id, subspace, subvec) rows (m-fold, map-local), the m*k
+    sub-centroid table broadcasts, and one window per (vec_id,
+    subspace) picks the code. Nothing shuffles but the tiny argmax
+    exchange.
+
+    Emits ``vec_id, subspace, code, sub_cosine`` — m rows per vector.
+    """
+    from pyspark.sql import Window
+
+    cents = vectors.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("cv")
+    )
+    def _explode_subs(df, col, out):
+        return df.select(
+            *[c for c in df.columns if c != col],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("long").alias("subspace"),
+                            F.slice(F.col(col), s * sub_dim + 1, sub_dim).alias(out),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            *[c for c in df.columns if c != col],
+            F.col("p.subspace").alias("subspace"),
+            F.col(f"p.{out}").alias(out),
+        )
+
+    sub_vecs = _explode_subs(vectors.select(id_col, vec_col), vec_col, "sv")
+    sub_cents = _explode_subs(cents, "cv", "csv")
+    scored = sub_vecs.join(
+        F.broadcast(sub_cents), "subspace"
+    ).select(
+        id_col,
+        "subspace",
+        "code",
+        F.round(cosine(F.col("sv"), F.col("csv")), 6).alias("sub_cosine"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.desc("sub_cosine"), F.asc("code")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code", "sub_cosine")
+    )
+
+
+def cluster_purity(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster label purity of the IVF assignment — the standard
+    external clustering-quality check ("do the coarse cells respect
+    the labels?") that decides whether the placeholder quantizer is
+    good enough or k-means training (kmeans_codebook) is warranted.
+
+    Rides :func:`ivf_assign` unchanged, joins labels back on the id,
+    and reduces to exact int64 counts: cluster size, distinct labels,
+    and the majority label (ties by label asc). Purity =
+    top_count / n_vecs is the one shared float.
+
+    Emits ``centroid_id, n_vecs, n_labels, top_label, top_count,
+    purity``.
+    """
+    from pyspark.sql import Window
+
+    asg = ivf_assign(vectors, n_centroids, id_col=id_col, vec_col=vec_col)
+    j = asg.join(
+        vectors.select(id_col, F.col(label_col).cast("long").alias("lbl")),
+        id_col,
+    )
+    per = j.groupBy("centroid_id", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("c"), F.asc("lbl"))
+    w_tot = Window.partitionBy("centroid_id")
+    ranked = per.select(
+        "centroid_id",
+        "lbl",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w_tot).alias("n_vecs"),
+        F.count("*").over(w_tot).alias("n_labels"),
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "centroid_id",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.col("lbl").alias("top_label"),
+        F.col("c").alias("top_count"),
+    )
+    return top.select(
+        "centroid_id",
+        "n_vecs",
+        "n_labels",
+        "top_label",
+        "top_count",
+        F.expr(
+            "round(CAST(top_count AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
+        ).alias("purity"),
+    )

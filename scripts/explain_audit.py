@@ -133,6 +133,9 @@ AUDITED = (
     # round-5s seasonal-anomaly/load-shape pair
     "seasonal_outliers_1h",
     "peak_factor_1h",
+    # round-5t PQ / cluster-quality pair
+    "pq_assign",
+    "cluster_purity",
 )
 
 
