@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 159 registered queries, ALL 159 with hash-compared DuckDB
-oracles — including the round-5t pair (``pq_assign``
+Round 5: 161 registered queries, ALL 161 with hash-compared DuckDB
+oracles — including the round-5u pair (``interp_linear_1h`` linear
+gap interpolation, ``irate_1h`` end-of-hour spot rate), the
+round-5t pair (``pq_assign``
 product-quantization codes, ``cluster_purity`` IVF-cell label
 purity), the round-5s pair (``seasonal_outliers_1h``
 hour-of-day residual Tukey anomalies, ``peak_factor_1h`` per-hour
@@ -1924,6 +1926,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cluster_purity(load_table(spark, sf, "embeddings"), n_centroids=16)
 
     q["cluster_purity"] = cluster_purity_q
+
+    def interp_linear_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.gapfill import interp_linear_hourly
+
+        return interp_linear_hourly(_signals(spark, sf))
+
+    q["interp_linear_1h"] = interp_linear_1h
+
+    def irate_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.rolling import hourly_irate
+
+        return hourly_irate(transcripts_from_events(spark, sf))
+
+    q["irate_1h"] = irate_1h
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4757,4 +4773,57 @@ SELECT centroid_id, n_vecs, n_labels, lbl AS top_label,
        cnt AS top_count,
        round(CAST(cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity
 FROM rk3 WHERE rn2 = 1"""
+
+    # round-5u PromQL-flavored pair: linear-interpolated hourly gap
+    # fill (gapfill.interp_linear_hourly) and end-of-hour irate
+    # (rolling.hourly_irate).
+    from aroma_spark.operators.gapfill import interp_sql
+    from aroma_spark.operators.rolling import irate_sql
+
+    o["interp_linear_1h"] = f"""{SIG_SQL},
+hourly AS (SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n_obs
+           FROM sig GROUP BY 1),
+span AS (SELECT min(hour_ts) AS mn, max(hour_ts) AS mx FROM hourly),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+           AS hour_ts FROM span),
+dense AS (SELECT g.hour_ts, h.n_obs
+          FROM grid g LEFT JOIN hourly h ON g.hour_ts = h.hour_ts),
+mk AS (SELECT hour_ts, n_obs,
+         last_value(n_obs IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN n_obs IS NOT NULL THEN hour_ts END
+           IGNORE NULLS) OVER wp AS pts,
+         first_value(n_obs IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN n_obs IS NOT NULL THEN hour_ts END
+           IGNORE NULLS) OVER wn AS nts
+       FROM dense
+       WINDOW wp AS (ORDER BY hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (ORDER BY hour_ts
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+tm AS (SELECT hour_ts, n_obs, pv, nv,
+         CAST(epoch_us(hour_ts) - epoch_us(pts) AS BIGINT) AS dt_us,
+         CAST(epoch_us(nts) - epoch_us(pts) AS BIGINT) AS span_us
+       FROM mk)
+SELECT hour_ts, n_obs, {interp_sql()} AS value FROM tm"""
+
+    o["irate_1h"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+base AS (SELECT date_trunc('hour', ts) AS hour_ts, ts, conv_id,
+           turn_idx FROM t),
+rkd AS (SELECT hour_ts, ts,
+          row_number() OVER (PARTITION BY hour_ts
+            ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rn,
+          CAST(count(*) OVER (PARTITION BY hour_ts) AS BIGINT)
+            AS n_points
+        FROM base),
+ag AS (SELECT hour_ts, CAST(max(n_points) AS BIGINT) AS n_points,
+         max(CASE WHEN rn = 1 THEN ts END) AS last_ts,
+         CAST(max(CASE WHEN rn = 1 THEN epoch_us(ts) END)
+           - max(CASE WHEN rn = 2 THEN epoch_us(ts) END) AS BIGINT)
+           AS last_gap_us
+       FROM rkd WHERE rn <= 2 GROUP BY hour_ts
+       HAVING max(n_points) >= 2)
+SELECT hour_ts, n_points, last_ts, last_gap_us,
+       {irate_sql()} AS irate_eps
+FROM ag"""
     return o

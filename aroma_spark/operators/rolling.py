@@ -129,3 +129,70 @@ def bollinger_bands(
         (mean + F.lit(float(k)) * sd).alias("upper"),
         (mean - F.lit(float(k)) * sd).alias("lower"),
     )
+
+
+def irate_sql() -> str:
+    """The ONE float expression for the instantaneous rate over the
+    exact int64 column last_gap_us: events/second between the hour's
+    last two arrivals; NULL when they share a timestamp."""
+    return (
+        "CASE WHEN last_gap_us > 0 THEN"
+        " round(1000000.0 / CAST(last_gap_us AS DOUBLE), 6) END"
+    )
+
+
+def hourly_irate(transcripts: DataFrame) -> DataFrame:
+    """PromQL-style ``irate`` per hour: the instantaneous arrival rate
+    implied by the gap between the hour's LAST TWO events — the
+    end-of-window spot rate that reacts immediately where the hour's
+    mean rate lags a burst by up to an hour.
+
+    The hour's events are totally ordered by (ts, conv_id, turn_idx)
+    — the house stable order, so timestamp ties never make the "last
+    two" ambiguous — and the top-2 window keeps one exchange keyed on
+    the hour. ``last_gap_us`` is exact int64; the reciprocal is one
+    shared float (:func:`irate_sql`), NULL when the two share a
+    timestamp.
+
+    Emits ``hour_ts, n_points, last_ts, last_gap_us, irate_eps`` for
+    hours with >= 2 events.
+    """
+    from pyspark.sql import Window
+
+    base = transcripts.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "ts",
+        "conv_id",
+        "turn_idx",
+    )
+    w = Window.partitionBy("hour_ts").orderBy(
+        F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx")
+    )
+    w_tot = Window.partitionBy("hour_ts")
+    ranked = base.select(
+        "hour_ts",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_tot).alias("n_points"),
+    ).where(F.col("rn") <= 2)
+    agg = (
+        ranked.groupBy("hour_ts")
+        .agg(
+            F.max("n_points").cast("long").alias("n_points"),
+            F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("last_ts"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.unix_micros(F.col("ts"))))
+                - F.max(F.when(F.col("rn") == 2, F.unix_micros(F.col("ts"))))
+            )
+            .cast("long")
+            .alias("last_gap_us"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+    return agg.select(
+        "hour_ts",
+        "n_points",
+        "last_ts",
+        "last_gap_us",
+        F.expr(irate_sql()).alias("irate_eps"),
+    )

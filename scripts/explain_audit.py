@@ -136,6 +136,9 @@ AUDITED = (
     # round-5t PQ / cluster-quality pair
     "pq_assign",
     "cluster_purity",
+    # round-5u PromQL-flavored pair
+    "interp_linear_1h",
+    "irate_1h",
 )
 
 
