@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 161 registered queries, ALL 161 with hash-compared DuckDB
-oracles — including the round-5u pair (``interp_linear_1h`` linear
+Round 5: 163 registered queries, ALL 163 with hash-compared DuckDB
+oracles — including the round-5v pair (``doc_readability`` Flesch
+scores from deterministic counts, ``role_hhi`` speaking-volume
+concentration), the round-5u pair (``interp_linear_1h`` linear
 gap interpolation, ``irate_1h`` end-of-hour spot rate), the
 round-5t pair (``pq_assign``
 product-quantization codes, ``cluster_purity`` IVF-cell label
@@ -1940,6 +1942,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hourly_irate(transcripts_from_events(spark, sf))
 
     q["irate_1h"] = irate_1h
+
+    def doc_readability(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import readability
+
+        return readability(load_table(spark, sf, "documents"))
+
+    q["doc_readability"] = doc_readability
+
+    def role_hhi(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import role_concentration
+
+        return role_concentration(_signals(spark, sf))
+
+    q["role_hhi"] = role_hhi
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4825,5 +4841,38 @@ ag AS (SELECT hour_ts, CAST(max(n_points) AS BIGINT) AS n_points,
        HAVING max(n_points) >= 2)
 SELECT hour_ts, n_points, last_ts, last_gap_us,
        {irate_sql()} AS irate_eps
+FROM ag"""
+
+    # round-5v readability/concentration pair: Flesch scores from
+    # deterministic integer counts (text.readability) and the role
+    # HHI (sessions.role_concentration).
+    from aroma_spark.functions.text import fk_grade_sql, flesch_sql
+    from aroma_spark.operators.sessions import hhi_sql
+
+    o["doc_readability"] = f"""WITH cnt AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(
+      lower(trim(COALESCE(text, ''))), '\\s+'), x -> x <> ''))
+      AS BIGINT) AS n_words,
+    CAST(length(COALESCE(text, ''))
+      - length(regexp_replace(COALESCE(text, ''), '[.!?]', '', 'g'))
+      AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(trim(COALESCE(text, ''))),
+      '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       {flesch_sql()} AS flesch, {fk_grade_sql()} AS fk_grade
+FROM cnt"""
+
+    o["role_hhi"] = f"""{SIG_SQL},
+pr AS (SELECT conv_id, role, CAST(sum(text_len) AS BIGINT) AS v
+       FROM sig GROUP BY conv_id, role),
+ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_roles,
+         CAST(sum(v) AS BIGINT) AS total,
+         CAST(max(v) AS BIGINT) AS top_role_text_len,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq
+       FROM pr GROUP BY conv_id HAVING sum(v) > 0)
+SELECT conv_id, n_roles, total AS total_text_len, top_role_text_len,
+       {hhi_sql()} AS hhi
 FROM ag"""
     return o

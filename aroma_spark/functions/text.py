@@ -772,3 +772,75 @@ def term_fano(
         "sumsq_daily",
         F.expr(fano_sql()).alias("fano"),
     )
+
+
+def flesch_sql() -> str:
+    """The ONE float expression for Flesch reading ease over exact
+    int64 columns n_words, n_sentences, n_syllables:
+    206.835 - 1.015*(W/S) - 84.6*(Y/W); NULL when W or S is zero."""
+    w = "CAST(n_words AS DOUBLE)"
+    s = "CAST(n_sentences AS DOUBLE)"
+    y = "CAST(n_syllables AS DOUBLE)"
+    return (
+        "CASE WHEN n_words > 0 AND n_sentences > 0 THEN"
+        f" round(206.835 - 1.015 * ({w} / {s}) - 84.6 * ({y} / {w}), 6)"
+        " END"
+    )
+
+
+def fk_grade_sql() -> str:
+    """The ONE float expression for the Flesch-Kincaid grade level
+    over the same exact counts: 0.39*(W/S) + 11.8*(Y/W) - 15.59;
+    NULL when W or S is zero."""
+    w = "CAST(n_words AS DOUBLE)"
+    s = "CAST(n_sentences AS DOUBLE)"
+    y = "CAST(n_syllables AS DOUBLE)"
+    return (
+        "CASE WHEN n_words > 0 AND n_sentences > 0 THEN"
+        f" round(0.39 * ({w} / {s}) + 11.8 * ({y} / {w}) - 15.59, 6) END"
+    )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per document from
+    three deterministic integer counts — the curation-quality signal
+    next to :func:`quality_score` (C4 heuristics say "is it text?",
+    readability says "how hard is it?").
+
+    Syllables use the classic vowel-group proxy (maximal runs of
+    [aeiouy] in the lowercased text) — not dictionary-exact, but
+    deterministic, language-agnostic, and the standard cheap stand-in;
+    sentences count terminal punctuation [.!?]; words are the
+    corpus-standard whitespace tokens. All three are exact int64 from
+    per-row regexp counts (map-only, no shuffle, no explode); the two
+    scores are one shared float expression each (:func:`flesch_sql` /
+    :func:`fk_grade_sql`).
+
+    Emits ``doc_id, n_words, n_sentences, n_syllables, flesch,
+    fk_grade``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lc = F.lower(F.trim(c))
+    words = F.size(
+        F.filter(F.split(lc, r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    sentences = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[.!?]", ""))
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(lc, F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    counted = df.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(flesch_sql()).alias("flesch"),
+        F.expr(fk_grade_sql()).alias("fk_grade"),
+    )

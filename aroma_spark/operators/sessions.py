@@ -209,3 +209,53 @@ def tool_usage(signals: DataFrame) -> DataFrame:
         F.sum(F.col("inter_time_us").cast("long")).cast("long")
         .alias("sum_latency_us"),
     )
+
+
+def hhi_sql() -> str:
+    """The ONE float expression for the Herfindahl-Hirschman
+    concentration index over exact int64 columns sum_sq (sum of
+    squared per-role volumes) and total (their sum): HHI =
+    sum_sq / total^2, in (1/n_roles, 1]. NULL when total is zero."""
+    return (
+        "CASE WHEN total > 0 THEN round(CAST(sum_sq AS DOUBLE)"
+        " / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) END"
+    )
+
+
+def role_concentration(signals: DataFrame) -> DataFrame:
+    """Who dominates each conversation? The Herfindahl-Hirschman index
+    of per-role text volume: HHI = sum over roles of (share)^2 — 1.0
+    is a monologue, 1/n_roles is perfectly balanced. The
+    conversation-level concentration measure next to the corpus-level
+    Gini (distribution.gini_turns).
+
+    The rational identity HHI = (sum of squared role volumes) /
+    (total volume)^2 keeps everything int64 until ONE shared float
+    expression (:func:`hhi_sql`): per-role sums ride the canonical
+    conv_id exchange, the squares are exact (safe while a
+    conversation's per-role text volume stays < ~3e9 chars), and the
+    second aggregation is keyed on the same conv_id — no new shuffle.
+
+    Emits ``conv_id, n_roles, total_text_len, top_role_text_len,
+    hhi`` for conversations with any text.
+    """
+    per_role = signals.groupBy("conv_id", "role").agg(
+        F.sum("text_len").cast("long").alias("v")
+    )
+    agg = (
+        per_role.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_roles"),
+            F.sum("v").cast("long").alias("total"),
+            F.max("v").cast("long").alias("top_role_text_len"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_sq"),
+        )
+        .filter(F.col("total") > 0)
+    )
+    return agg.select(
+        "conv_id",
+        "n_roles",
+        F.col("total").alias("total_text_len"),
+        "top_role_text_len",
+        F.expr(hhi_sql()).alias("hhi"),
+    )

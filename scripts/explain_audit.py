@@ -139,6 +139,9 @@ AUDITED = (
     # round-5u PromQL-flavored pair
     "interp_linear_1h",
     "irate_1h",
+    # round-5v readability/concentration pair
+    "doc_readability",
+    "role_hhi",
 )
 
 
