@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 163 registered queries, ALL 163 with hash-compared DuckDB
-oracles — including the round-5v pair (``doc_readability`` Flesch
+Round 5: 165 registered queries, ALL 165 with hash-compared DuckDB
+oracles — including the round-5w pair (``value_area_1d`` daily
+market-profile value area, ``session_gap_sweep`` one-pass
+sessionization sensitivity), the round-5v pair (``doc_readability`` Flesch
 scores from deterministic counts, ``role_hhi`` speaking-volume
 concentration), the round-5u pair (``interp_linear_1h`` linear
 gap interpolation, ``irate_1h`` end-of-hour spot rate), the
@@ -1956,6 +1958,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return role_concentration(_signals(spark, sf))
 
     q["role_hhi"] = role_hhi
+
+    def value_area_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import value_area_daily
+
+        return value_area_daily(transcripts_from_events(spark, sf))
+
+    q["value_area_1d"] = value_area_1d
+
+    def session_gap_sweep_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import session_gap_sweep
+
+        return session_gap_sweep(transcripts_from_events(spark, sf))
+
+    q["session_gap_sweep"] = session_gap_sweep_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4875,4 +4891,57 @@ ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_roles,
 SELECT conv_id, n_roles, total AS total_text_len, top_role_text_len,
        {hhi_sql()} AS hhi
 FROM ag"""
+
+    # round-5w load-locality/session-tuning pair: daily value area
+    # (concurrency.value_area_daily, integer 10*(cum-n) < 7*total
+    # inclusion) and the one-pass session gap sweep
+    # (sessions.session_gap_sweep).
+    o["value_area_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+mins AS (SELECT date_trunc('minute', ts) AS minute_ts,
+           CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1),
+m2 AS (SELECT date_trunc('day', minute_ts) AS day, minute_ts, n
+       FROM mins),
+stp AS (SELECT day, n,
+          sum(n) OVER (PARTITION BY day ORDER BY n DESC, minute_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(n) OVER (PARTITION BY day) AS total
+        FROM m2),
+ag AS (SELECT day, CAST(count(*) AS BIGINT) AS n_minutes,
+         CAST(max(total) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN 10 * (cum - n) < 7 * total THEN 1 ELSE 0
+           END) AS BIGINT) AS va_minutes,
+         CAST(sum(CASE WHEN 10 * (cum - n) < 7 * total THEN n ELSE 0
+           END) AS BIGINT) AS va_volume,
+         CAST(max(n) AS BIGINT) AS top_n
+       FROM stp GROUP BY day)
+SELECT day AS day_ts, n_minutes, total, va_minutes, va_volume,
+       round(CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS top_share
+FROM ag"""
+
+    _sweep_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({g} AS BIGINT) AS gap_seconds, n_convs, n_turns,"
+        f" CAST(n_convs + b{g} AS BIGINT) AS n_sessions FROM ag"
+        for g in (900, 1800, 3600)
+    )
+    _sweep_counters = ",\n".join(
+        f"         CAST(sum(CASE WHEN dt_us > {g}000000 THEN 1 ELSE 0"
+        f" END) AS BIGINT) AS b{g}"
+        for g in (900, 1800, 3600)
+    )
+    o["session_gap_sweep"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+d AS (SELECT conv_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+          ORDER BY turn_idx) AS dt_us
+      FROM t),
+ag AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(count(*) AS BIGINT) AS n_turns,
+{_sweep_counters}
+       FROM d),
+u AS ({_sweep_rows})
+SELECT gap_seconds, n_convs, n_turns, n_sessions,
+       round(CAST(n_turns AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+         AS avg_turns_per_session
+FROM u"""
     return o

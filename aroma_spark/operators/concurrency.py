@@ -255,3 +255,69 @@ def hourly_peak_factor(transcripts: DataFrame) -> DataFrame:
         "peak_minute",
         F.expr(peak_factor_sql()).alias("peak_factor"),
     )
+
+
+def value_area_daily(transcripts: DataFrame, pct_x10: int = 7) -> DataFrame:
+    """Market-profile "value area" per day: how many minute buckets
+    does it take to cover ``pct_x10``/10 (default 70%) of the day's
+    volume, greedily from the busiest minute down? A day where 70% of
+    load fits in a handful of minutes is spike-shaped; one that needs
+    hundreds is flat — the locality summary behind cache sizing and
+    autoscaler step policy.
+
+    Minutes are ranked (count DESC, minute ASC — deterministic tie
+    cut) and a bucket is in the value area while the cumulative
+    volume BEFORE it is still under the target:
+    ``10 * (cum - n) < pct_x10 * total`` — all int64, no division.
+    The per-day minute table is calendar-bounded (1,440 rows/day), so
+    the rank window is cheap at any corpus size.
+
+    Emits ``day_ts, n_minutes, total, va_minutes, va_volume,
+    top_share`` (top_share = busiest minute's volume fraction, the
+    one shared float).
+    """
+    from pyspark.sql import Window
+
+    minutes = transcripts.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    minutes = minutes.select(
+        F.date_trunc("day", F.col("minute_ts")).alias("day"),
+        "minute_ts",
+        "n",
+    )
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy(F.col("n").desc(), F.col("minute_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("day")
+    stepped = minutes.select(
+        "day",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    included = (
+        F.lit(10) * (F.col("cum") - F.col("n"))
+        < F.lit(pct_x10) * F.col("total")
+    )
+    agg = stepped.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.max("total").cast("long").alias("total"),
+        F.sum(F.when(included, 1).otherwise(0)).cast("long").alias("va_minutes"),
+        F.sum(F.when(included, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("va_volume"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    return agg.select(
+        F.col("day").alias("day_ts"),
+        "n_minutes",
+        "total",
+        "va_minutes",
+        "va_volume",
+        F.expr(
+            "round(CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+        ).alias("top_share"),
+    )

@@ -259,3 +259,67 @@ def role_concentration(signals: DataFrame) -> DataFrame:
         "top_role_text_len",
         F.expr(hhi_sql()).alias("hhi"),
     )
+
+
+def session_gap_sweep(
+    transcripts: DataFrame,
+    gaps_seconds: tuple[int, ...] = (900, 1800, 3600),
+) -> DataFrame:
+    """Sensitivity of sessionization to the idle-gap threshold, in ONE
+    corpus pass: how many sessions does each candidate gap produce,
+    and how big are they on average? The tuning table you consult
+    BEFORE fixing the 30-minute default — if 15m and 60m give nearly
+    the same session count, the corpus has a clear bimodal gap
+    distribution and the choice is safe.
+
+    The identity n_sessions(G) = n_convs + #{inter-arrival gaps > G}
+    turns the sweep into conditional counts over ONE lag pass — no
+    per-gap re-sessionization, no extra shuffles; adding a gap
+    candidate adds one counter. All counts exact int64; mean session
+    length is the one shared float per row.
+
+    Emits one row per candidate gap: ``gap_seconds, n_convs, n_turns,
+    n_sessions, avg_turns_per_session``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_us = F.unix_micros(F.col("ts"))
+    dt = (ts_us - F.lag(ts_us, 1).over(w)).alias("dt_us")
+    base = transcripts.select("conv_id", dt)
+    agg = base.agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        *[
+            F.sum(
+                F.when(F.col("dt_us") > g * 1_000_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"b{g}")
+            for g in gaps_seconds
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).cast("long").alias("gap_seconds"),
+                        F.col("n_convs"),
+                        F.col("n_turns"),
+                        (F.col("n_convs") + F.col(f"b{g}"))
+                        .cast("long")
+                        .alias("n_sessions"),
+                    )
+                    for g in gaps_seconds
+                ]
+            )
+        ).alias("p")
+    ).select("p.gap_seconds", "p.n_convs", "p.n_turns", "p.n_sessions")
+    return rows.select(
+        "gap_seconds",
+        "n_convs",
+        "n_turns",
+        "n_sessions",
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)"
+        ).alias("avg_turns_per_session"),
+    )

@@ -142,6 +142,9 @@ AUDITED = (
     # round-5v readability/concentration pair
     "doc_readability",
     "role_hhi",
+    # round-5w load-locality/session-tuning pair
+    "value_area_1d",
+    "session_gap_sweep",
 )
 
 
