@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 165 registered queries, ALL 165 with hash-compared DuckDB
-oracles — including the round-5w pair (``value_area_1d`` daily
+Round 5: 167 registered queries, ALL 167 with hash-compared DuckDB
+oracles — including the round-5x pair (``doc_containment_pairs``
+Broder max-containment quote detection, ``doc_cluster_histogram``
+dup-cluster size distribution), the round-5w pair (``value_area_1d`` daily
 market-profile value area, ``session_gap_sweep`` one-pass
 sessionization sensitivity), the round-5v pair (``doc_readability`` Flesch
 scores from deterministic counts, ``role_hhi`` speaking-volume
@@ -1972,6 +1974,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_gap_sweep(transcripts_from_events(spark, sf))
 
     q["session_gap_sweep"] = session_gap_sweep_q
+
+    def doc_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(
+            load_table(spark, sf, "documents"), threshold=0.2
+        )
+
+    q["doc_containment_pairs"] = doc_containment_pairs
+
+    def doc_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.clusters import (
+            cluster_size_histogram,
+            connected_components,
+        )
+
+        pairs = minhash_lsh_pairs(load_table(spark, sf, "documents"))
+        return cluster_size_histogram(connected_components(pairs))
+
+    q["doc_cluster_histogram"] = doc_cluster_histogram
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4944,4 +4966,34 @@ SELECT gap_seconds, n_convs, n_turns, n_sessions,
        round(CAST(n_turns AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
          AS avg_turns_per_session
 FROM u"""
+
+    # round-5x asymmetric-dedup pair: Broder max-containment over the
+    # shared shingle CTE (dedup.containment_pairs) and the dup-cluster
+    # size histogram over the shared connected-components CTE
+    # (clusters.cluster_size_histogram).
+    o["doc_containment_pairs"] = f"""WITH {shingle_sql},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+          GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(CAST(n_inter AS DOUBLE)
+         / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE)
+        / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) >= 0.2"""
+
+    o["doc_cluster_histogram"] = (
+        cc_sql
+        + """
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * sz AS BIGINT) AS n_docs
+FROM (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+GROUP BY sz"""
+    )
     return o

@@ -156,3 +156,28 @@ def dedup_survivors(
     else:
         raise ValueError(f"unknown keep policy: {keep!r}")
     return docs.select(id_col).join(losers, id_col, "left_anti")
+
+
+def cluster_size_histogram(components: DataFrame) -> DataFrame:
+    """Distribution of duplicate-cluster sizes: how much of the dup
+    mass sits in pairs vs in giant boilerplate blobs? The one-table
+    summary a dedup report leads with, and the early-warning signal
+    for quadratic blowups (a cluster of 10^5 near-identical docs is a
+    crawler artifact, not content).
+
+    Input is :func:`connected_components` output (node, component);
+    two map-side-combinable aggregations — component -> size, then
+    size -> (n_clusters, n_docs). Output cardinality is the number of
+    DISTINCT sizes (tiny at any scale). All exact int64.
+
+    Emits ``cluster_size, n_clusters, n_docs``.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+    )

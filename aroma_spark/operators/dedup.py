@@ -426,3 +426,59 @@ def editdist_verified_pairs(
         dist.alias("edit_dist"),
         (dist <= F.lit(max_dist)).alias("is_dup"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = MAX_KEY_DF,
+) -> DataFrame:
+    """Broder max-containment over distinct word n-grams:
+    C(A,B) = |A ∩ B| / min(|A|, |B|) — the ASYMMETRIC near-dup
+    measure that catches a short document quoted wholesale inside a
+    long one, which Jaccard structurally cannot (the union in its
+    denominator is dominated by the long side).
+
+    Same inverted-index candidate generation, giant-bucket guard, and
+    one-materialization discipline as :func:`ngram_jaccard_pairs`
+    (pairs exist only when they share a sub-cap shingle); the score
+    keeps the exact int64 triple (n_inter, n_a, n_b) in the output so
+    the float is auditable.
+
+    Emits ``doc_a, doc_b, n_inter, n_a, n_b, containment`` for pairs
+    with containment >= ``threshold``.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = sh.localCheckpoint()
+    sh = _drop_giant_buckets(sh, ["shingle"], max_shingle_df).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    scored = joined.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+            6,
+        ).alias("containment"),
+    )
+    return scored.where(F.col("containment") >= threshold)

@@ -145,6 +145,9 @@ AUDITED = (
     # round-5w load-locality/session-tuning pair
     "value_area_1d",
     "session_gap_sweep",
+    # round-5x asymmetric-dedup pair
+    "doc_containment_pairs",
+    "doc_cluster_histogram",
 )
 
 
