@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 167 registered queries, ALL 167 with hash-compared DuckDB
-oracles — including the round-5x pair (``doc_containment_pairs``
+Round 5: 169 registered queries, ALL 169 with hash-compared DuckDB
+oracles — including the round-5y pair (``conv_ttr`` lexical
+diversity per conversation, ``latency_by_depth`` the fatigue curve),
+the round-5x pair (``doc_containment_pairs``
 Broder max-containment quote detection, ``doc_cluster_histogram``
 dup-cluster size distribution), the round-5w pair (``value_area_1d`` daily
 market-profile value area, ``session_gap_sweep`` one-pass
@@ -1994,6 +1996,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cluster_size_histogram(connected_components(pairs))
 
     q["doc_cluster_histogram"] = doc_cluster_histogram
+
+    def conv_ttr(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import conversation_ttr
+
+        return conversation_ttr(transcripts_from_events(spark, sf))
+
+    q["conv_ttr"] = conv_ttr
+
+    def latency_by_depth_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import latency_by_depth
+
+        return latency_by_depth(_signals(spark, sf))
+
+    q["latency_by_depth"] = latency_by_depth_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -4996,4 +5012,46 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
 FROM (SELECT component, count(*) AS sz FROM comp GROUP BY component)
 GROUP BY sz"""
     )
+
+    # round-5y diversity/fatigue pair: conversation type-token ratio
+    # (text.conversation_ttr) and latency by conversation depth
+    # (robust.latency_by_depth).
+    from aroma_spark.functions.text import ttr_sql
+
+    o["conv_ttr"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT conv_id,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+tc AS (SELECT conv_id, term, CAST(count(*) AS BIGINT) AS c
+       FROM tok WHERE term <> '' GROUP BY conv_id, term),
+ag AS (SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+       FROM tc GROUP BY conv_id)
+SELECT conv_id, n_tokens, n_types, n_hapax, {ttr_sql()} AS ttr
+FROM ag"""
+
+    o["latency_by_depth"] = f"""{SIG_SQL},
+base AS (SELECT CAST(turn_idx AS BIGINT) // 10 AS depth_bucket,
+           CAST(inter_time_us AS BIGINT) AS v, conv_id, turn_idx
+         FROM sig),
+rkd AS (SELECT depth_bucket, v,
+          row_number() OVER (PARTITION BY depth_bucket
+            ORDER BY v, conv_id, turn_idx) AS rk,
+          CAST(count(*) OVER (PARTITION BY depth_bucket) AS BIGINT)
+            AS n
+        FROM base),
+ag AS (SELECT depth_bucket, CAST(max(n) AS BIGINT) AS n_turns,
+         CAST(sum(v) AS BIGINT) AS sum_latency_us,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN v END) AS BIGINT)
+           AS p50_latency_us,
+         CAST(max(v) AS BIGINT) AS max_latency_us
+       FROM rkd GROUP BY depth_bucket)
+SELECT depth_bucket, n_turns, sum_latency_us, p50_latency_us,
+       max_latency_us,
+       round(CAST(sum_latency_us AS DOUBLE) / CAST(n_turns AS DOUBLE),
+         6) AS mean_latency_us
+FROM ag"""
     return o

@@ -844,3 +844,53 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(flesch_sql()).alias("flesch"),
         F.expr(fk_grade_sql()).alias("fk_grade"),
     )
+
+
+def ttr_sql() -> str:
+    """The ONE float expression for the type-token ratio over exact
+    int64 columns n_types, n_tokens; NULL when the conversation has
+    no tokens (the operator filters those out anyway)."""
+    return (
+        "CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE)"
+        " / CAST(n_tokens AS DOUBLE), 6) END"
+    )
+
+
+def conversation_ttr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical diversity per conversation: type-token ratio and hapax
+    count over the corpus-standard whitespace tokenizer — the
+    conversation-level companion to the corpus-level vocabulary ops
+    (vocab_growth_daily, zipf_buckets). A looping agent reuses the
+    same few types (low TTR); an exploring one keeps minting hapaxes.
+
+    Two aggregations riding one (conv_id, term) exchange: term counts
+    per conversation, then types/tokens/hapaxes per conversation —
+    all exact int64, the ratio one shared float (:func:`ttr_sql`).
+
+    Emits ``conv_id, n_tokens, n_types, n_hapax, ttr`` for
+    conversations with at least one token.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    terms = (
+        df.select(
+            "conv_id",
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("conv_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = terms.groupBy("conv_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(ttr_sql()).alias("ttr"),
+    )

@@ -430,3 +430,62 @@ def latency_percentiles_by_bucket(
         _at(99, 100).alias("p99"),
         F.max("v").cast("long").alias(f"max_{value_col}"),
     )
+
+
+def latency_by_depth(signals: DataFrame, bucket_width: int = 10) -> DataFrame:
+    """Latency as a function of conversation DEPTH: bucket turns by
+    turn_idx // bucket_width across the whole corpus and report exact
+    per-bucket latency statistics — the "fatigue curve" question (do
+    replies slow down as conversations go long?) that time-bucketed
+    rollups can't see because they mix depths.
+
+    Everything exact: the mean is a single shared float over int64
+    sum/count, the median is the house nearest-rank selection under
+    the (value, conv_id, turn_idx) total order. One exchange keyed on
+    the depth bucket; output cardinality = max depth / bucket_width
+    (tiny at any corpus size).
+
+    Emits ``depth_bucket, n_turns, sum_latency_us, p50_latency_us,
+    max_latency_us, mean_latency_us``.
+    """
+    from pyspark.sql import Window
+
+    base = signals.select(
+        (F.col("turn_idx").cast("long") / F.lit(bucket_width))
+        .cast("long")
+        .alias("depth_bucket"),
+        F.col("inter_time_us").cast("long").alias("v"),
+        "conv_id",
+        "turn_idx",
+    )
+    w_rk = Window.partitionBy("depth_bucket").orderBy(
+        "v", "conv_id", "turn_idx"
+    )
+    w_tot = Window.partitionBy("depth_bucket")
+    ranked = base.select(
+        "depth_bucket",
+        "v",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_tot).alias("n"),
+    )
+    agg = ranked.groupBy("depth_bucket").agg(
+        F.max("n").cast("long").alias("n_turns"),
+        F.sum("v").cast("long").alias("sum_latency_us"),
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("v"))
+        )
+        .cast("long")
+        .alias("p50_latency_us"),
+        F.max("v").cast("long").alias("max_latency_us"),
+    )
+    return agg.select(
+        "depth_bucket",
+        "n_turns",
+        "sum_latency_us",
+        "p50_latency_us",
+        "max_latency_us",
+        F.expr(
+            "round(CAST(sum_latency_us AS DOUBLE)"
+            " / CAST(n_turns AS DOUBLE), 6)"
+        ).alias("mean_latency_us"),
+    )

@@ -148,6 +148,9 @@ AUDITED = (
     # round-5x asymmetric-dedup pair
     "doc_containment_pairs",
     "doc_cluster_histogram",
+    # round-5y diversity/fatigue pair
+    "conv_ttr",
+    "latency_by_depth",
 )
 
 
