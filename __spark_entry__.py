@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 169 registered queries, ALL 169 with hash-compared DuckDB
-oracles — including the round-5y pair (``conv_ttr`` lexical
+Round 5: 171 registered queries, ALL 171 with hash-compared DuckDB
+oracles — including the round-5z pair (``wmedian_latency_daily``
+token-weighted latency median, ``tool_rate_ztest`` day-over-day
+two-proportion z-test), the round-5y pair (``conv_ttr`` lexical
 diversity per conversation, ``latency_by_depth`` the fatigue curve),
 the round-5x pair (``doc_containment_pairs``
 Broder max-containment quote detection, ``doc_cluster_histogram``
@@ -2010,6 +2012,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return latency_by_depth(_signals(spark, sf))
 
     q["latency_by_depth"] = latency_by_depth_q
+
+    def wmedian_latency_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import weighted_median_daily
+
+        return weighted_median_daily(_signals(spark, sf))
+
+    q["wmedian_latency_daily"] = wmedian_latency_daily
+
+    def tool_rate_ztest(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.nonparam import tool_rate_ztest_daily
+
+        return tool_rate_ztest_daily(_signals(spark, sf))
+
+    q["tool_rate_ztest"] = tool_rate_ztest
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5054,4 +5070,52 @@ SELECT depth_bucket, n_turns, sum_latency_us, p50_latency_us,
        round(CAST(sum_latency_us AS DOUBLE) / CAST(n_turns AS DOUBLE),
          6) AS mean_latency_us
 FROM ag"""
+
+    # round-5z weighted-median/rate-test pair: the exact
+    # cumulative-weight crossing (robust.weighted_median_daily) and
+    # the two-proportion z-test with KS-union day pairing
+    # (nonparam.tool_rate_ztest_daily).
+    from aroma_spark.operators.nonparam import two_prop_z_sql
+
+    o["wmedian_latency_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS day,
+           CAST(inter_time_us AS BIGINT) AS v,
+           CAST(text_len AS BIGINT) AS w, conv_id, turn_idx
+         FROM sig),
+stp AS (SELECT day, v, w,
+          sum(w) OVER (PARTITION BY day
+            ORDER BY v, conv_id, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+          sum(w) OVER (PARTITION BY day) AS totw
+        FROM base),
+ag AS (SELECT day, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(max(totw) AS BIGINT) AS total_weight,
+         CAST(max(CASE WHEN 2 * (cumw - w) < totw
+                        AND 2 * cumw >= totw THEN v END) AS BIGINT)
+           AS wmedian
+       FROM stp GROUP BY day HAVING max(totw) > 0)
+SELECT day AS day_ts, n_turns, total_weight, wmedian FROM ag"""
+
+    o["tool_rate_ztest"] = f"""{SIG_SQL},
+daily AS (SELECT date_trunc('day', ts) AS day,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(tool_call) AS BIGINT) AS a
+          FROM sig GROUP BY 1),
+u AS (SELECT day AS pair_day, n AS n_cur, a AS a_cur,
+             CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS a_prev
+      FROM daily
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY AS pair_day,
+             CAST(NULL AS BIGINT) AS n_cur, CAST(NULL AS BIGINT) AS a_cur,
+             n AS n_prev, a AS a_prev
+      FROM daily),
+pd AS (SELECT pair_day, CAST(max(n_prev) AS BIGINT) AS n_prev,
+         CAST(max(a_prev) AS BIGINT) AS a_prev,
+         CAST(max(n_cur) AS BIGINT) AS n_cur,
+         CAST(max(a_cur) AS BIGINT) AS a_cur
+       FROM u GROUP BY pair_day
+       HAVING max(n_prev) IS NOT NULL AND max(n_cur) IS NOT NULL)
+SELECT pair_day AS day_ts, n_prev, a_prev, n_cur, a_cur,
+       {two_prop_z_sql()} AS z
+FROM pd"""
     return o

@@ -485,3 +485,82 @@ def phi_association_daily(
         F.expr(phi_sql()).alias("phi"),
         F.expr(log_odds_sql()).alias("log_odds"),
     )
+
+
+def two_prop_z_sql() -> str:
+    """The ONE float expression for the two-proportion z-test over
+    exact int64 columns a_cur, n_cur, a_prev, n_prev (successes and
+    trials for the two days): pooled
+    p = (a_cur+a_prev)/(n_cur+n_prev),
+    z = (a_cur/n_cur - a_prev/n_prev) / sqrt(p(1-p)(1/n_cur+1/n_prev));
+    NULL when the pooled rate is degenerate (0 or 1) or either day is
+    empty."""
+    ac = "CAST(a_cur AS DOUBLE)"
+    nc = "CAST(n_cur AS DOUBLE)"
+    ap = "CAST(a_prev AS DOUBLE)"
+    np_ = "CAST(n_prev AS DOUBLE)"
+    p = f"(({ac} + {ap}) / ({nc} + {np_}))"
+    return (
+        "CASE WHEN n_cur > 0 AND n_prev > 0"
+        " AND a_cur + a_prev > 0 AND a_cur + a_prev < n_cur + n_prev THEN"
+        f" round(({ac} / {nc} - {ap} / {np_})"
+        f" / sqrt({p} * (1.0 - {p}) * (1.0 / {nc} + 1.0 / {np_})), 6)"
+        " END"
+    )
+
+
+def tool_rate_ztest_daily(signals: DataFrame) -> DataFrame:
+    """Did the tool-call RATE really change overnight? The classic
+    two-proportion z-test between each day's tool-call fraction and
+    the previous day's — the across-days companion to the within-day
+    2x2 association (:func:`phi_association_daily`), and the
+    guard against eyeballing "3.1% vs 3.4%" on unequal sample sizes.
+
+    The day pairing reuses the KS-drift union trick (each day's
+    (successes, trials) row participates as "cur" of itself and
+    "prev" of the next day — no join), so the whole operator is two
+    aggregations. Counts exact int64; z is one shared float
+    (:func:`two_prop_z_sql`).
+
+    Emits ``day_ts, n_prev, a_prev, n_cur, a_cur, z`` per day whose
+    predecessor is present.
+    """
+    daily = signals.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("tool_call").cast("long").alias("a"),
+    )
+    cur = daily.select(
+        F.col("day").alias("pair_day"),
+        F.col("n").alias("n_cur"),
+        F.col("a").alias("a_cur"),
+        F.lit(None).cast("long").alias("n_prev"),
+        F.lit(None).cast("long").alias("a_prev"),
+    )
+    prev = daily.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("pair_day"),
+        F.lit(None).cast("long").alias("n_cur"),
+        F.lit(None).cast("long").alias("a_cur"),
+        F.col("n").alias("n_prev"),
+        F.col("a").alias("a_prev"),
+    )
+    paired = (
+        cur.unionByName(prev)
+        .groupBy("pair_day")
+        .agg(
+            F.max("n_prev").cast("long").alias("n_prev"),
+            F.max("a_prev").cast("long").alias("a_prev"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.max("a_cur").cast("long").alias("a_cur"),
+        )
+        .filter(F.col("n_prev").isNotNull() & F.col("n_cur").isNotNull())
+    )
+    return paired.select(
+        F.col("pair_day").alias("day_ts"),
+        "n_prev",
+        "a_prev",
+        "n_cur",
+        "a_cur",
+        F.expr(two_prop_z_sql()).alias("z"),
+    )

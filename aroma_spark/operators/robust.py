@@ -489,3 +489,64 @@ def latency_by_depth(signals: DataFrame, bucket_width: int = 10) -> DataFrame:
             " / CAST(n_turns AS DOUBLE), 6)"
         ).alias("mean_latency_us"),
     )
+
+
+def weighted_median_daily(
+    signals: DataFrame,
+    value_col: str = "inter_time_us",
+    weight_col: str = "text_len",
+) -> DataFrame:
+    """Weight-aware median per day: the smallest value whose
+    cumulative weight reaches half the day's total — "the latency a
+    typical TOKEN experienced", not a typical turn. When long replies
+    are slow, the weighted median sits far above the plain p50, and
+    that gap is the user-facing truth a turn-count median hides.
+
+    The crossing row is selected exactly: order by (value, conv_id,
+    turn_idx), then the unique row with
+    ``2*(cumw - w) < W <= 2*cumw`` (strictly increasing cumulative
+    weight makes it unique; zero-weight rows can never satisfy both
+    sides). All int64, no division anywhere. One rank window per day
+    plus one aggregation.
+
+    Emits ``day_ts, n_turns, total_weight, wmedian`` for days with
+    positive total weight.
+    """
+    from pyspark.sql import Window
+
+    base = signals.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+        "conv_id",
+        "turn_idx",
+    )
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("v", "conv_id", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("day")
+    stepped = base.select(
+        "day",
+        "v",
+        "w",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
+    )
+    crossing = (
+        (F.lit(2) * (F.col("cumw") - F.col("w")) < F.col("totw"))
+        & (F.lit(2) * F.col("cumw") >= F.col("totw"))
+    )
+    agg = (
+        stepped.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.max("totw").cast("long").alias("total_weight"),
+            F.max(F.when(crossing, F.col("v"))).cast("long").alias("wmedian"),
+        )
+        .filter(F.col("total_weight") > 0)
+    )
+    return agg.select(
+        F.col("day").alias("day_ts"), "n_turns", "total_weight", "wmedian"
+    )

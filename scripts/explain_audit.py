@@ -151,6 +151,9 @@ AUDITED = (
     # round-5y diversity/fatigue pair
     "conv_ttr",
     "latency_by_depth",
+    # round-5z weighted-median/rate-test pair
+    "wmedian_latency_daily",
+    "tool_rate_ztest",
 )
 
 
