@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 171 registered queries, ALL 171 with hash-compared DuckDB
-oracles — including the round-5z pair (``wmedian_latency_daily``
+Round 5: 173 registered queries, ALL 173 with hash-compared DuckDB
+oracles — including the round-6a pair (``conv_survival`` discrete
+hazard curve, ``tool_adoption`` first-touch adoption S-curve), the
+round-5z pair (``wmedian_latency_daily``
 token-weighted latency median, ``tool_rate_ztest`` day-over-day
 two-proportion z-test), the round-5y pair (``conv_ttr`` lexical
 diversity per conversation, ``latency_by_depth`` the fatigue curve),
@@ -2026,6 +2028,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tool_rate_ztest_daily(_signals(spark, sf))
 
     q["tool_rate_ztest"] = tool_rate_ztest
+
+    def conv_survival(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import conv_length_survival
+
+        return conv_length_survival(transcripts_from_events(spark, sf))
+
+    q["conv_survival"] = conv_survival
+
+    def tool_adoption(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import tool_adoption_daily
+
+        return tool_adoption_daily(transcripts_from_events(spark, sf))
+
+    q["tool_adoption"] = tool_adoption
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5118,4 +5134,51 @@ pd AS (SELECT pair_day, CAST(max(n_prev) AS BIGINT) AS n_prev,
 SELECT pair_day AS day_ts, n_prev, a_prev, n_cur, a_cur,
        {two_prop_z_sql()} AS z
 FROM pd"""
+
+    # round-6a survival/adoption pair (operators/cohorts.py): discrete
+    # hazard over the descending length histogram and first-touch
+    # cumulative tool adoption.
+    o["conv_survival"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+lens AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS conv_len
+         FROM t GROUP BY conv_id),
+hist AS (SELECT conv_len, CAST(count(*) AS BIGINT) AS n_deaths
+         FROM lens GROUP BY conv_len),
+stp AS (SELECT conv_len, n_deaths,
+          CAST(sum(n_deaths) OVER (ORDER BY conv_len DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+          CAST(sum(n_deaths) OVER () AS BIGINT) AS n_total
+        FROM hist)
+SELECT conv_len, n_deaths, n_at_risk,
+       round(CAST(n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)
+         AS hazard,
+       round(CAST(n_at_risk AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS survival
+FROM stp"""
+
+    o["tool_adoption"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+firsts AS (SELECT conv_id, date_trunc('day', min(ts)) AS first_day,
+             date_trunc('day', min(CASE WHEN tool IS NOT NULL
+               AND tool <> '' THEN ts END)) AS first_tool_day
+           FROM t GROUP BY conv_id),
+ev AS (SELECT first_day AS day, 1 AS ds, 0 AS da FROM firsts
+       UNION ALL
+       SELECT first_tool_day AS day, 0 AS ds, 1 AS da FROM firsts
+       WHERE first_tool_day IS NOT NULL),
+daily AS (SELECT day, CAST(sum(ds) AS BIGINT) AS n_started,
+            CAST(sum(da) AS BIGINT) AS n_adopted
+          FROM ev GROUP BY day),
+cum AS (SELECT day,
+          CAST(sum(n_started) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_started_cum,
+          CAST(sum(n_adopted) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_adopted_cum
+        FROM daily)
+SELECT day AS day_ts, n_started_cum, n_adopted_cum,
+       CASE WHEN n_started_cum > 0 THEN
+         round(CAST(n_adopted_cum AS DOUBLE)
+           / CAST(n_started_cum AS DOUBLE), 6) END AS adoption_rate
+FROM cum"""
     return o

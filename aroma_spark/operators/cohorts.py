@@ -314,3 +314,118 @@ def active_day_streaks(transcripts: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.max("streak_days").cast("long").alias("max_streak_days"),
     )
+
+
+def conv_length_survival(transcripts: DataFrame) -> DataFrame:
+    """Survival analysis of conversation length: for every observed
+    length k, how many conversations reach k turns (at risk), how
+    many end exactly there (deaths), and the discrete hazard
+    deaths/at_risk — the retention curve read the way reliability
+    engineering reads failure data ("the risk of a conversation dying
+    at turn 3 is the product signal", not the length histogram).
+
+    From the per-conversation length histogram (len -> n_convs), the
+    at-risk count is a suffix sum: ordering lengths DESCENDING makes
+    it a running cumulative — one tiny window over the distinct-length
+    table (bounded by the longest conversation, the gini_turns
+    precedent). All int64; hazard is the one shared float.
+
+    Emits ``conv_len, n_deaths, n_at_risk, hazard, survival`` where
+    survival = n_at_risk / total (fraction reaching this length).
+    """
+    from pyspark.sql import Window
+
+    lengths = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("conv_len")
+    )
+    hist = lengths.groupBy("conv_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deaths")
+    )
+    w_sfx = Window.orderBy(F.col("conv_len").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    stepped = hist.select(
+        "conv_len",
+        "n_deaths",
+        F.sum("n_deaths").over(w_sfx).cast("long").alias("n_at_risk"),
+        F.sum("n_deaths").over(w_tot).cast("long").alias("n_total"),
+    )
+    return stepped.select(
+        "conv_len",
+        "n_deaths",
+        "n_at_risk",
+        F.expr(
+            "round(CAST(n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)"
+        ).alias("hazard"),
+        F.expr(
+            "round(CAST(n_at_risk AS DOUBLE) / CAST(n_total AS DOUBLE), 6)"
+        ).alias("survival"),
+    )
+
+
+def tool_adoption_daily(transcripts: DataFrame) -> DataFrame:
+    """Cumulative tool adoption: by each day, what fraction of the
+    conversations started so far has made at least one tool call?
+    The feature-adoption S-curve product teams track, computed from
+    first-touch events rather than daily re-scans.
+
+    Each conversation contributes (first day, started+1) and — if it
+    ever calls a tool — (first tool day, adopted+1); one aggregation
+    per day and one running cumulative over the calendar-bounded day
+    table gives both counters. All int64; the adoption rate is the
+    one shared float.
+
+    Emits ``day_ts, n_started_cum, n_adopted_cum, adoption_rate`` for
+    every day on which a first-start or first-adoption occurred.
+    """
+    from pyspark.sql import Window
+
+    firsts = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc(
+            "day",
+            F.min(
+                F.when(
+                    F.col("tool").isNotNull() & (F.col("tool") != ""),
+                    F.col("ts"),
+                )
+            ),
+        ).alias("first_tool_day"),
+    )
+    started = firsts.select(
+        F.col("first_day").alias("day"),
+        F.lit(1).alias("ds"),
+        F.lit(0).alias("da"),
+    )
+    adopted = firsts.where(F.col("first_tool_day").isNotNull()).select(
+        F.col("first_tool_day").alias("day"),
+        F.lit(0).alias("ds"),
+        F.lit(1).alias("da"),
+    )
+    daily = (
+        started.unionByName(adopted)
+        .groupBy("day")
+        .agg(
+            F.sum("ds").cast("long").alias("n_started"),
+            F.sum("da").cast("long").alias("n_adopted"),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_started").over(w_cum).cast("long").alias("n_started_cum"),
+        F.sum("n_adopted").over(w_cum).cast("long").alias("n_adopted_cum"),
+    )
+    return cum.select(
+        F.col("day").alias("day_ts"),
+        "n_started_cum",
+        "n_adopted_cum",
+        F.expr(
+            "CASE WHEN n_started_cum > 0 THEN"
+            " round(CAST(n_adopted_cum AS DOUBLE)"
+            " / CAST(n_started_cum AS DOUBLE), 6) END"
+        ).alias("adoption_rate"),
+    )

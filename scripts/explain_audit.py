@@ -154,6 +154,9 @@ AUDITED = (
     # round-5z weighted-median/rate-test pair
     "wmedian_latency_daily",
     "tool_rate_ztest",
+    # round-6a survival/adoption pair
+    "conv_survival",
+    "tool_adoption",
 )
 
 
