@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 173 registered queries, ALL 173 with hash-compared DuckDB
-oracles — including the round-6a pair (``conv_survival`` discrete
+Round 5: 175 registered queries, ALL 175 with hash-compared DuckDB
+oracles — including the round-6b pair (``trimmed_mean_latency_daily``
+exact-integer Olympic mean, ``mode_text_len_daily`` deterministic
+mode), the round-6a pair (``conv_survival`` discrete
 hazard curve, ``tool_adoption`` first-touch adoption S-curve), the
 round-5z pair (``wmedian_latency_daily``
 token-weighted latency median, ``tool_rate_ztest`` day-over-day
@@ -2042,6 +2044,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tool_adoption_daily(transcripts_from_events(spark, sf))
 
     q["tool_adoption"] = tool_adoption
+
+    def trimmed_mean_latency_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import trimmed_mean_daily
+
+        return trimmed_mean_daily(_signals(spark, sf))
+
+    q["trimmed_mean_latency_daily"] = trimmed_mean_latency_daily
+
+    def mode_text_len_daily(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.robust import mode_daily
+
+        return mode_daily(_signals(spark, sf))
+
+    q["mode_text_len_daily"] = mode_text_len_daily
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5181,4 +5197,49 @@ SELECT day AS day_ts, n_started_cum, n_adopted_cum,
          round(CAST(n_adopted_cum AS DOUBLE)
            / CAST(n_started_cum AS DOUBLE), 6) END AS adoption_rate
 FROM cum"""
+
+    # round-6b robust-location pair (operators/robust.py): Olympic
+    # trimmed mean (exact n*k//10 rank drop each side) and the exact
+    # deterministic mode.
+    o["trimmed_mean_latency_daily"] = f"""{SIG_SQL},
+base AS (SELECT date_trunc('day', ts) AS day,
+           CAST(inter_time_us AS BIGINT) AS v, conv_id, turn_idx
+         FROM sig),
+rkd AS (SELECT day, v,
+          row_number() OVER (PARTITION BY day
+            ORDER BY v, conv_id, turn_idx) AS rk,
+          CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n
+        FROM base),
+ag AS (SELECT day, CAST(max(n) AS BIGINT) AS n_points,
+         CAST(max(n * 1 // 10) AS BIGINT) AS n_trimmed_each,
+         CAST(sum(CASE WHEN rk > n * 1 // 10
+                        AND rk <= n - n * 1 // 10 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN rk > n * 1 // 10
+                        AND rk <= n - n * 1 // 10 THEN v ELSE 0 END)
+           AS BIGINT) AS sum_kept
+       FROM rkd GROUP BY day)
+SELECT day AS day_ts, n_points, n_trimmed_each, n_kept, sum_kept,
+       CAST(CASE WHEN sum_kept >= 0 THEN sum_kept // n_kept
+                 ELSE -((-sum_kept) // n_kept) END AS BIGINT)
+         AS trimmed_mean_us
+FROM ag"""
+
+    o["mode_text_len_daily"] = f"""{SIG_SQL},
+cnt AS (SELECT date_trunc('day', ts) AS day,
+          CAST(text_len AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS c
+        FROM sig GROUP BY 1, 2),
+rkd AS (SELECT day, v, c,
+          row_number() OVER (PARTITION BY day
+            ORDER BY c DESC, v ASC) AS rn,
+          CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n_points,
+          CAST(count(*) OVER (PARTITION BY day) AS BIGINT)
+            AS n_distinct
+        FROM cnt)
+SELECT day AS day_ts, n_points, n_distinct, v AS mode_value,
+       c AS mode_count,
+       round(CAST(c AS DOUBLE) / CAST(n_points AS DOUBLE), 6)
+         AS mode_share
+FROM rkd WHERE rn = 1"""
     return o

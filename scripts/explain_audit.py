@@ -157,6 +157,9 @@ AUDITED = (
     # round-6a survival/adoption pair
     "conv_survival",
     "tool_adoption",
+    # round-6b robust-location pair
+    "trimmed_mean_latency_daily",
+    "mode_text_len_daily",
 )
 
 

@@ -103,3 +103,60 @@ def test_ztest_degenerate_null(spark):
 def test_ztest_gap_days_skipped(spark):
     sig = _zt_sig(spark, {"2024-01-01": (5, 1), "2024-01-03": (5, 1)})
     assert tool_rate_ztest_daily(sig).count() == 0
+
+
+# -------------------------------------------------- trimmed mean/mode
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from aroma_spark.operators.robust import trimmed_mean_daily
+
+    # 10 values 0..9 with one outlier replacing 9 -> [0..8, 1000]:
+    # lo = 10 DIV 10 = 1 -> drop min (0) and max (1000);
+    # kept = 1..8, sum 36, mean 4.5
+    rows = [
+        ("a", i, v, 1, f"2024-01-01 0{i}:00:00")
+        for i, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 1000])
+    ]
+    sig = _wm_sig(spark, rows)
+    r = trimmed_mean_daily(sig).collect()[0]
+    assert (r["n_points"], r["n_trimmed_each"], r["n_kept"]) == (10, 1, 8)
+    assert (r["sum_kept"], r["trimmed_mean_us"]) == (36, 4)
+
+
+def test_trimmed_mean_small_day_keeps_all(spark):
+    from aroma_spark.operators.robust import trimmed_mean_daily
+
+    # n=5 -> lo = 0 -> plain mean
+    rows = [
+        ("a", i, v, 1, f"2024-01-01 0{i}:00:00")
+        for i, v in enumerate([10, 20, 30, 40, 100])
+    ]
+    r = trimmed_mean_daily(_wm_sig(spark, rows)).collect()[0]
+    assert (r["n_trimmed_each"], r["n_kept"]) == (0, 5)
+    assert r["trimmed_mean_us"] == 40
+
+
+def test_mode_hand_computed(spark):
+    from aroma_spark.operators.robust import mode_daily
+
+    # values [7,7,7,3,3,9]: mode 7 (count 3), share 0.5
+    rows = [
+        ("a", i, 1, v, f"2024-01-01 0{i}:00:00")
+        for i, v in enumerate([7, 7, 7, 3, 3, 9])
+    ]
+    r = mode_daily(_wm_sig(spark, rows)).collect()[0]
+    assert (r["n_points"], r["n_distinct"]) == (6, 3)
+    assert (r["mode_value"], r["mode_count"], r["mode_share"]) == (7, 3, 0.5)
+
+
+def test_mode_tie_smallest_value(spark):
+    from aroma_spark.operators.robust import mode_daily
+
+    # [5,5,2,2] -> tie at count 2 -> mode 2
+    rows = [
+        ("a", i, 1, v, f"2024-01-01 0{i}:00:00")
+        for i, v in enumerate([5, 5, 2, 2])
+    ]
+    r = mode_daily(_wm_sig(spark, rows)).collect()[0]
+    assert (r["mode_value"], r["mode_count"]) == (2, 2)
