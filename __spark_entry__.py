@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 175 registered queries, ALL 175 with hash-compared DuckDB
-oracles — including the round-6b pair (``trimmed_mean_latency_daily``
+Round 5: 177 registered queries, ALL 177 with hash-compared DuckDB
+oracles — including the round-6c pair (``langid_confusion``
+honest-accuracy lang-id confusion matrix, ``doc_source_profile``
+per-source corpus profile), the round-6b pair (``trimmed_mean_latency_daily``
 exact-integer Olympic mean, ``mode_text_len_daily`` deterministic
 mode), the round-6a pair (``conv_survival`` discrete
 hazard curve, ``tool_adoption`` first-touch adoption S-curve), the
@@ -2058,6 +2060,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mode_daily(_signals(spark, sf))
 
     q["mode_text_len_daily"] = mode_text_len_daily
+
+    def langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import langid_confusion
+
+        return langid_confusion(load_table(spark, sf, "documents"))
+
+    q["langid_confusion"] = langid_confusion_q
+
+    def doc_source_profile(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import source_profile
+
+        return source_profile(load_table(spark, sf, "documents"))
+
+    q["doc_source_profile"] = doc_source_profile
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5242,4 +5258,51 @@ SELECT day AS day_ts, n_points, n_distinct, v AS mode_value,
        round(CAST(c AS DOUBLE) / CAST(n_points AS DOUBLE), 6)
          AS mode_share
 FROM rkd WHERE rn = 1"""
+
+    # round-6c corpus-report pair: lang-id confusion matrix rebuilt
+    # from the same generated marker/script expressions as doc_langid
+    # (single source of truth) and the per-source profile.
+    o["langid_confusion"] = f"""
+WITH l AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS low FROM documents),
+s AS (SELECT doc_id, low, {score_sel},
+      {script_sel},
+      CAST(CASE WHEN trim(low) = '' THEN 0 ELSE len(regexp_split_to_array(trim(low), '\\s+')) END AS BIGINT) AS ntok
+      FROM l),
+b AS (SELECT *, {best_expr} AS best FROM s),
+pred AS (SELECT doc_id,
+           CASE {script_whens}
+                WHEN best = 0 THEN 'und'
+                ELSE {pick} END AS lang_pred
+         FROM b),
+cells AS (SELECT d.lang AS lang_true, p.lang_pred,
+            CAST(count(*) AS BIGINT) AS n
+          FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+          GROUP BY d.lang, p.lang_pred),
+tot AS (SELECT lang_true, lang_pred, n,
+          CAST(sum(n) OVER (PARTITION BY lang_true) AS BIGINT)
+            AS n_true
+        FROM cells)
+SELECT lang_true, lang_pred, n, n_true,
+       round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         AS recall_share
+FROM tot"""
+
+    o["doc_source_profile"] = """WITH pl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang),
+rk AS (SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n DESC, lang) AS rn,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+           AS n_langs,
+         CAST(sum(chars) OVER (PARTITION BY source) AS BIGINT)
+           AS total_chars
+       FROM pl)
+SELECT source, n_docs, n_langs, total_chars, lang AS top_lang,
+       n AS top_lang_docs,
+       round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS mean_chars
+FROM rk WHERE rn = 1"""
     return o

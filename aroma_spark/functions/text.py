@@ -894,3 +894,96 @@ def conversation_ttr(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_hapax",
         F.expr(ttr_sql()).alias("ttr"),
     )
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Honest-accuracy confusion matrix for the marker-heuristic
+    language ID: predicted vs labeled language, with each cell's
+    share of its TRUE-language row — the per-language recall diagonal
+    a corpus report quotes instead of a single accuracy number
+    (round-4 verdict: report heuristic accuracy honestly or not at
+    all).
+
+    Rides :func:`lang_id` unchanged, joins the ``lang`` label column,
+    and reduces to exact int64 cell counts; the recall share is one
+    shared float over the per-true-language window total. Output
+    cardinality is |langs|^2 — tiny anywhere.
+
+    Emits ``lang_true, lang_pred, n, n_true, recall_share``.
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(df, text_col).select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    out = cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_true"),
+    )
+    return out.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        "n_true",
+        F.expr(
+            "round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE), 6)"
+        ).alias("recall_share"),
+    )
+
+
+def source_profile(df: DataFrame) -> DataFrame:
+    """Per-source corpus profile: document count, label-language
+    spread, total characters, and the dominant language — the one
+    table a curation run prints per ingestion source before deciding
+    mixture weights.
+
+    Two aggregations riding one (source, lang) exchange; the dominant
+    language is the deterministic (count DESC, lang ASC) argmax. All
+    counts exact int64; mean characters is the one shared float
+    (values ~1e3, far inside round(x,6)'s 2^53 headroom).
+
+    Emits ``source, n_docs, n_langs, total_chars, top_lang,
+    top_lang_docs, mean_chars``.
+    """
+    from pyspark.sql import Window
+
+    per_lang = df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    w_tot = Window.partitionBy("source")
+    ranked = per_lang.select(
+        "source",
+        "lang",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n").over(w_tot).cast("long").alias("n_docs"),
+        F.count("*").over(w_tot).cast("long").alias("n_langs"),
+        F.sum("chars").over(w_tot).cast("long").alias("total_chars"),
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        F.col("lang").alias("top_lang"),
+        F.col("n").alias("top_lang_docs"),
+    )
+    return top.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        "top_lang",
+        "top_lang_docs",
+        F.expr(
+            "round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("mean_chars"),
+    )

@@ -160,6 +160,9 @@ AUDITED = (
     # round-6b robust-location pair
     "trimmed_mean_latency_daily",
     "mode_text_len_daily",
+    # round-6c corpus-report pair
+    "langid_confusion",
+    "doc_source_profile",
 )
 
 
