@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 177 registered queries, ALL 177 with hash-compared DuckDB
-oracles — including the round-6c pair (``langid_confusion``
+Round 5: 179 registered queries, ALL 179 with hash-compared DuckDB
+oracles — including the round-6d pair (``value_rollup_1d`` exact
+cents-quantized revenue rollup, ``props_k_stats`` JSON props field
+stats), the round-6c pair (``langid_confusion``
 honest-accuracy lang-id confusion matrix, ``doc_source_profile``
 per-source corpus profile), the round-6b pair (``trimmed_mean_latency_daily``
 exact-integer Olympic mean, ``mode_text_len_daily`` deterministic
@@ -2074,6 +2076,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_profile(load_table(spark, sf, "documents"))
 
     q["doc_source_profile"] = doc_source_profile
+
+    def value_rollup_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import value_rollup_daily
+
+        return value_rollup_daily(load_table(spark, sf, "events"))
+
+    q["value_rollup_1d"] = value_rollup_1d
+
+    def props_k_stats(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import props_field_stats
+
+        return props_field_stats(load_table(spark, sf, "events"))
+
+    q["props_k_stats"] = props_k_stats
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5305,4 +5321,40 @@ SELECT source, n_docs, n_langs, total_chars, lang AS top_lang,
        round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          AS mean_chars
 FROM rk WHERE rn = 1"""
+
+    # round-6d business-metric pair (operators/business.py): the
+    # floor(value*100 + 0.5) cents quantization (floor, not CAST —
+    # Spark's double->bigint cast truncates, DuckDB's rounds) and the
+    # string-path JSON extraction.
+    o["value_rollup_1d"] = """WITH base AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+ag AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(min(cents) AS BIGINT) AS min_cents,
+         CAST(max(cents) AS BIGINT) AS max_cents
+       FROM base GROUP BY day, event_type)
+SELECT day AS day_ts, event_type, n_events, sum_cents, min_cents,
+       max_cents,
+       round(CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS mean_cents
+FROM ag"""
+
+    o["props_k_stats"] = """WITH base AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events),
+ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(kv) AS BIGINT) AS n_with_field,
+         CAST(sum(kv) AS BIGINT) AS sum_field,
+         CAST(min(kv) AS BIGINT) AS min_field,
+         CAST(max(kv) AS BIGINT) AS max_field
+       FROM base GROUP BY event_type)
+SELECT event_type, n_events, n_with_field, sum_field, min_field,
+       max_field,
+       CASE WHEN n_with_field > 0 THEN
+         round(CAST(sum_field AS DOUBLE)
+           / CAST(n_with_field AS DOUBLE), 6) END AS mean_field
+FROM ag"""
     return o

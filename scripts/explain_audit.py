@@ -163,6 +163,9 @@ AUDITED = (
     # round-6c corpus-report pair
     "langid_confusion",
     "doc_source_profile",
+    # round-6d business-metric pair
+    "value_rollup_1d",
+    "props_k_stats",
 )
 
 

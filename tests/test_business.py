@@ -1,0 +1,58 @@
+"""Goldens for the business-metric pair: cents-quantized value
+rollups and JSON props extraction (operators/business.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.business import props_field_stats, value_rollup_daily
+
+
+def _events(spark, rows):
+    """rows = (event_id, ts, event_type, value, props)."""
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double,"
+        " props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_value_rollup_hand_computed(spark):
+    rows = [
+        (1, "2024-01-01 01:00:00", "purchase", 185.22, "{}"),
+        (2, "2024-01-01 02:00:00", "purchase", 9.64, "{}"),
+        (3, "2024-01-01 03:00:00", "click", 0.03, "{}"),
+    ]
+    out = {r["event_type"]: r for r in value_rollup_daily(_events(spark, rows)).collect()}
+    p = out["purchase"]
+    assert (p["n_events"], p["sum_cents"]) == (2, 18522 + 964)
+    assert (p["min_cents"], p["max_cents"]) == (964, 18522)
+    assert p["mean_cents"] == 9743.0
+    assert out["click"]["sum_cents"] == 3
+
+
+def test_value_rollup_cents_exact_on_awkward_floats(spark):
+    # 0.1 + 0.2 style floats that misbehave as doubles are exact in cents
+    rows = [
+        (1, "2024-01-01 01:00:00", "x", 0.1, "{}"),
+        (2, "2024-01-01 02:00:00", "x", 0.2, "{}"),
+        (3, "2024-01-01 03:00:00", "x", 0.29, "{}"),
+    ]
+    r = value_rollup_daily(_events(spark, rows)).collect()[0]
+    assert r["sum_cents"] == 10 + 20 + 29
+
+
+def test_props_stats_hand_computed(spark):
+    rows = [
+        (1, "2024-01-01 01:00:00", "a", 1.0, '{"k": 87}'),
+        (2, "2024-01-01 02:00:00", "a", 1.0, '{"k": 0}'),
+        (3, "2024-01-01 03:00:00", "a", 1.0, '{"other": 5}'),
+        (4, "2024-01-01 04:00:00", "b", 1.0, "not json"),
+    ]
+    out = {r["event_type"]: r for r in props_field_stats(_events(spark, rows)).collect()}
+    a = out["a"]
+    assert (a["n_events"], a["n_with_field"]) == (3, 2)
+    assert (a["sum_field"], a["min_field"], a["max_field"]) == (87, 0, 87)
+    assert a["mean_field"] == 43.5
+    b = out["b"]
+    assert (b["n_with_field"], b["mean_field"]) == (0, None)
