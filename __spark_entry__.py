@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 179 registered queries, ALL 179 with hash-compared DuckDB
-oracles — including the round-6d pair (``value_rollup_1d`` exact
+Round 5: 181 registered queries, ALL 181 with hash-compared DuckDB
+oracles — including the round-6e pair (``tpch_q1_pricing``
+integer-exact pricing summary, ``tpch_q3_shipping`` broadcast-dim
+top-10 join), the round-6d pair (``value_rollup_1d`` exact
 cents-quantized revenue rollup, ``props_k_stats`` JSON props field
 stats), the round-6c pair (``langid_confusion``
 honest-accuracy lang-id confusion matrix, ``doc_source_profile``
@@ -2090,6 +2092,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return props_field_stats(load_table(spark, sf, "events"))
 
     q["props_k_stats"] = props_k_stats
+
+    def tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import pricing_summary
+
+        return pricing_summary(load_table(spark, sf, "lineitem"))
+
+    q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import shipping_priority
+
+        return shipping_priority(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["tpch_q3_shipping"] = tpch_q3_shipping
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5357,4 +5377,53 @@ SELECT event_type, n_events, n_with_field, sum_field, min_field,
          round(CAST(sum_field AS DOUBLE)
            / CAST(n_with_field AS DOUBLE), 6) END AS mean_field
 FROM ag"""
+
+    # round-6e relational pair (operators/tpch.py): integer-exact Q1
+    # scan-agg and Q3 broadcast-dim top-k join, money quantized via
+    # the floor(x*k + 0.5) rule of operators/business.py.
+    _pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    _dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    _th = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+    _qi = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+    o["tpch_q1_pricing"] = f"""WITH base AS (
+  SELECT l_returnflag, l_linestatus, {_qi} AS qty, {_pc} AS price_c,
+         {_dh} AS disc_h, {_th} AS tax_h
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+ag AS (SELECT l_returnflag, l_linestatus,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+         CAST(sum(price_c * (100 - disc_h)) AS BIGINT)
+           AS sum_disc_price_ch,
+         CAST(sum(price_c * (100 - disc_h) * (100 + tax_h)) AS BIGINT)
+           AS sum_charge_chh,
+         CAST(sum(disc_h) AS BIGINT) AS sum_disc_h,
+         CAST(count(*) AS BIGINT) AS n_rows
+       FROM base GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
+       sum_disc_price_ch, sum_charge_chh, n_rows,
+       round(CAST(sum_qty AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS avg_qty,
+       round(CAST(sum_base_price_c AS DOUBLE)
+         / CAST(n_rows AS DOUBLE), 6) AS avg_price_c,
+       round(CAST(sum_disc_h AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS avg_disc_h
+FROM ag"""
+
+    o["tpch_q3_shipping"] = f"""WITH li AS (
+  SELECT l_orderkey, {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-03-15'),
+j AS (SELECT o.o_orderkey, o.o_orderdate,
+        CAST(sum(li.rev_ch) AS BIGINT) AS revenue_ch,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+        AND c.c_mktsegment = 'BUILDING'
+      JOIN li ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-03-15'
+      GROUP BY o.o_orderkey, o.o_orderdate),
+rk AS (SELECT *, row_number() OVER (ORDER BY revenue_ch DESC,
+         o_orderkey ASC) AS rnk FROM j)
+SELECT o_orderkey, o_orderdate, revenue_ch, n_lines,
+       CAST(rnk AS BIGINT) AS rank
+FROM rk WHERE rnk <= 10"""
     return o

@@ -1,0 +1,153 @@
+"""Integer-exact renditions of the classic TPC-H analytics shapes
+over the driver's relational tables — the pricing-summary scan-agg
+(Q1) and the broadcast-dimension shipping-priority join (Q3).
+
+These prove the engine's RELATIONAL face: the transcript/timeseries
+operators never exercise a 3-table star join or a
+predicate-pushdown-heavy scan-agg, and a user of a general analytics
+engine runs exactly these shapes daily.
+
+House bit-determinism discipline meets TPC-H's DOUBLE money columns
+the same way operators/business.py does: quantize FIRST —
+prices to integer cents, discount/tax (2-decimal fractions) to
+integer hundredths, quantity to whole units — all via
+``floor(x * k + 0.5)`` (floor, not CAST: Spark's double->bigint cast
+truncates where DuckDB's rounds). After quantization every product in
+Q1's famous sum chain is exact int64:
+
+    disc_price  = price_c * (100 - disc_h)        (cent-hundredths)
+    charge      = disc_price * (100 + tax_h)      (cent-hh-hundredths)
+
+int64 headroom: charge <= ~1.2e11 per row, so the per-group sums are
+safe to ~7e6 rows per (returnflag, linestatus) group (SF ~5); past
+that, switch the two big sums to decimal(38,0) — the group count is
+6, so the wide type costs nothing.
+
+Scale shape:
+- Q1 is ONE map-side-combinable aggregation over the pruned scan
+  (7 columns of 11 read; the shipdate filter lands in PushedFilters).
+- Q3 broadcasts the filtered customer dimension into orders, then
+  joins lineitem on orderkey (the one big exchange), aggregates by
+  (orderkey, orderdate, shippriority-less schema) and takes a
+  deterministic top-10 (revenue DESC, orderkey ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRICE_C = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+DISC_H = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+TAX_H = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+QTY_I = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+
+
+def pricing_summary(
+    lineitem: DataFrame, cutoff: str = "1998-09-02"
+) -> DataFrame:
+    """TPC-H Q1, integer-exact: per (returnflag, linestatus) over
+    lineitems shipped on or before ``cutoff``.
+
+    Emits ``l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
+    sum_disc_price_ch, sum_charge_chh, n_rows, avg_qty, avg_price_c,
+    avg_disc_h`` — the three averages are shared floats over exact
+    sums; the big sums carry their unit suffix (c = cents,
+    ch = cent-hundredths, chh = cent-hundredths-hundredths) so no
+    consumer mistakes the scale.
+    """
+    base = lineitem.where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit(cutoff))
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(QTY_I).alias("qty"),
+        F.expr(PRICE_C).alias("price_c"),
+        F.expr(DISC_H).alias("disc_h"),
+        F.expr(TAX_H).alias("tax_h"),
+    )
+    agg = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum("price_c").cast("long").alias("sum_base_price_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_h")))
+        .cast("long")
+        .alias("sum_disc_price_ch"),
+        F.sum(
+            F.col("price_c")
+            * (F.lit(100) - F.col("disc_h"))
+            * (F.lit(100) + F.col("tax_h"))
+        )
+        .cast("long")
+        .alias("sum_charge_chh"),
+        F.sum("disc_h").cast("long").alias("sum_disc_h"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_c",
+        "sum_disc_price_ch",
+        "sum_charge_chh",
+        "n_rows",
+        F.expr(
+            "round(CAST(sum_qty AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+        ).alias("avg_qty"),
+        F.expr(
+            "round(CAST(sum_base_price_c AS DOUBLE)"
+            " / CAST(n_rows AS DOUBLE), 6)"
+        ).alias("avg_price_c"),
+        F.expr(
+            "round(CAST(sum_disc_h AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+        ).alias("avg_disc_h"),
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    orderdate_before: str = "1996-03-15",
+    shipdate_after: str = "1996-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3, integer-exact: top-``k`` unshipped orders of one
+    market segment by discounted revenue.
+
+    The filtered customer dimension broadcasts into orders; the
+    orders->lineitem equi-join on orderkey is the one real exchange;
+    revenue sums exact cent-hundredths; the top-k cut is the
+    deterministic (revenue DESC, orderkey ASC) order.
+
+    Emits ``o_orderkey, o_orderdate, revenue_ch, n_lines, rank``.
+    """
+    from pyspark.sql import Window
+
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(orderdate_before))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(shipdate_after))
+    ).select(
+        "l_orderkey",
+        (
+            F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))
+        ).alias("rev_ch"),
+    )
+    joined = (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum("rev_ch").cast("long").alias("revenue_ch"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue_ch").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("o_orderkey", "o_orderdate", "revenue_ch", "n_lines", "rank")
+    )

@@ -166,6 +166,9 @@ AUDITED = (
     # round-6d business-metric pair
     "value_rollup_1d",
     "props_k_stats",
+    # round-6e relational pair
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
 )
 
 

@@ -1,0 +1,95 @@
+"""Goldens for the relational TPC-H shapes (operators/tpch.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aroma_spark.operators.tpch import pricing_summary, shipping_priority
+
+
+def _lineitem(spark, rows):
+    """rows = (orderkey, qty, price, disc, tax, flag, status, shipdate)."""
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+
+
+def test_q1_hand_computed(spark):
+    # two rows in one group: (qty 2, $10.00, 5% disc, 2% tax) and
+    # (qty 3, $1.50, 0% disc, 0% tax); one row past the cutoff ignored
+    rows = [
+        (1, 2.0, 10.00, 0.05, 0.02, "A", "F", "1998-01-01 00:00:00"),
+        (2, 3.0, 1.50, 0.00, 0.00, "A", "F", "1998-02-01 00:00:00"),
+        (3, 9.0, 99.0, 0.0, 0.0, "A", "F", "1998-12-01 00:00:00"),
+    ]
+    r = pricing_summary(_lineitem(spark, rows)).collect()[0]
+    assert (r["l_returnflag"], r["l_linestatus"], r["n_rows"]) == ("A", "F", 2)
+    assert (r["sum_qty"], r["sum_base_price_c"]) == (5, 1000 + 150)
+    # disc_price: 1000*(100-5) + 150*100 = 95000 + 15000 = 110000
+    assert r["sum_disc_price_ch"] == 110000
+    # charge: 95000*(100+2) + 15000*100 = 9690000 + 1500000
+    assert r["sum_charge_chh"] == 9_690_000 + 1_500_000
+    assert r["avg_qty"] == 2.5
+    assert r["avg_price_c"] == 575.0
+    assert r["avg_disc_h"] == 2.5
+
+
+def test_q1_groups_independent(spark):
+    rows = [
+        (1, 1.0, 1.00, 0.0, 0.0, "N", "O", "1997-01-01 00:00:00"),
+        (2, 1.0, 2.00, 0.0, 0.0, "R", "F", "1997-01-01 00:00:00"),
+    ]
+    out = {(r["l_returnflag"], r["l_linestatus"]): r["sum_base_price_c"]
+           for r in pricing_summary(_lineitem(spark, rows)).collect()}
+    assert out == {("N", "O"): 100, ("R", "F"): 200}
+
+
+def test_q3_hand_computed(spark):
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "1996-01-01 00:00:00"),
+            (11, 1, "1996-06-01 00:00:00"),  # after cutoff -> excluded
+            (12, 2, "1996-01-01 00:00:00"),  # wrong segment
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(
+        spark,
+        [
+            (10, 1.0, 10.00, 0.10, 0.0, "N", "O", "1996-04-01 00:00:00"),
+            (10, 1.0, 5.00, 0.00, 0.0, "N", "O", "1996-05-01 00:00:00"),
+            (10, 1.0, 9.00, 0.00, 0.0, "N", "O", "1996-01-01 00:00:00"),  # shipped early -> excluded
+            (12, 1.0, 99.0, 0.0, 0.0, "N", "O", "1996-04-01 00:00:00"),
+        ],
+    )
+    out = shipping_priority(cust, orders, li).collect()
+    assert len(out) == 1
+    r = out[0]
+    # revenue: 1000*(100-10) + 500*100 = 90000 + 50000
+    assert (r["o_orderkey"], r["revenue_ch"], r["n_lines"], r["rank"]) == (
+        10, 140000, 2, 1,
+    )
+
+
+def test_q3_topk_deterministic_tie(spark):
+    cust = spark.createDataFrame([(1, "BUILDING")], "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(20, 1, "1996-01-01 00:00:00"), (21, 1, "1996-01-02 00:00:00")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(
+        spark,
+        [
+            (20, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-04-01 00:00:00"),
+            (21, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-04-01 00:00:00"),
+        ],
+    )
+    out = shipping_priority(cust, orders, li, k=1).collect()
+    assert out[0]["o_orderkey"] == 20  # revenue tie -> lower orderkey
