@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 181 registered queries, ALL 181 with hash-compared DuckDB
-oracles — including the round-6e pair (``tpch_q1_pricing``
+Round 5: 183 registered queries, ALL 183 with hash-compared DuckDB
+oracles — including the round-6f pair (``tpch_q5_regional``
+six-table snowflake, ``tpch_q18_large`` group-filter semijoin —
+completing coverage of all ten driver tables), the round-6e pair (``tpch_q1_pricing``
 integer-exact pricing summary, ``tpch_q3_shipping`` broadcast-dim
 top-10 join), the round-6d pair (``value_rollup_1d`` exact
 cents-quantized revenue rollup, ``props_k_stats`` JSON props field
@@ -2110,6 +2112,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q3_shipping"] = tpch_q3_shipping
+
+    def tpch_q5_regional(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import regional_revenue
+
+        return regional_revenue(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+
+    q["tpch_q5_regional"] = tpch_q5_regional
+
+    def tpch_q18_large(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import large_orders
+
+        return large_orders(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["tpch_q18_large"] = tpch_q18_large
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5426,4 +5452,29 @@ rk AS (SELECT *, row_number() OVER (ORDER BY revenue_ch DESC,
 SELECT o_orderkey, o_orderdate, revenue_ch, n_lines,
        CAST(rnk AS BIGINT) AS rank
 FROM rk WHERE rnk <= 10"""
+
+    o["tpch_q5_regional"] = f"""WITH li AS (
+  SELECT l_orderkey, l_suppkey, {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem),
+j AS (SELECT n.n_name, li.rev_ch
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN li ON o.o_orderkey = li.l_orderkey
+      JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND c.c_nationkey = s.s_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01')
+SELECT n_name, CAST(sum(rev_ch) AS BIGINT) AS revenue_ch,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM j GROUP BY n_name"""
+
+    o["tpch_q18_large"] = f"""WITH qty AS (
+  SELECT l_orderkey, CAST(sum({_qi}) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey HAVING sum({_qi}) > 25)
+SELECT o.o_orderkey, o.o_orderdate, q.total_qty, q.n_lines
+FROM orders o JOIN qty q ON o.o_orderkey = q.l_orderkey"""
     return o

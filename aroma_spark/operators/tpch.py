@@ -151,3 +151,93 @@ def shipping_priority(
         .where(F.col("rank") <= k)
         .select("o_orderkey", "o_orderdate", "revenue_ch", "n_lines", "rank")
     )
+
+
+def regional_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape, integer-exact: discounted revenue per nation
+    for orders placed in one year where the SUPPLIER sits in the
+    customer's nation, restricted to one region — the six-table snow-
+    flake join every warehouse benchmark opens with.
+
+    Join strategy at scale: region -> nation -> supplier collapse into
+    one tiny broadcast dimension (a few thousand rows at any SF);
+    customer joins it broadcast too; the only real exchanges are
+    orders->customer (custkey) and lineitem->orders (orderkey) — the
+    same two shuffles a hand-tuned warehouse plan uses. Revenue sums
+    exact cent-hundredths.
+
+    Emits ``n_name, revenue_ch, n_lines`` per nation with any
+    qualifying volume.
+    """
+    nat = (
+        nation.join(
+            F.broadcast(
+                region.where(F.col("r_name") == region_name).select("r_regionkey")
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_nationkey").alias("sup_nkey"), "n_name")
+    cust = customer.select("c_custkey", "c_nationkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(year_start)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(year_end)))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    joined = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("sup_nkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum("rev_ch").cast("long").alias("revenue_ch"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def large_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 25,
+) -> DataFrame:
+    """TPC-H Q18 shape, integer-exact: orders whose TOTAL line
+    quantity exceeds ``min_qty`` — the group-then-semijoin pattern
+    (aggregate a fact table, filter on the aggregate, pull the
+    qualifying parents).
+
+    The quantity rollup is one orderkey-keyed aggregation; the
+    qualifying keys then join orders on the SAME key, so AQE reuses
+    the partitioning — one logical shuffle end to end. Quantities are
+    exact integers via the floor rule.
+
+    Emits ``o_orderkey, o_orderdate, total_qty, n_lines``.
+    """
+    qty = (
+        lineitem.select("l_orderkey", F.expr(QTY_I).alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .where(F.col("total_qty") > min_qty)
+    )
+    return orders.join(qty, orders.o_orderkey == qty.l_orderkey).select(
+        "o_orderkey", "o_orderdate", "total_qty", "n_lines"
+    )

@@ -169,6 +169,9 @@ AUDITED = (
     # round-6e relational pair
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    # round-6f snowflake/semijoin pair
+    "tpch_q5_regional",
+    "tpch_q18_large",
 )
 
 

@@ -93,3 +93,63 @@ def test_q3_topk_deterministic_tie(spark):
     )
     out = shipping_priority(cust, orders, li, k=1).collect()
     assert out[0]["o_orderkey"] == 20  # revenue tie -> lower orderkey
+
+
+def test_q5_regional_revenue(spark):
+    from aroma_spark.operators.tpch import regional_revenue
+
+    region = spark.createDataFrame(
+        [(2, "ASIA"), (3, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(20, "CHINA", 2), (21, "JAPAN", 2), (30, "FRANCE", 3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    supplier = spark.createDataFrame(
+        [(100, 20), (101, 30)], "s_suppkey long, s_nationkey int"
+    )
+    customer = spark.createDataFrame(
+        [(1, 20), (2, 30)], "c_custkey long, c_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "1996-06-01 00:00:00"),
+            (11, 1, "1995-06-01 00:00:00"),  # outside year
+            (12, 2, "1996-06-01 00:00:00"),  # FR customer
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(
+        spark,
+        [
+            # order 10, CN supplier matching CN customer: revenue counts
+            (10, 1.0, 10.00, 0.10, 0.0, "N", "O", "1996-07-01 00:00:00"),
+            # order 10, FR supplier (nation mismatch): dropped
+            (10, 1.0, 99.0, 0.0, 0.0, "N", "O", "1996-07-01 00:00:00"),
+        ],
+    ).withColumn("l_suppkey", F.when(F.col("l_extendedprice") < 50, 100).otherwise(101))
+    out = regional_revenue(customer, orders, li, supplier, nation, region).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_name"], r["revenue_ch"], r["n_lines"]) == ("CHINA", 90000, 1)
+
+
+def test_q18_large_orders(spark):
+    from aroma_spark.operators.tpch import large_orders
+
+    orders = spark.createDataFrame(
+        [(1, "1996-01-01 00:00:00"), (2, "1996-01-02 00:00:00")],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(
+        spark,
+        [
+            (1, 20.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-05 00:00:00"),
+            (1, 10.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-06 00:00:00"),
+            (2, 5.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-05 00:00:00"),
+        ],
+    )
+    out = large_orders(orders, li, min_qty=25).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["o_orderkey"], r["total_qty"], r["n_lines"]) == (1, 30, 2)
