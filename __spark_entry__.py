@@ -6,8 +6,9 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 183 registered queries, ALL 183 with hash-compared DuckDB
-oracles — including the round-6f pair (``tpch_q5_regional``
+Round 5: 184 registered queries, ALL 184 with hash-compared DuckDB
+oracles — including the round-6f trio (with ``tpch_q14_promo``
+covering the part table), the round-6f pair (``tpch_q5_regional``
 six-table snowflake, ``tpch_q18_large`` group-filter semijoin —
 completing coverage of all ten driver tables), the round-6e pair (``tpch_q1_pricing``
 integer-exact pricing summary, ``tpch_q3_shipping`` broadcast-dim
@@ -2136,6 +2137,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q18_large"] = tpch_q18_large
+
+    def tpch_q14_promo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import promo_revenue_monthly
+
+        return promo_revenue_monthly(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        )
+
+    q["tpch_q14_promo"] = tpch_q14_promo
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5477,4 +5488,22 @@ FROM j GROUP BY n_name"""
   FROM lineitem GROUP BY l_orderkey HAVING sum({_qi}) > 25)
 SELECT o.o_orderkey, o.o_orderdate, q.total_qty, q.n_lines
 FROM orders o JOIN qty q ON o.o_orderkey = q.l_orderkey"""
+
+    o["tpch_q14_promo"] = f"""WITH li AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month_ts,
+         {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem),
+j AS (SELECT li.month_ts, li.rev_ch,
+        starts_with(p.p_type, 'PROMO') AS is_promo
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+ag AS (SELECT month_ts, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_promo THEN rev_ch ELSE 0 END)
+           AS BIGINT) AS promo_rev_ch,
+         CAST(sum(rev_ch) AS BIGINT) AS total_rev_ch
+       FROM j GROUP BY month_ts)
+SELECT month_ts, n_lines, promo_rev_ch, total_rev_ch,
+       CASE WHEN total_rev_ch > 0 THEN
+         round(CAST(promo_rev_ch AS DOUBLE)
+           / CAST(total_rev_ch AS DOUBLE), 6) END AS promo_share
+FROM ag"""
     return o

@@ -241,3 +241,49 @@ def large_orders(
     return orders.join(qty, orders.o_orderkey == qty.l_orderkey).select(
         "o_orderkey", "o_orderdate", "total_qty", "n_lines"
     )
+
+
+def promo_revenue_monthly(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q14 shape, integer-exact: the share of each month's
+    discounted revenue that came from PROMO-type parts — the
+    fact-to-dimension join on partkey with a conditional-share
+    aggregate.
+
+    The part dimension broadcasts (tiny at any SF relative to
+    lineitem); revenue sums exact cent-hundredths with the promo
+    subset as a conditional sum in the same pass; the share is one
+    shared float, cross-multiplied so the only division is final.
+
+    Emits ``month_ts, n_lines, promo_rev_ch, total_rev_ch,
+    promo_share``.
+    """
+    pt = part.select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    li = lineitem.select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("month_ts"),
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    agg = joined.groupBy("month_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("is_promo"), F.col("rev_ch")).otherwise(0))
+        .cast("long")
+        .alias("promo_rev_ch"),
+        F.sum("rev_ch").cast("long").alias("total_rev_ch"),
+    )
+    return agg.select(
+        "month_ts",
+        "n_lines",
+        "promo_rev_ch",
+        "total_rev_ch",
+        F.expr(
+            "CASE WHEN total_rev_ch > 0 THEN"
+            " round(CAST(promo_rev_ch AS DOUBLE)"
+            " / CAST(total_rev_ch AS DOUBLE), 6) END"
+        ).alias("promo_share"),
+    )

@@ -172,6 +172,7 @@ AUDITED = (
     # round-6f snowflake/semijoin pair
     "tpch_q5_regional",
     "tpch_q18_large",
+    "tpch_q14_promo",
 )
 
 

@@ -153,3 +153,26 @@ def test_q18_large_orders(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["o_orderkey"], r["total_qty"], r["n_lines"]) == (1, 30, 2)
+
+
+def test_q14_promo_share(spark):
+    from aroma_spark.operators.tpch import promo_revenue_monthly
+
+    part = spark.createDataFrame(
+        [(1, "PROMO BRUSHED"), (2, "STANDARD PLATED")],
+        "p_partkey long, p_type string",
+    )
+    li = _lineitem(
+        spark,
+        [
+            (10, 1.0, 10.00, 0.10, 0.0, "N", "O", "1996-01-05 00:00:00"),
+            (11, 1.0, 5.00, 0.00, 0.0, "N", "O", "1996-01-06 00:00:00"),
+            (12, 1.0, 1.00, 0.00, 0.0, "N", "O", "1996-02-01 00:00:00"),
+        ],
+    ).withColumn("l_partkey", F.when(F.col("l_extendedprice") >= 10, 1).otherwise(2))
+    out = {r["month_ts"].month: r for r in promo_revenue_monthly(li, part).collect()}
+    jan = out[1]
+    # promo: 1000*(100-10)=90000; total: 90000 + 500*100=140000
+    assert (jan["promo_rev_ch"], jan["total_rev_ch"]) == (90000, 140000)
+    assert jan["promo_share"] == round(90000 / 140000, 6)
+    assert (out[2]["promo_rev_ch"], out[2]["promo_share"]) == (0, 0.0)
