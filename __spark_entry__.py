@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 184 registered queries, ALL 184 with hash-compared DuckDB
-oracles — including the round-6f trio (with ``tpch_q14_promo``
+Round 5: 186 registered queries, ALL 186 with hash-compared DuckDB
+oracles — including the round-6g pair (``underwater_text_len``
+drawdown-duration streaks, ``residual_autocorr_1h`` seasonal-model
+whiteness check), the round-6f trio (with ``tpch_q14_promo``
 covering the part table), the round-6f pair (``tpch_q5_regional``
 six-table snowflake, ``tpch_q18_large`` group-filter semijoin —
 completing coverage of all ten driver tables), the round-6e pair (``tpch_q1_pricing``
@@ -2147,6 +2149,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q14_promo"] = tpch_q14_promo
+
+    def underwater_text_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.seqshape import underwater_streaks
+
+        return underwater_streaks(_signals(spark, sf))
+
+    q["underwater_text_len"] = underwater_text_len
+
+    def residual_autocorr_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import residual_autocorr_hourly
+
+        return residual_autocorr_hourly(_signals(spark, sf))
+
+    q["residual_autocorr_1h"] = residual_autocorr_1h
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5506,4 +5522,70 @@ SELECT month_ts, n_lines, promo_rev_ch, total_rev_ch,
          round(CAST(promo_rev_ch AS DOUBLE)
            / CAST(total_rev_ch AS DOUBLE), 6) END AS promo_share
 FROM ag"""
+
+    # round-6g drawdown-duration/model-adequacy pair: underwater
+    # streaks (seqshape.underwater_streaks, three-valued-logic
+    # identical in both engines for the first-turn NULL) and the
+    # residual lag-1 autocorrelation on the seasonal_outliers
+    # construction (anomaly.residual_autocorr_hourly).
+    _corr_agg_global = (
+        "SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+        " CAST(sum(x*y) AS BIGINT) AS sxy,"
+        " CAST(sum(x*x) AS BIGINT) AS sxx,"
+        " CAST(sum(y*y) AS BIGINT) AS syy FROM p"
+    )
+    o["underwater_text_len"] = f"""{SIG_SQL},
+mk AS (SELECT conv_id, turn_idx,
+         CAST(text_len AS BIGINT) <
+           max(CAST(text_len AS BIGINT)) OVER (PARTITION BY conv_id
+             ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS under
+       FROM sig),
+fl AS (SELECT conv_id, turn_idx, under,
+         (under AND NOT COALESCE(lag(under) OVER (PARTITION BY conv_id
+            ORDER BY turn_idx), FALSE)) AS is_start
+       FROM mk),
+isl AS (SELECT conv_id, under,
+          sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+        FROM fl),
+pi AS (SELECT conv_id, island, CAST(count(*) AS BIGINT) AS len
+       FROM isl WHERE under GROUP BY conv_id, island),
+tot AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        FROM sig GROUP BY conv_id HAVING count(*) >= 2),
+ag AS (SELECT conv_id, CAST(sum(len) AS BIGINT) AS n_underwater,
+         CAST(count(*) AS BIGINT) AS n_drawdowns,
+         CAST(max(len) AS BIGINT) AS max_drawdown_len
+       FROM pi GROUP BY conv_id)
+SELECT tot.conv_id, n_turns,
+       CAST(COALESCE(n_underwater, 0) AS BIGINT) AS n_underwater,
+       CAST(COALESCE(n_drawdowns, 0) AS BIGINT) AS n_drawdowns,
+       CAST(COALESCE(max_drawdown_len, 0) AS BIGINT)
+         AS max_drawdown_len
+FROM tot LEFT JOIN ag ON tot.conv_id = ag.conv_id"""
+
+    o["residual_autocorr_1h"] = f"""{SIG_SQL},
+hourly AS (SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n_points
+           FROM sig GROUP BY 1),
+h2 AS (SELECT hour_ts, n_points,
+         CAST(hour(hour_ts) AS BIGINT) AS hod FROM hourly),
+rkd AS (SELECT hod, n_points, hour_ts,
+          row_number() OVER (PARTITION BY hod
+            ORDER BY n_points, hour_ts) AS rk,
+          CAST(count(*) OVER (PARTITION BY hod) AS BIGINT) AS n_hours
+        FROM h2),
+prof AS (SELECT hod, n_points AS med_hod FROM rkd
+         WHERE rk = (n_hours + 1) // 2),
+res AS (SELECT h2.hour_ts, h2.n_points - prof.med_hod AS r
+        FROM h2 JOIN prof ON h2.hod = prof.hod),
+pr AS (SELECT lag(r) OVER (ORDER BY hour_ts) AS x, r AS y FROM res),
+p AS (SELECT x, y FROM pr WHERE x IS NOT NULL),
+a AS ({_corr_agg_global})
+SELECT n AS n_pairs, sx, sy, sxy, sxx, syy, {_corr_sql} AS autocorr
+FROM a"""
     return o

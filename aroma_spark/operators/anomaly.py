@@ -494,3 +494,69 @@ def seasonal_residual_outliers(signals: DataFrame) -> DataFrame:
             | (F.lit(2) * F.col("residual") > F.lit(2) * F.col("q3") + F.lit(3) * iqr)
         ).alias("is_outlier"),
     )
+
+
+def residual_autocorr_hourly(signals: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of the seasonally-adjusted hourly count
+    series — the model-adequacy check on top of
+    :func:`seasonal_residual_outliers`: if the hour-of-day median
+    profile explains the data, what remains should be white
+    (autocorr ~ 0); persistent residual correlation says a slower
+    trend or weekly cycle is still unmodeled.
+
+    The residual construction is IDENTICAL to
+    seasonal_residual_outliers (hourly counts minus the hour-of-day
+    nearest-rank median); successive OBSERVED hours pair by row order
+    of the calendar-bounded series, and the house exact Pearson
+    sufficient statistics (stats._corr_expr) score the single global
+    sample. Emits ONE row: ``n_pairs, sx, sy, sxy, sxx, syy,
+    autocorr`` (NULL autocorr when degenerate).
+    """
+    from pyspark.sql import Window
+
+    from aroma_spark.operators.stats import _corr_expr
+
+    hourly = signals.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n_points"))
+    hourly = hourly.select(
+        "hour_ts", "n_points", F.hour("hour_ts").cast("long").alias("hod")
+    )
+    w_rk = Window.partitionBy("hod").orderBy("n_points", "hour_ts")
+    w_tot = Window.partitionBy("hod")
+    ranked = hourly.select(
+        "hod",
+        "n_points",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_tot).alias("n_hours"),
+    )
+    profile = ranked.filter(
+        F.col("rk") == F.floor((F.col("n_hours") + F.lit(1)) / F.lit(2))
+    ).select("hod", F.col("n_points").alias("med_hod"))
+    resid = hourly.join(F.broadcast(profile), "hod").select(
+        "hour_ts", (F.col("n_points") - F.col("med_hod")).alias("r")
+    )
+    w_seq = Window.orderBy("hour_ts")
+    paired = resid.select(
+        F.lag("r").over(w_seq).alias("x"), F.col("r").alias("y")
+    ).where(F.col("x").isNotNull())
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return agg.select(
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        _corr_expr(
+            F.col("n_pairs"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("autocorr"),
+    )

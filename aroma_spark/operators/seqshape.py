@@ -530,3 +530,82 @@ def turn_overlap(transcripts: DataFrame) -> DataFrame:
             F.round(F.col("n_common").cast("double") / union.cast("double"), 6),
         ).alias("jaccard"),
     )
+
+
+def underwater_streaks(
+    signals: DataFrame,
+    value_col: str = "text_len",
+    min_turns: int = 2,
+) -> DataFrame:
+    """Drawdown DURATION per conversation: how long does the signal
+    stay below its running maximum? The time-axis companion to the
+    magnitude drawdown (:func:`drawdown`): a deep one-turn dip and a
+    shallow twenty-turn slump have the same max-drawdown but opposite
+    duration profiles.
+
+    A turn is "underwater" when its value is strictly below the
+    running max of all PRIOR turns' values (the first turn never is).
+    Consecutive underwater turns form islands via the is-start flag
+    cumulative (the gaps-and-islands pattern of
+    cohorts.active_day_streaks, here over turn order). All exact
+    int64, two window passes on the canonical conv_id exchange, one
+    aggregation pair.
+
+    Emits ``conv_id, n_turns, n_underwater, n_drawdowns,
+    max_drawdown_len`` for conversations with >= ``min_turns`` turns.
+    """
+    w_seq = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_prior = w_seq.rowsBetween(Window.unboundedPreceding, -1)
+    v = F.col(value_col).cast("long")
+    marked = signals.select(
+        "conv_id",
+        "turn_idx",
+        (v < F.max(v).over(w_prior)).alias("under"),
+    )
+    flagged = marked.select(
+        "conv_id",
+        "turn_idx",
+        "under",
+        (
+            F.col("under")
+            & ~F.coalesce(F.lag("under").over(w_seq), F.lit(False))
+        ).alias("is_start"),
+    )
+    islanded = flagged.select(
+        "conv_id",
+        "under",
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0))
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    per_island = (
+        islanded.where(F.col("under"))
+        .groupBy("conv_id", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    totals = signals.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    agg = per_island.groupBy("conv_id").agg(
+        F.sum("len").cast("long").alias("n_underwater"),
+        F.count(F.lit(1)).cast("long").alias("n_drawdowns"),
+        F.max("len").cast("long").alias("max_drawdown_len"),
+    )
+    out = (
+        totals.where(F.col("n_turns") >= min_turns)
+        .join(agg, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("n_underwater"), F.lit(0))
+            .cast("long")
+            .alias("n_underwater"),
+            F.coalesce(F.col("n_drawdowns"), F.lit(0))
+            .cast("long")
+            .alias("n_drawdowns"),
+            F.coalesce(F.col("max_drawdown_len"), F.lit(0))
+            .cast("long")
+            .alias("max_drawdown_len"),
+        )
+    )
+    return out

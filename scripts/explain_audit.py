@@ -173,6 +173,9 @@ AUDITED = (
     "tpch_q5_regional",
     "tpch_q18_large",
     "tpch_q14_promo",
+    # round-6g drawdown-duration/model-adequacy pair
+    "underwater_text_len",
+    "residual_autocorr_1h",
 )
 
 
