@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 186 registered queries, ALL 186 with hash-compared DuckDB
-oracles — including the round-6g pair (``underwater_text_len``
+Round 5: 188 registered queries, ALL 188 with hash-compared DuckDB
+oracles — including the round-6h pair (``rfm_users`` explicit-
+arithmetic RFM quintiles, ``pareto_revenue`` whale-concentration
+summary), the round-6g pair (``underwater_text_len``
 drawdown-duration streaks, ``residual_autocorr_1h`` seasonal-model
 whiteness check), the round-6f trio (with ``tpch_q14_promo``
 covering the part table), the round-6f pair (``tpch_q5_regional``
@@ -2163,6 +2165,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return residual_autocorr_hourly(_signals(spark, sf))
 
     q["residual_autocorr_1h"] = residual_autocorr_1h
+
+    def rfm_users_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import rfm_users
+
+        return rfm_users(load_table(spark, sf, "events"))
+
+    q["rfm_users"] = rfm_users_q
+
+    def pareto_revenue_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import pareto_revenue
+
+        return pareto_revenue(load_table(spark, sf, "events"))
+
+    q["pareto_revenue"] = pareto_revenue_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5588,4 +5604,49 @@ p AS (SELECT x, y FROM pr WHERE x IS NOT NULL),
 a AS ({_corr_agg_global})
 SELECT n AS n_pairs, sx, sy, sxy, sxx, syy, {_corr_sql} AS autocorr
 FROM a"""
+
+    # round-6h CRM pair (operators/business.py): explicit-arithmetic
+    # RFM quintiles (not NTILE) and the Pareto revenue-concentration
+    # summary via the value-area inclusion rule.
+    _cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    o["rfm_users"] = f"""WITH pu AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum({_cents}) AS BIGINT) AS m_cents
+  FROM events GROUP BY user_id),
+mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+b AS (SELECT user_id,
+        CAST(datediff('day', last_day, max_day) AS BIGINT)
+          AS recency_days,
+        n_events, m_cents
+      FROM pu CROSS JOIN mx),
+rk AS (SELECT b.*,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rk_r,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rk_f,
+         row_number() OVER (ORDER BY m_cents DESC, user_id) AS rk_m,
+         CAST(count(*) OVER () AS BIGINT) AS n
+       FROM b)
+SELECT user_id, recency_days, n_events, m_cents,
+       CAST(5 - (rk_r - 1) * 5 // n AS BIGINT) AS r_score,
+       CAST(5 - (rk_f - 1) * 5 // n AS BIGINT) AS f_score,
+       CAST(5 - (rk_m - 1) * 5 // n AS BIGINT) AS m_score
+FROM rk"""
+
+    o["pareto_revenue"] = f"""WITH pu AS (
+  SELECT user_id, CAST(sum({_cents}) AS BIGINT) AS m
+  FROM events GROUP BY user_id),
+st AS (SELECT m,
+         sum(m) OVER (ORDER BY m DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(m) OVER () AS total, max(m) OVER () AS top_m
+       FROM pu)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN 10 * (cum - m) < 8 * total THEN 1 ELSE 0
+         END) AS BIGINT) AS users_to_pct,
+       CAST(max(total) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN 10 * (cum - m) < 8 * total THEN m ELSE 0
+         END) AS BIGINT) AS covered_cents,
+       round(CAST(max(top_m) AS DOUBLE) / CAST(max(total) AS DOUBLE),
+         6) AS top_user_share
+FROM st"""
     return o

@@ -108,3 +108,115 @@ def props_field_stats(events: DataFrame, field: str = "k") -> DataFrame:
             " / CAST(n_with_field AS DOUBLE), 6) END"
         ).alias("mean_field"),
     )
+
+
+def rfm_users(events: DataFrame) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) scoring per user
+    from the raw event stream — the segmentation table CRM pipelines
+    build first. Quintile scores are EXPLICIT integer arithmetic,
+    ``score = 5 - (rank-1)*5 DIV n`` over a fully deterministic
+    (metric, user_id) total order — not NTILE, whose remainder
+    distribution is an engine implementation detail.
+
+    Recency is whole days behind the corpus's last event (a 1-row
+    broadcast, never a driver collect); monetary uses the module's
+    cents quantization. Per-user reduction + three rank windows over
+    the (tiny) users table.
+
+    Emits ``user_id, recency_days, n_events, m_cents, r_score,
+    f_score, m_score`` — 5 is best on every axis.
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.to_date(F.col("ts"))).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr(CENTS)).cast("long").alias("m_cents"),
+    )
+    corpus = events.agg(F.max(F.to_date(F.col("ts"))).alias("max_day"))
+    base = per_user.crossJoin(F.broadcast(corpus)).select(
+        "user_id",
+        F.datediff(F.col("max_day"), F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_events",
+        "m_cents",
+    )
+    w_n = Window.partitionBy()
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
+    ranked = base.select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "m_cents",
+        F.row_number().over(w_r).alias("rk_r"),
+        F.row_number().over(w_f).alias("rk_f"),
+        F.row_number().over(w_m).alias("rk_m"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    def _score(rk: str):
+        return F.expr(f"5 - ({rk} - 1) * 5 DIV n").cast("long")
+
+    return ranked.select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "m_cents",
+        _score("rk_r").alias("r_score"),
+        _score("rk_f").alias("f_score"),
+        _score("rk_m").alias("m_score"),
+    )
+
+
+def pareto_revenue(events: DataFrame, pct_x10: int = 8) -> DataFrame:
+    """Revenue concentration: how many users produce ``pct_x10``/10
+    (default 80%) of total monetary value — the Pareto number behind
+    "is this a whale business?".
+
+    Users rank by cents descending (user_id tie-break); a user is in
+    the covering set while the cumulative BEFORE them is under the
+    target: ``10 * (cum - m) < pct_x10 * total`` — the value-area
+    inclusion rule, all int64. ONE summary row.
+
+    Emits ``n_users, users_to_pct, total_cents, covered_cents,
+    top_user_share``.
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.expr(CENTS)).cast("long").alias("m")
+    )
+    w_cum = Window.orderBy(F.col("m").desc(), F.col("user_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    stepped = per_user.select(
+        "m",
+        F.sum("m").over(w_cum).alias("cum"),
+        F.sum("m").over(w_tot).alias("total"),
+        F.max("m").over(w_tot).alias("top_m"),
+    )
+    included = (
+        F.lit(10) * (F.col("cum") - F.col("m"))
+        < F.lit(pct_x10) * F.col("total")
+    )
+    agg = stepped.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(included, 1).otherwise(0)).cast("long").alias("users_to_pct"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.sum(F.when(included, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("covered_cents"),
+        F.max("top_m").cast("long").alias("top_m"),
+    )
+    return agg.select(
+        "n_users",
+        "users_to_pct",
+        "total_cents",
+        "covered_cents",
+        F.expr(
+            "round(CAST(top_m AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)"
+        ).alias("top_user_share"),
+    )

@@ -176,6 +176,9 @@ AUDITED = (
     # round-6g drawdown-duration/model-adequacy pair
     "underwater_text_len",
     "residual_autocorr_1h",
+    # round-6h CRM pair
+    "rfm_users",
+    "pareto_revenue",
 )
 
 

@@ -56,3 +56,70 @@ def test_props_stats_hand_computed(spark):
     assert a["mean_field"] == 43.5
     b = out["b"]
     assert (b["n_with_field"], b["mean_field"]) == (0, None)
+
+
+# ------------------------------------------------------- RFM / Pareto
+
+
+def test_rfm_hand_computed(spark):
+    from aroma_spark.operators.business import rfm_users
+
+    rows = [
+        (1, "2024-01-05 10:00:00", "p", 100.00, "{}"),
+        (2, "2024-01-04 10:00:00", "p", 50.00, "{}"),
+        (3, "2024-01-03 10:00:00", "p", 25.00, "{}"),
+        (4, "2024-01-02 10:00:00", "p", 10.00, "{}"),
+        (5, "2024-01-01 10:00:00", "p", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.col("event_id")
+    )
+    out = {r["user_id"]: r for r in rfm_users(df).collect()}
+    assert out[1]["recency_days"] == 0 and out[5]["recency_days"] == 4
+    assert [out[u]["r_score"] for u in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+    assert [out[u]["m_score"] for u in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+    # frequency all tied -> user_id ascending tie-break
+    assert [out[u]["f_score"] for u in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+    assert out[1]["m_cents"] == 10000
+
+
+def test_pareto_whale(spark):
+    from aroma_spark.operators.business import pareto_revenue
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "p", 80.00, "{}"),
+        (2, "2024-01-01 11:00:00", "p", 10.00, "{}"),
+        (3, "2024-01-01 12:00:00", "p", 5.00, "{}"),
+        (4, "2024-01-01 13:00:00", "p", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.col("event_id")
+    )
+    r = pareto_revenue(df).collect()[0]
+    assert (r["n_users"], r["users_to_pct"]) == (4, 1)
+    assert (r["total_cents"], r["covered_cents"]) == (10000, 8000)
+    assert r["top_user_share"] == 0.8
+
+
+def test_pareto_uniform(spark):
+    from aroma_spark.operators.business import pareto_revenue
+
+    rows = [
+        (i, "2024-01-01 10:00:00", "p", 10.00, "{}") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.col("event_id")
+    )
+    r = pareto_revenue(df).collect()[0]
+    # uniform: need 4 of 5 users for 80%
+    assert (r["users_to_pct"], r["covered_cents"]) == (4, 4000)
+    assert r["top_user_share"] == 0.2
