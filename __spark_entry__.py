@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 188 registered queries, ALL 188 with hash-compared DuckDB
-oracles — including the round-6h pair (``rfm_users`` explicit-
+Round 5: 190 registered queries, ALL 190 with hash-compared DuckDB
+oracles — including the round-6i pair (``timed_conversion_1h``
+deadline-bound funnel, ``orders_status_priority`` operational mix),
+the round-6h pair (``rfm_users`` explicit-
 arithmetic RFM quintiles, ``pareto_revenue`` whale-concentration
 summary), the round-6g pair (``underwater_text_len``
 drawdown-duration streaks, ``residual_autocorr_1h`` seasonal-model
@@ -2179,6 +2181,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pareto_revenue(load_table(spark, sf, "events"))
 
     q["pareto_revenue"] = pareto_revenue_q
+
+    def timed_conversion_1h(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import timed_conversion
+
+        return timed_conversion(transcripts_from_events(spark, sf))
+
+    q["timed_conversion_1h"] = timed_conversion_1h
+
+    def orders_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_status_priority
+
+        return order_status_priority(load_table(spark, sf, "orders"))
+
+    q["orders_status_priority"] = orders_status_priority
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5649,4 +5665,52 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        round(CAST(max(top_m) AS DOUBLE) / CAST(max(total) AS DOUBLE),
          6) AS top_user_share
 FROM st"""
+
+    # round-6i funnel/operations pair: time-bounded conversion
+    # (cohorts.timed_conversion) and the orders status x priority mix
+    # (tpch.order_status_priority).
+    o["timed_conversion_1h"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+fa AS (SELECT conv_id,
+         min(CASE WHEN role = 'view' THEN epoch_us(ts) END) AS a_us
+       FROM t GROUP BY conv_id),
+j AS (SELECT t.conv_id, t.role, epoch_us(t.ts) AS ts_us, fa.a_us
+      FROM t JOIN fa ON t.conv_id = fa.conv_id),
+pc AS (SELECT conv_id, max(a_us) AS a_us,
+         min(CASE WHEN role = 'purchase' AND a_us IS NOT NULL
+                   AND ts_us >= a_us THEN ts_us END) AS b_us
+       FROM j GROUP BY conv_id),
+d AS (SELECT conv_id, a_us, b_us, b_us - a_us AS delay_us FROM pc),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(count(a_us) AS BIGINT) AS n_with_a,
+         CAST(count(b_us) AS BIGINT) AS n_with_b_after,
+         CAST(sum(CASE WHEN delay_us <= 3600000000 THEN 1 ELSE 0
+           END) AS BIGINT) AS n_within_window,
+         CAST(min(delay_us) AS BIGINT) AS min_delay_us,
+         CAST(max(delay_us) AS BIGINT) AS max_delay_us
+       FROM d)
+SELECT n_convs, n_with_a, n_with_b_after, n_within_window,
+       CASE WHEN n_with_a > 0 THEN round(CAST(n_with_b_after
+         AS DOUBLE) / CAST(n_with_a AS DOUBLE), 6) END
+         AS conversion_rate,
+       CASE WHEN n_with_a > 0 THEN round(CAST(n_within_window
+         AS DOUBLE) / CAST(n_with_a AS DOUBLE), 6) END
+         AS windowed_rate,
+       min_delay_us, max_delay_us
+FROM ag"""
+
+    o["orders_status_priority"] = """WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+w AS (SELECT cells.*,
+        CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority)
+          AS BIGINT) AS n_priority
+      FROM cells)
+SELECT o_orderpriority, o_orderstatus, n_orders, total_cents,
+       n_priority,
+       round(CAST(n_orders AS DOUBLE) / CAST(n_priority AS DOUBLE), 6)
+         AS status_share
+FROM w"""
     return o

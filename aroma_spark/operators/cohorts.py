@@ -429,3 +429,79 @@ def tool_adoption_daily(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_started_cum AS DOUBLE), 6) END"
         ).alias("adoption_rate"),
     )
+
+
+def timed_conversion(
+    transcripts: DataFrame,
+    step_a: str = "view",
+    step_b: str = "purchase",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Time-bounded conversion: of the conversations that performed
+    ``step_a``, how many performed ``step_b`` AFTER it — and how many
+    within ``window_us``? The funnel question with the deadline
+    attached (funnel_steps counts eventual order; SLAs and attribution
+    windows care about WITHIN AN HOUR).
+
+    Two conditional-min aggregations on the conv_id exchange: first
+    the earliest step_a per conversation, then (after a same-key join
+    back) the earliest step_b at-or-after it. Delays are exact int64
+    microseconds; the two rates are shared floats. ONE summary row.
+
+    Emits ``n_convs, n_with_a, n_with_b_after, n_within_window,
+    conversion_rate, windowed_rate, min_delay_us, max_delay_us``.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    first_a = transcripts.groupBy("conv_id").agg(
+        F.min(F.when(F.col("role") == step_a, F.unix_micros(F.col("ts"))))
+        .alias("a_us"),
+    )
+    joined = transcripts.select(
+        "conv_id", "role", F.unix_micros(F.col("ts")).alias("ts_us")
+    ).join(first_a, "conv_id")
+    per_conv = joined.groupBy("conv_id").agg(
+        F.max("a_us").alias("a_us"),
+        F.min(
+            F.when(
+                (F.col("role") == step_b)
+                & F.col("a_us").isNotNull()
+                & (F.col("ts_us") >= F.col("a_us")),
+                F.col("ts_us"),
+            )
+        ).alias("b_us"),
+    )
+    delays = per_conv.select(
+        "conv_id",
+        "a_us",
+        "b_us",
+        (F.col("b_us") - F.col("a_us")).alias("delay_us"),
+    )
+    agg = delays.agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.count("a_us").cast("long").alias("n_with_a"),
+        F.count("b_us").cast("long").alias("n_with_b_after"),
+        F.sum(
+            F.when(F.col("delay_us") <= F.lit(window_us), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_window"),
+        F.min("delay_us").cast("long").alias("min_delay_us"),
+        F.max("delay_us").cast("long").alias("max_delay_us"),
+    )
+    return agg.select(
+        "n_convs",
+        "n_with_a",
+        "n_with_b_after",
+        "n_within_window",
+        F.expr(
+            "CASE WHEN n_with_a > 0 THEN round(CAST(n_with_b_after"
+            " AS DOUBLE) / CAST(n_with_a AS DOUBLE), 6) END"
+        ).alias("conversion_rate"),
+        F.expr(
+            "CASE WHEN n_with_a > 0 THEN round(CAST(n_within_window"
+            " AS DOUBLE) / CAST(n_with_a AS DOUBLE), 6) END"
+        ).alias("windowed_rate"),
+        "min_delay_us",
+        "max_delay_us",
+    )

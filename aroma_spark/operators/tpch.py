@@ -287,3 +287,45 @@ def promo_revenue_monthly(
             " / CAST(total_rev_ch AS DOUBLE), 6) END"
         ).alias("promo_share"),
     )
+
+
+def order_status_priority(orders: DataFrame) -> DataFrame:
+    """Order status x priority cross-tab with within-priority shares —
+    the operational mix report over the two orders columns nothing
+    else reads (o_orderstatus, o_orderpriority), plus exact
+    cents-quantized total value per cell.
+
+    One map-side-combinable aggregation; the share is one shared
+    float over the per-priority window total.
+
+    Emits ``o_orderpriority, o_orderstatus, n_orders, total_cents,
+    n_priority, status_share``.
+    """
+    from pyspark.sql import Window
+
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("total_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    out = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_orders",
+        "total_cents",
+        F.sum("n_orders").over(w).cast("long").alias("n_priority"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_orders",
+        "total_cents",
+        "n_priority",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE) / CAST(n_priority AS DOUBLE), 6)"
+        ).alias("status_share"),
+    )

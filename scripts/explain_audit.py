@@ -179,6 +179,9 @@ AUDITED = (
     # round-6h CRM pair
     "rfm_users",
     "pareto_revenue",
+    # round-6i funnel/operations pair
+    "timed_conversion_1h",
+    "orders_status_priority",
 )
 
 

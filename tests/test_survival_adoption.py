@@ -71,3 +71,73 @@ def test_adoption_never_exceeds_one(spark):
     ]
     r = tool_adoption_daily(_sig(spark, rows)).collect()[0]
     assert r["adoption_rate"] == 1.0
+
+
+# -------------------------------------------------- timed conversion
+
+
+def _tc_sig(spark, rows):
+    """rows = (conv_id, turn_idx, role, ts)."""
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_timed_conversion_hand_computed(spark):
+    from aroma_spark.operators.cohorts import timed_conversion
+
+    rows = [
+        # a: view then purchase 30 min later -> within 1h
+        ("a", 0, "view", "2024-01-01 10:00:00"),
+        ("a", 1, "purchase", "2024-01-01 10:30:00"),
+        # b: view then purchase 2h later -> converted but not windowed
+        ("b", 0, "view", "2024-01-01 10:00:00"),
+        ("b", 1, "purchase", "2024-01-01 12:00:00"),
+        # c: purchase BEFORE view -> not a conversion
+        ("c", 0, "purchase", "2024-01-01 09:00:00"),
+        ("c", 1, "view", "2024-01-01 10:00:00"),
+        # d: view only
+        ("d", 0, "view", "2024-01-01 10:00:00"),
+        # e: no view at all
+        ("e", 0, "click", "2024-01-01 10:00:00"),
+    ]
+    r = timed_conversion(_tc_sig(spark, rows)).collect()[0]
+    assert (r["n_convs"], r["n_with_a"]) == (5, 4)
+    assert (r["n_with_b_after"], r["n_within_window"]) == (2, 1)
+    assert r["conversion_rate"] == 0.5
+    assert r["windowed_rate"] == 0.25
+    assert r["min_delay_us"] == 1_800_000_000
+    assert r["max_delay_us"] == 7_200_000_000
+
+
+def test_timed_conversion_same_instant_counts(spark):
+    from aroma_spark.operators.cohorts import timed_conversion
+
+    rows = [
+        ("a", 0, "view", "2024-01-01 10:00:00"),
+        ("a", 1, "purchase", "2024-01-01 10:00:00"),
+    ]
+    r = timed_conversion(_tc_sig(spark, rows)).collect()[0]
+    assert (r["n_with_b_after"], r["min_delay_us"]) == (1, 0)
+
+
+def test_order_status_priority(spark):
+    from aroma_spark.operators.tpch import order_status_priority
+
+    orders = spark.createDataFrame(
+        [
+            ("1-URGENT", "O", 10.00),
+            ("1-URGENT", "O", 5.00),
+            ("1-URGENT", "F", 1.00),
+            ("3-MEDIUM", "F", 2.00),
+        ],
+        "o_orderpriority string, o_orderstatus string, o_totalprice double",
+    )
+    out = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r
+        for r in order_status_priority(orders).collect()
+    }
+    u_o = out[("1-URGENT", "O")]
+    assert (u_o["n_orders"], u_o["total_cents"], u_o["n_priority"]) == (2, 1500, 3)
+    assert u_o["status_share"] == round(2 / 3, 6)
+    assert out[("3-MEDIUM", "F")]["status_share"] == 1.0
