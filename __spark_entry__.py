@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 190 registered queries, ALL 190 with hash-compared DuckDB
-oracles — including the round-6i pair (``timed_conversion_1h``
+Round 5: 192 registered queries, ALL 192 with hash-compared DuckDB
+oracles — including the round-6j pair (``lsh_candidate_quality``
+MinHash banding precision audit, ``returns_by_month`` return-flag
+mix), the round-6i pair (``timed_conversion_1h``
 deadline-bound funnel, ``orders_status_priority`` operational mix),
 the round-6h pair (``rfm_users`` explicit-
 arithmetic RFM quintiles, ``pareto_revenue`` whale-concentration
@@ -2195,6 +2197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return order_status_priority(load_table(spark, sf, "orders"))
 
     q["orders_status_priority"] = orders_status_priority
+
+    def lsh_candidate_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.dedup import lsh_candidate_quality
+
+        return lsh_candidate_quality(load_table(spark, sf, "documents"))
+
+    q["lsh_candidate_quality"] = lsh_candidate_quality_q
+
+    def returns_by_month_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import returns_by_month
+
+        return returns_by_month(load_table(spark, sf, "lineitem"))
+
+    q["returns_by_month"] = returns_by_month_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5712,5 +5728,46 @@ SELECT o_orderpriority, o_orderstatus, n_orders, total_cents,
        n_priority,
        round(CAST(n_orders AS DOUBLE) / CAST(n_priority AS DOUBLE), 6)
          AS status_share
+FROM w"""
+
+    # round-6j dedup-audit/operations pair: LSH candidate-quality
+    # histogram over the shared minhash CTEs and the return-flag mix
+    # per ship month.
+    o["lsh_candidate_quality"] = f"""WITH {minhash_sql},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band
+           AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+          GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT)
+            AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b
+                        AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+jc AS (SELECT c.doc_a, c.doc_b,
+         COALESCE(round(CAST(i.n_inter AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - i.n_inter), 6), 0.0) AS j
+       FROM cand c
+       LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       JOIN sizes sa ON sa.doc_id = c.doc_a
+       JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT CAST(floor(j * 10) AS BIGINT) AS jaccard_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jc GROUP BY 1"""
+
+    o["returns_by_month"] = f"""WITH cells AS (
+  SELECT date_trunc('month', l_shipdate) AS month_ts, l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum({_pc}) AS BIGINT) AS value_c
+  FROM lineitem GROUP BY 1, 2),
+w AS (SELECT cells.*,
+        CAST(sum(n_lines) OVER (PARTITION BY month_ts) AS BIGINT)
+          AS n_month
+      FROM cells)
+SELECT month_ts, l_returnflag, n_lines, value_c, n_month,
+       round(CAST(n_lines AS DOUBLE) / CAST(n_month AS DOUBLE), 6)
+         AS flag_share
 FROM w"""
     return o

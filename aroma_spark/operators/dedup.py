@@ -482,3 +482,36 @@ def containment_pairs(
         ).alias("containment"),
     )
     return scored.where(F.col("containment") >= threshold)
+
+
+def lsh_candidate_quality(df: DataFrame) -> DataFrame:
+    """Honest-quality audit of the MinHash-LSH banding: bucket every
+    candidate pair by its TRUE n-gram Jaccard — the
+    precision-vs-recall evidence behind the banding parameters
+    (a histogram piled at low Jaccard says the bands are too
+    permissive; verify-stage cost explodes) — the same
+    honest-accuracy discipline as text.langid_confusion, applied to
+    the dedup index.
+
+    Candidates come from :func:`minhash_lsh_pairs` unchanged; their
+    exact Jaccard joins in from :func:`ngram_jaccard_pairs` at
+    threshold 0 (candidates that share no sub-cap shingle score 0).
+    Buckets are floor(jaccard * 10) on the 6-rounded value — bucket
+    10 is exact duplicates.
+
+    Emits ``jaccard_bucket, n_pairs``.
+    """
+    cand = minhash_lsh_pairs(df).select("doc_a", "doc_b")
+    jac = ngram_jaccard_pairs(df, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    j = cand.join(jac, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j")
+    )
+    return (
+        j.select(
+            F.floor(F.col("j") * F.lit(10)).cast("long").alias("jaccard_bucket")
+        )
+        .groupBy("jaccard_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -329,3 +329,43 @@ def order_status_priority(orders: DataFrame) -> DataFrame:
             "round(CAST(n_orders AS DOUBLE) / CAST(n_priority AS DOUBLE), 6)"
         ).alias("status_share"),
     )
+
+
+def returns_by_month(lineitem: DataFrame) -> DataFrame:
+    """Return-flag mix per ship month with cents-exact value impact —
+    "how much shipped value came back?", the operations complement to
+    the Q1 pricing summary over the same quantized money columns.
+
+    One map-side-combinable aggregation; the within-month share is
+    one shared float over the per-month window total.
+
+    Emits ``month_ts, l_returnflag, n_lines, value_c, n_month,
+    flag_share``.
+    """
+    from pyspark.sql import Window
+
+    cells = lineitem.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month_ts"),
+        "l_returnflag",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.expr(PRICE_C)).cast("long").alias("value_c"),
+    )
+    w = Window.partitionBy("month_ts")
+    out = cells.select(
+        "month_ts",
+        "l_returnflag",
+        "n_lines",
+        "value_c",
+        F.sum("n_lines").over(w).cast("long").alias("n_month"),
+    )
+    return out.select(
+        "month_ts",
+        "l_returnflag",
+        "n_lines",
+        "value_c",
+        "n_month",
+        F.expr(
+            "round(CAST(n_lines AS DOUBLE) / CAST(n_month AS DOUBLE), 6)"
+        ).alias("flag_share"),
+    )

@@ -182,6 +182,9 @@ AUDITED = (
     # round-6i funnel/operations pair
     "timed_conversion_1h",
     "orders_status_priority",
+    # round-6j dedup-audit/operations pair
+    "lsh_candidate_quality",
+    "returns_by_month",
 )
 
 

@@ -68,3 +68,45 @@ def test_cluster_histogram_uniform(spark):
         for r in cluster_size_histogram(comp).collect()
     }
     assert out == {2: (4, 8)}
+
+
+def test_lsh_candidate_quality_buckets(spark):
+    from aroma_spark.operators.dedup import lsh_candidate_quality
+
+    # exact duplicates land in bucket 10; near-dups in a middle bucket
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "totally different words entirely here now"),
+    ]
+    out = {r["jaccard_bucket"]: r["n_pairs"] for r in lsh_candidate_quality(_docs(spark, rows)).collect()}
+    assert out.get(10, 0) >= 1  # the exact-dup pair reaches bucket 10
+    # the unrelated doc should not appear paired with the dups at
+    # high jaccard; any candidate involving doc 3 would score 0
+    assert all(b in (0, 10) for b in out)
+
+
+def test_returns_by_month(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.tpch import returns_by_month
+
+    li = spark.createDataFrame(
+        [
+            ("R", 10.00, "1996-01-05 00:00:00"),
+            ("N", 5.00, "1996-01-06 00:00:00"),
+            ("N", 1.00, "1996-01-07 00:00:00"),
+            ("A", 2.00, "1996-02-01 00:00:00"),
+        ],
+        "l_returnflag string, l_extendedprice double, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    out = {
+        (r["month_ts"].month, r["l_returnflag"]): r
+        for r in returns_by_month(li).collect()
+    }
+    jan_r = out[(1, "R")]
+    assert (jan_r["n_lines"], jan_r["value_c"], jan_r["n_month"]) == (1, 1000, 3)
+    assert jan_r["flag_share"] == 0.333333
+    jan_n = out[(1, "N")]
+    assert (jan_n["n_lines"], jan_n["value_c"]) == (2, 600)
+    assert out[(2, "A")]["flag_share"] == 1.0
