@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 192 registered queries, ALL 192 with hash-compared DuckDB
-oracles — including the round-6j pair (``lsh_candidate_quality``
+Round 5: 194 registered queries, ALL 194 with hash-compared DuckDB
+oracles — including the round-6k pair (``customer_balance_segments``
+signed-cents balance profile, ``supplier_share_1mo`` supplier
+concentration), the round-6j pair (``lsh_candidate_quality``
 MinHash banding precision audit, ``returns_by_month`` return-flag
 mix), the round-6i pair (``timed_conversion_1h``
 deadline-bound funnel, ``orders_status_priority`` operational mix),
@@ -2211,6 +2213,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return returns_by_month(load_table(spark, sf, "lineitem"))
 
     q["returns_by_month"] = returns_by_month_q
+
+    def customer_balance_segments(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import customer_balance_by_segment
+
+        return customer_balance_by_segment(load_table(spark, sf, "customer"))
+
+    q["customer_balance_segments"] = customer_balance_segments
+
+    def supplier_share_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import supplier_share_monthly
+
+        return supplier_share_monthly(load_table(spark, sf, "lineitem"))
+
+    q["supplier_share_1mo"] = supplier_share_1mo
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5770,4 +5786,43 @@ SELECT month_ts, l_returnflag, n_lines, value_c, n_month,
        round(CAST(n_lines AS DOUBLE) / CAST(n_month AS DOUBLE), 6)
          AS flag_share
 FROM w"""
+
+    # round-6k balance/concentration pair: c_acctbal cents profile
+    # (negatives round-half-up identically via the floor rule) and the
+    # per-month top-supplier revenue share.
+    o["customer_balance_segments"] = """WITH base AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+ag AS (SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+         CAST(max(bal_c) AS BIGINT) AS max_bal_c,
+         CAST(sum(CASE WHEN bal_c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+       FROM base GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_customers, sum_bal_c, min_bal_c, max_bal_c,
+       n_negative,
+       round(CAST(sum_bal_c AS DOUBLE) / CAST(n_customers AS DOUBLE),
+         6) AS mean_bal_c
+FROM ag"""
+
+    o["supplier_share_1mo"] = f"""WITH ps AS (
+  SELECT date_trunc('month', l_shipdate) AS month_ts, l_suppkey,
+         CAST(sum({_pc} * (100 - {_dh})) AS BIGINT) AS rev_ch
+  FROM lineitem GROUP BY 1, 2),
+rk AS (SELECT ps.*,
+         row_number() OVER (PARTITION BY month_ts
+           ORDER BY rev_ch DESC, l_suppkey ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY month_ts) AS BIGINT)
+           AS n_suppliers,
+         CAST(sum(rev_ch) OVER (PARTITION BY month_ts) AS BIGINT)
+           AS total_rev_ch
+       FROM ps)
+SELECT month_ts, n_suppliers, total_rev_ch,
+       l_suppkey AS top_suppkey, rev_ch AS top_rev_ch,
+       CASE WHEN total_rev_ch > 0 THEN round(CAST(rev_ch AS DOUBLE)
+         / CAST(total_rev_ch AS DOUBLE), 6) END AS top_share
+FROM rk WHERE rn = 1"""
     return o

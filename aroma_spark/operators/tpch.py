@@ -369,3 +369,97 @@ def returns_by_month(lineitem: DataFrame) -> DataFrame:
             "round(CAST(n_lines AS DOUBLE) / CAST(n_month AS DOUBLE), 6)"
         ).alias("flag_share"),
     )
+
+
+def customer_balance_by_segment(customer: DataFrame) -> DataFrame:
+    """Account-balance profile per market segment — the last unread
+    customer column (c_acctbal), cents-quantized with the module's
+    floor rule. Balances CAN be negative (TPC-H floors at -999.99),
+    and floor(x*100 + 0.5) is round-half-up for negatives too —
+    identical in both engines, unlike the raw casts.
+
+    One map-side-combinable aggregation; mean is the one shared
+    float.
+
+    Emits ``c_mktsegment, n_customers, sum_bal_c, min_bal_c,
+    max_bal_c, n_negative, mean_bal_c``.
+    """
+    cents = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    base = customer.select(
+        "c_mktsegment", F.expr(cents).alias("bal_c")
+    )
+    agg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_c").cast("long").alias("sum_bal_c"),
+        F.min("bal_c").cast("long").alias("min_bal_c"),
+        F.max("bal_c").cast("long").alias("max_bal_c"),
+        F.sum(F.when(F.col("bal_c") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "sum_bal_c",
+        "min_bal_c",
+        "max_bal_c",
+        "n_negative",
+        F.expr(
+            "round(CAST(sum_bal_c AS DOUBLE)"
+            " / CAST(n_customers AS DOUBLE), 6)"
+        ).alias("mean_bal_c"),
+    )
+
+
+def supplier_share_monthly(lineitem: DataFrame) -> DataFrame:
+    """Supplier revenue concentration per ship month: how much of the
+    month's discounted revenue does the single biggest supplier take?
+    The supply-chain single-point-of-failure indicator, computed as a
+    deterministic per-month argmax over exact cent-hundredth sums.
+
+    Two aggregations riding one (month, supplier) exchange; the share
+    is one shared float.
+
+    Emits ``month_ts, n_suppliers, total_rev_ch, top_suppkey,
+    top_rev_ch, top_share``.
+    """
+    from pyspark.sql import Window
+
+    per_supp = lineitem.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month_ts"),
+        "l_suppkey",
+    ).agg(
+        F.sum(F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H)))
+        .cast("long")
+        .alias("rev_ch")
+    )
+    w = Window.partitionBy("month_ts").orderBy(
+        F.col("rev_ch").desc(), F.col("l_suppkey").asc()
+    )
+    w_tot = Window.partitionBy("month_ts")
+    ranked = per_supp.select(
+        "month_ts",
+        "l_suppkey",
+        "rev_ch",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_tot).cast("long").alias("n_suppliers"),
+        F.sum("rev_ch").over(w_tot).cast("long").alias("total_rev_ch"),
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "month_ts",
+        "n_suppliers",
+        "total_rev_ch",
+        F.col("l_suppkey").alias("top_suppkey"),
+        F.col("rev_ch").alias("top_rev_ch"),
+    )
+    return top.select(
+        "month_ts",
+        "n_suppliers",
+        "total_rev_ch",
+        "top_suppkey",
+        "top_rev_ch",
+        F.expr(
+            "CASE WHEN total_rev_ch > 0 THEN round(CAST(top_rev_ch"
+            " AS DOUBLE) / CAST(total_rev_ch AS DOUBLE), 6) END"
+        ).alias("top_share"),
+    )

@@ -185,6 +185,9 @@ AUDITED = (
     # round-6j dedup-audit/operations pair
     "lsh_candidate_quality",
     "returns_by_month",
+    # round-6k balance/concentration pair
+    "customer_balance_segments",
+    "supplier_share_1mo",
 )
 
 

@@ -176,3 +176,45 @@ def test_q14_promo_share(spark):
     assert (jan["promo_rev_ch"], jan["total_rev_ch"]) == (90000, 140000)
     assert jan["promo_share"] == round(90000 / 140000, 6)
     assert (out[2]["promo_rev_ch"], out[2]["promo_share"]) == (0, 0.0)
+
+
+def test_customer_balance_by_segment(spark):
+    from aroma_spark.operators.tpch import customer_balance_by_segment
+
+    cust = spark.createDataFrame(
+        [
+            ("BUILDING", 100.50),
+            ("BUILDING", -10.25),
+            ("MACHINERY", 0.01),
+        ],
+        "c_mktsegment string, c_acctbal double",
+    )
+    out = {r["c_mktsegment"]: r for r in customer_balance_by_segment(cust).collect()}
+    b = out["BUILDING"]
+    assert (b["n_customers"], b["sum_bal_c"]) == (2, 10050 - 1025)
+    assert (b["min_bal_c"], b["max_bal_c"], b["n_negative"]) == (-1025, 10050, 1)
+    assert b["mean_bal_c"] == round((10050 - 1025) / 2, 6)
+    assert out["MACHINERY"]["sum_bal_c"] == 1
+
+
+def test_supplier_share_monthly(spark):
+    from aroma_spark.operators.tpch import supplier_share_monthly
+
+    li = _lineitem(
+        spark,
+        [
+            (1, 1.0, 30.00, 0.0, 0.0, "N", "O", "1996-01-05 00:00:00"),
+            (2, 1.0, 10.00, 0.0, 0.0, "N", "O", "1996-01-06 00:00:00"),
+            (3, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-02-01 00:00:00"),
+        ],
+    ).withColumn(
+        "l_suppkey",
+        F.when(F.col("l_extendedprice") >= 30, 7).otherwise(8),
+    )
+    out = {r["month_ts"].month: r for r in supplier_share_monthly(li).collect()}
+    jan = out[1]
+    # supplier 7: 300000 ch, supplier 8: 100000 ch
+    assert (jan["n_suppliers"], jan["total_rev_ch"]) == (2, 400000)
+    assert (jan["top_suppkey"], jan["top_rev_ch"]) == (7, 300000)
+    assert jan["top_share"] == 0.75
+    assert out[2]["top_share"] == 1.0
