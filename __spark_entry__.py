@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 194 registered queries, ALL 194 with hash-compared DuckDB
-oracles — including the round-6k pair (``customer_balance_segments``
+Round 5: 196 registered queries, ALL 196 with hash-compared DuckDB
+oracles — including the round-6l pair (``seasonal_backtest_weekly``
+168-hour horizon, ``alternation_rate`` speaker-switch fraction), the
+round-6k pair (``customer_balance_segments``
 signed-cents balance profile, ``supplier_share_1mo`` supplier
 concentration), the round-6j pair (``lsh_candidate_quality``
 MinHash banding precision audit, ``returns_by_month`` return-flag
@@ -2227,6 +2229,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return supplier_share_monthly(load_table(spark, sf, "lineitem"))
 
     q["supplier_share_1mo"] = supplier_share_1mo
+
+    def seasonal_backtest_weekly(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.forecast import seasonal_backtest_daily
+
+        return seasonal_backtest_daily(_signals(spark, sf), season_hours=168)
+
+    q["seasonal_backtest_weekly"] = seasonal_backtest_weekly
+
+    def alternation_rate_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import alternation_rate
+
+        return alternation_rate(transcripts_from_events(spark, sf))
+
+    q["alternation_rate"] = alternation_rate_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5825,4 +5841,47 @@ SELECT month_ts, n_suppliers, total_rev_ch,
        CASE WHEN total_rev_ch > 0 THEN round(CAST(rev_ch AS DOUBLE)
          / CAST(total_rev_ch AS DOUBLE), 6) END AS top_share
 FROM rk WHERE rn = 1"""
+
+    # round-6l horizon/dialogue pair: the weekly (168 h) seasonal
+    # backtest and the per-conversation role alternation rate.
+    o["seasonal_backtest_weekly"] = f"""{SIG_SQL},
+hourly AS (SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sig GROUP BY 1),
+j AS (SELECT h.hour_ts, h.n, s24.n AS n_s24, s1.n AS n_s1
+      FROM hourly h
+      LEFT JOIN hourly s24
+        ON h.hour_ts = s24.hour_ts + INTERVAL 168 HOURS
+      LEFT JOIN hourly s1
+        ON h.hour_ts = s1.hour_ts + INTERVAL 1 HOUR),
+ag AS (SELECT date_trunc('day', hour_ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(abs(n - n_s24)) AS BIGINT) AS sae_seasonal,
+         CAST(count(n_s24) AS BIGINT) AS cnt_seasonal,
+         CAST(sum(abs(n - n_s1)) AS BIGINT) AS sae_naive,
+         CAST(count(n_s1) AS BIGINT) AS cnt_naive
+       FROM j GROUP BY day)
+SELECT day AS day_ts, n_hours, sae_seasonal, cnt_seasonal, sae_naive,
+       cnt_naive, {mase_like_sql()} AS mase_like
+FROM ag WHERE cnt_seasonal > 0 AND cnt_naive > 0"""
+
+    o["alternation_rate"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+mk AS (SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           IS NOT NULL AS has_prev,
+         (lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           IS NOT NULL
+          AND lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           <> role) AS switched
+       FROM t),
+ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN has_prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs,
+         CAST(sum(CASE WHEN switched THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_switches
+       FROM mk GROUP BY conv_id HAVING count(*) >= 2)
+SELECT conv_id, n_turns, n_pairs, n_switches,
+       round(CAST(n_switches AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+         AS alternation
+FROM ag"""
     return o

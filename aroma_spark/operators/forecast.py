@@ -80,10 +80,13 @@ def rs_sql() -> str:
     )
 
 
-def seasonal_backtest_daily(signals: DataFrame) -> DataFrame:
+def seasonal_backtest_daily(
+    signals: DataFrame, season_hours: int = 24
+) -> DataFrame:
     """Backtest the two zero-parameter forecasters on hourly turn
-    counts: seasonal-naive (same hour yesterday) vs naive (previous
-    hour), aggregated per day.
+    counts: seasonal-naive (same hour ``season_hours`` ago — 24 for
+    daily seasonality, 168 for weekly) vs naive (previous hour),
+    aggregated per day.
 
     Hours missing from the data simply produce no (h, h-24h) or
     (h, h-1h) pair — errors are computed over ALIGNED hours only, and
@@ -101,7 +104,9 @@ def seasonal_backtest_daily(signals: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count("*").cast("long").alias("n"))
     s24 = hourly.select(
-        (F.col("hour_ts") + F.expr("INTERVAL 24 HOURS")).alias("hour_ts"),
+        (
+            F.col("hour_ts") + F.expr(f"INTERVAL {season_hours} HOURS")
+        ).alias("hour_ts"),
         F.col("n").alias("n_s24"),
     )
     s1 = hourly.select(

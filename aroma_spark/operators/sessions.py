@@ -323,3 +323,47 @@ def session_gap_sweep(
             "round(CAST(n_turns AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)"
         ).alias("avg_turns_per_session"),
     )
+
+
+def alternation_rate(transcripts: DataFrame, min_turns: int = 2) -> DataFrame:
+    """Role alternation rate per conversation: what fraction of
+    adjacent turn pairs changes speaker? 1.0 is strict ping-pong
+    dialogue; near 0 is a monologue or an agent talking to itself —
+    the per-conversation scalar whose corpus-wide matrix is
+    :func:`role_transitions`.
+
+    One lag window on the canonical (conv_id, turn_idx) order, one
+    aggregation; counts exact int64, the rate one shared float.
+
+    Emits ``conv_id, n_turns, n_pairs, n_switches, alternation`` for
+    conversations with >= ``min_turns`` turns.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    marked = transcripts.select(
+        "conv_id",
+        prev.isNotNull().alias("has_prev"),
+        (prev.isNotNull() & (prev != F.col("role"))).alias("switched"),
+    )
+    agg = (
+        marked.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.when(F.col("has_prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("switched"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_switches"),
+        )
+        .filter(F.col("n_turns") >= min_turns)
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_pairs",
+        "n_switches",
+        F.expr(
+            "round(CAST(n_switches AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"
+        ).alias("alternation"),
+    )

@@ -188,6 +188,9 @@ AUDITED = (
     # round-6k balance/concentration pair
     "customer_balance_segments",
     "supplier_share_1mo",
+    # round-6l horizon/dialogue pair
+    "seasonal_backtest_weekly",
+    "alternation_rate",
 )
 
 

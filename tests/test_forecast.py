@@ -112,3 +112,15 @@ def test_rs_constant_null(spark):
 def test_rs_min_turns(spark):
     rows = [("a", i, i, f"2024-01-01 0{i}:00:00") for i in range(3)]
     assert rs_range(_sig(spark, rows)).count() == 0
+
+
+def test_backtest_weekly_horizon(spark):
+    # season_hours=2 on a 3-hour-per-day toy: hour h pairs with h-2
+    rows = _hour_counts("2024-01-01", [2, 3, 4, 6])
+    out = seasonal_backtest_daily(_sig(spark, rows), season_hours=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # seasonal pairs: h2 vs h0 |4-2|=2, h3 vs h1 |6-3|=3 -> sae 5/2
+    assert (r["sae_seasonal"], r["cnt_seasonal"]) == (5, 2)
+    # naive: |3-2|+|4-3|+|6-4| = 4 over 3
+    assert (r["sae_naive"], r["cnt_naive"]) == (4, 3)

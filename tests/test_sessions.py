@@ -97,3 +97,25 @@ def test_tool_usage_rollup(spark):
     assert (c["n_calls"], c["n_convs"], c["sum_text_len"], c["sum_latency_us"]) == (
         1, 1, 7, 70,
     )
+
+
+def test_alternation_rate_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import alternation_rate
+
+    rows = [
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "assistant"),
+        ("a", 3, "user"),
+        ("b", 0, "system"),
+        ("c", 0, "user"), ("c", 1, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r["conv_id"]: r for r in alternation_rate(df).collect()}
+    # a: pairs (u,a)(a,a)(a,u) -> 2 switches of 3
+    assert (out["a"]["n_pairs"], out["a"]["n_switches"]) == (3, 2)
+    assert out["a"]["alternation"] == 0.666667
+    # b: single turn -> dropped by min_turns
+    assert "b" not in out
+    # c: no switch
+    assert out["c"]["alternation"] == 0.0
