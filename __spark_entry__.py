@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 196 registered queries, ALL 196 with hash-compared DuckDB
-oracles — including the round-6l pair (``seasonal_backtest_weekly``
+Round 5: 198 registered queries, ALL 198 with hash-compared DuckDB
+oracles — including the round-6m pair (``growth_accounting`` daily
+new/retained/resurrected/churn decomposition, ``tpch_q6_revenue``
+integer-exact Q6 single-scan aggregate), the round-6l pair
+(``seasonal_backtest_weekly``
 168-hour horizon, ``alternation_rate`` speaker-switch fraction), the
 round-6k pair (``customer_balance_segments``
 signed-cents balance profile, ``supplier_share_1mo`` supplier
@@ -2243,6 +2246,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return alternation_rate(transcripts_from_events(spark, sf))
 
     q["alternation_rate"] = alternation_rate_q
+
+    def growth_accounting_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import growth_accounting
+
+        return growth_accounting(transcripts_from_events(spark, sf))
+
+    q["growth_accounting"] = growth_accounting_q
+
+    def tpch_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import forecast_revenue_change
+
+        return forecast_revenue_change(load_table(spark, sf, "lineitem"))
+
+    q["tpch_q6_revenue"] = tpch_q6_revenue
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5883,5 +5900,57 @@ ag AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
 SELECT conv_id, n_turns, n_pairs, n_switches,
        round(CAST(n_switches AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
          AS alternation
+FROM ag"""
+
+    # round-6m growth/revenue pair: daily growth accounting and the
+    # integer-exact TPC-H Q6 single-scan aggregate.
+    o["growth_accounting"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+days AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS day_ts
+         FROM t),
+mk AS (SELECT day_ts,
+         lag(day_ts) OVER w IS NULL AS is_new,
+         (lag(day_ts) OVER w IS NOT NULL
+          AND lag(day_ts) OVER w = day_ts - INTERVAL 1 DAY)
+           AS is_retained,
+         (lag(day_ts) OVER w IS NOT NULL
+          AND lag(day_ts) OVER w < day_ts - INTERVAL 1 DAY)
+           AS is_resurrected,
+         (lead(day_ts) OVER w IS NULL
+          OR lead(day_ts) OVER w > day_ts + INTERVAL 1 DAY)
+           AS churns_next
+       FROM days
+       WINDOW w AS (PARTITION BY conv_id ORDER BY day_ts)),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN is_retained THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN is_resurrected THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_resurrected,
+         CAST(sum(CASE WHEN churns_next THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churn_next
+       FROM mk GROUP BY day_ts)
+SELECT day_ts, n_active, n_new, n_retained, n_resurrected,
+       n_churn_next,
+       round(CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE), 6)
+         AS retained_share
+FROM ag"""
+
+    o["tpch_q6_revenue"] = f"""WITH base AS (
+  SELECT {_qi} AS qty, {_pc} AS price_c, {_dh} AS disc_h
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'),
+sel AS (SELECT * FROM base
+        WHERE disc_h BETWEEN 5 AND 7 AND qty < 24),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(price_c * disc_h) AS BIGINT) AS revenue_ch,
+         CAST(sum(disc_h) AS BIGINT) AS sum_disc_h
+       FROM sel)
+SELECT n_rows, sum_qty, revenue_ch,
+       CASE WHEN n_rows > 0 THEN
+         round(CAST(sum_disc_h AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+       END AS avg_disc_h
 FROM ag"""
     return o

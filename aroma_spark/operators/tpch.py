@@ -463,3 +463,61 @@ def supplier_share_monthly(lineitem: DataFrame) -> DataFrame:
             " AS DOUBLE) / CAST(total_rev_ch AS DOUBLE), 6) END"
         ).alias("top_share"),
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo_h: int = 5,
+    disc_hi_h: int = 7,
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6, integer-exact: the would-be revenue increase from
+    dropping small discounts on low-quantity lineitems shipped in one
+    year — ``sum(l_extendedprice * l_discount)`` over the selected
+    rows, carried as exact cent-hundredths.
+
+    House discipline: quantize FIRST, then filter and sum in int64 —
+    the discount/quantity predicates apply to the quantized values
+    (``disc_h`` in hundredths, whole-unit ``qty``), so both engines
+    select the identical row set with no double-comparison ambiguity.
+    Only the ship-date range stays on the raw column, and that is the
+    predicate that matters at scale: it lands in parquet
+    ``PushedFilters`` (PLANS.md audit) and is the partition-pruning
+    key on a date-partitioned 100 TB warehouse — the quantized
+    predicates cost one arithmetic op per surviving row. ONE
+    map-side-combinable global aggregation, no shuffle beyond the
+    final single-partition combine.
+
+    Emits one row ``n_rows, sum_qty, revenue_ch, avg_disc_h``.
+    """
+    base = lineitem.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+    ).select(
+        F.expr(QTY_I).alias("qty"),
+        F.expr(PRICE_C).alias("price_c"),
+        F.expr(DISC_H).alias("disc_h"),
+    ).where(
+        (F.col("disc_h") >= F.lit(disc_lo_h))
+        & (F.col("disc_h") <= F.lit(disc_hi_h))
+        & (F.col("qty") < F.lit(qty_max))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum(F.col("price_c") * F.col("disc_h"))
+        .cast("long")
+        .alias("revenue_ch"),
+        F.sum("disc_h").cast("long").alias("sum_disc_h"),
+    )
+    return agg.select(
+        "n_rows",
+        "sum_qty",
+        "revenue_ch",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN round(CAST(sum_disc_h AS"
+            " DOUBLE) / CAST(n_rows AS DOUBLE), 6) END"
+        ).alias("avg_disc_h"),
+    )

@@ -191,6 +191,9 @@ AUDITED = (
     # round-6l horizon/dialogue pair
     "seasonal_backtest_weekly",
     "alternation_rate",
+    # round-6m growth/revenue pair
+    "growth_accounting",
+    "tpch_q6_revenue",
 )
 
 

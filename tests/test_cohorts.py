@@ -253,3 +253,31 @@ def test_lifespan_histogram_bins(spark):
     out = lifespan_histogram(df).toPandas()
     got = {r.bin: r.n_convs for r in out.itertuples()}
     assert got == {20: 1, 0: 1}
+
+
+def test_growth_accounting_hand_computed(spark):
+    from aroma_spark.operators.cohorts import growth_accounting
+
+    df = _t(
+        spark,
+        [
+            # a: active d1, d2, d4 -> new d1, retained d2, resurrected d4
+            ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-01 12:00:00"),
+            ("a", 2, "user", "x", None, "2024-01-02 10:00:00"),
+            ("a", 3, "user", "x", None, "2024-01-04 10:00:00"),
+            # b: active d2 only -> new d2, churns after d2
+            ("b", 0, "user", "x", None, "2024-01-02 09:00:00"),
+        ],
+    )
+    out = {str(r["day_ts"])[:10]: r for r in growth_accounting(df).collect()}
+    d1, d2, d4 = out["2024-01-01"], out["2024-01-02"], out["2024-01-04"]
+    assert (d1["n_active"], d1["n_new"], d1["n_retained"],
+            d1["n_resurrected"], d1["n_churn_next"]) == (1, 1, 0, 0, 0)
+    assert (d2["n_active"], d2["n_new"], d2["n_retained"],
+            d2["n_resurrected"], d2["n_churn_next"]) == (2, 1, 1, 0, 2)
+    assert (d4["n_active"], d4["n_new"], d4["n_retained"],
+            d4["n_resurrected"], d4["n_churn_next"]) == (1, 0, 0, 1, 1)
+    assert d2["retained_share"] == 0.5
+    # identity: retained(d2) = active(d1) - churn_next(d1)
+    assert d2["n_retained"] == d1["n_active"] - d1["n_churn_next"]

@@ -218,3 +218,33 @@ def test_supplier_share_monthly(spark):
     assert (jan["top_suppkey"], jan["top_rev_ch"]) == (7, 300000)
     assert jan["top_share"] == 0.75
     assert out[2]["top_share"] == 1.0
+
+
+def test_q6_hand_computed(spark):
+    from aroma_spark.operators.tpch import forecast_revenue_change
+
+    rows = [
+        # in range, 6% disc, qty 10: rev_ch = 1000c * 6 = 6000
+        (1, 10.0, 10.00, 0.06, 0.0, "N", "O", "1996-06-01 00:00:00"),
+        # in range, 5% disc, qty 23: rev_ch = 200c * 5 = 1000
+        (2, 23.0, 2.00, 0.05, 0.0, "N", "O", "1996-07-01 00:00:00"),
+        # discount 4% -> excluded
+        (3, 5.0, 50.00, 0.04, 0.0, "N", "O", "1996-08-01 00:00:00"),
+        # qty 24 -> excluded (strict <)
+        (4, 24.0, 50.00, 0.06, 0.0, "N", "O", "1996-09-01 00:00:00"),
+        # shipped outside the year -> excluded
+        (5, 5.0, 50.00, 0.06, 0.0, "N", "O", "1997-01-01 00:00:00"),
+    ]
+    r = forecast_revenue_change(_lineitem(spark, rows)).collect()[0]
+    assert (r["n_rows"], r["sum_qty"], r["revenue_ch"]) == (2, 33, 7000)
+    assert r["avg_disc_h"] == 5.5
+
+
+def test_q6_empty_selection(spark):
+    from aroma_spark.operators.tpch import forecast_revenue_change
+
+    rows = [(1, 50.0, 10.00, 0.06, 0.0, "N", "O", "1996-06-01 00:00:00")]
+    r = forecast_revenue_change(_lineitem(spark, rows)).collect()[0]
+    assert (r["n_rows"], r["sum_qty"], r["revenue_ch"]) == (0, 0, 0) or (
+        r["n_rows"] == 0
+    )
