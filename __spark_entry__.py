@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 198 registered queries, ALL 198 with hash-compared DuckDB
-oracles — including the round-6m pair (``growth_accounting`` daily
+Round 5: 200 registered queries, ALL 200 with hash-compared DuckDB
+oracles — including the round-6n pair (``tpch_q10_returns`` the
+returned-revenue top-20 customer join, ``tpch_q22_idle`` the
+idle-rich anti-join report), the round-6m pair (``growth_accounting`` daily
 new/retained/resurrected/churn decomposition, ``tpch_q6_revenue``
 integer-exact Q6 single-scan aggregate), the round-6l pair
 (``seasonal_backtest_weekly``
@@ -2260,6 +2262,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return forecast_revenue_change(load_table(spark, sf, "lineitem"))
 
     q["tpch_q6_revenue"] = tpch_q6_revenue
+
+    def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import returned_revenue_by_customer
+
+        return returned_revenue_by_customer(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+        )
+
+    q["tpch_q10_returns"] = tpch_q10_returns
+
+    def tpch_q22_idle(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import idle_rich_customers
+
+        return idle_rich_customers(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+        )
+
+    q["tpch_q22_idle"] = tpch_q22_idle
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -5952,5 +5976,52 @@ SELECT n_rows, sum_qty, revenue_ch,
        CASE WHEN n_rows > 0 THEN
          round(CAST(sum_disc_h AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
        END AS avg_disc_h
+FROM ag"""
+
+    # round-6n join pair: Q10 returned-revenue top customers and the
+    # Q22-style idle-rich anti-join.
+    o["tpch_q10_returns"] = f"""WITH li AS (
+  SELECT l_orderkey, {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem WHERE l_returnflag = 'R'),
+o_win AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'),
+per_cust AS (SELECT o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(li.rev_ch) AS BIGINT) AS revenue_ch
+             FROM li JOIN o_win o ON li.l_orderkey = o.o_orderkey
+             GROUP BY o.o_custkey),
+top AS (SELECT * FROM per_cust
+        ORDER BY revenue_ch DESC, o_custkey ASC LIMIT 20)
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+       t.n_lines, t.revenue_ch
+FROM top t
+JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+
+    o["tpch_q22_idle"] = """WITH bal AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+pos AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos_c,
+          CAST(count(*) AS BIGINT) AS n_pos
+        FROM bal WHERE bal_c > 0),
+rich AS (SELECT b.c_custkey, b.c_mktsegment, b.bal_c
+         FROM bal b, pos
+         WHERE b.bal_c * pos.n_pos > pos.sum_pos_c),
+fl AS (SELECT r.c_mktsegment, r.bal_c,
+         NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = r.c_custkey) AS is_idle
+       FROM rich r),
+ag AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich,
+         CAST(sum(CASE WHEN is_idle THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_idle,
+         CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         CAST(sum(CASE WHEN is_idle THEN bal_c ELSE 0 END) AS BIGINT)
+           AS sum_idle_bal_c
+       FROM fl GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_rich, n_idle, sum_bal_c, sum_idle_bal_c,
+       round(CAST(n_idle AS DOUBLE) / CAST(n_rich AS DOUBLE), 6)
+         AS idle_share
 FROM ag"""
     return o

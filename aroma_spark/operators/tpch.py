@@ -521,3 +521,145 @@ def forecast_revenue_change(
             " DOUBLE) / CAST(n_rows AS DOUBLE), 6) END"
         ).alias("avg_disc_h"),
     )
+
+
+def returned_revenue_by_customer(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10, integer-exact: which customers returned the most
+    revenue in a quarter? Lineitems flagged ``R`` on orders placed in
+    the window, discounted revenue summed per customer in exact
+    cent-hundredths, top ``top_n`` with the customer and nation
+    dimensions attached.
+
+    Scale shape: the order-date filter prunes orders at the scan
+    (PushedFilters + partition pruning on a date-partitioned
+    warehouse), the return-flag filter prunes lineitem the same way,
+    and the surviving orders slice joins lineitem on o_orderkey — the
+    ONE big exchange; AQE broadcasts the quarter's orders while small.
+    The per-customer aggregate is map-side combinable, and customer +
+    nation are broadcast dimensions bolted on AFTER the aggregate (so
+    they join |customers-in-window| rows, not |lineitems|). The top-N
+    is a deterministic (revenue DESC, custkey ASC) rank — ties cannot
+    split across engines.
+
+    Emits ``c_custkey, c_name, n_name, c_mktsegment, n_lines,
+    revenue_ch``.
+    """
+    from pyspark.sql import Window
+
+    o = orders.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_ch").cast("long").alias("revenue_ch"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue_ch").desc(), F.col("o_custkey").asc())
+    top = (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .drop("rn")
+    )
+    dim = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "c_name", "n_name", "c_mktsegment")
+    return (
+        top.join(F.broadcast(dim), top["o_custkey"] == dim["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_mktsegment",
+            "n_lines",
+            "revenue_ch",
+        )
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 reshaped to this schema: customers whose account
+    balance beats the average POSITIVE balance but who have never
+    placed an order — the "idle capital" report — aggregated per
+    market segment.
+
+    Bit-determinism: balances quantize to integer cents, and the
+    above-average comparison is the exact int64 cross-multiplication
+    ``bal_c * n_pos > sum_pos_c`` (equivalent to ``bal_c >
+    sum_pos_c / n_pos`` with no float threshold to disagree on;
+    headroom: max |bal_c| ~1e6 cents keeps the product under 2^63 up
+    to ~9e12 positive-balance customers). The (sum, count) pair is a
+    one-row global aggregate broadcast into the filter; the
+    no-orders test is a LEFT join against the distinct buyer keys — at
+    scale one co-partitioned exchange of (custkey) pairs, with the
+    orders side pre-shrunk by a map-side combinable distinct. The
+    report carries BOTH populations (all rich customers and the idle
+    subset) so the result is non-vacuous even on a corpus where every
+    rich customer happens to have ordered — the idle count is then a
+    verified zero, not an empty result.
+
+    Emits ``c_mktsegment, n_rich, n_idle, sum_bal_c, sum_idle_bal_c,
+    idle_share``.
+    """
+    bal = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "bal_c"
+        ),
+    )
+    pos = bal.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("sum_pos_c"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    rich = bal.crossJoin(F.broadcast(pos)).where(
+        F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c")
+    )
+    buyers = orders.select(
+        "o_custkey", F.lit(True).alias("has_orders")
+    ).distinct()
+    flagged = rich.join(
+        buyers, rich["c_custkey"] == buyers["o_custkey"], "left"
+    ).select(
+        "c_mktsegment",
+        "bal_c",
+        F.col("has_orders").isNull().alias("is_idle"),
+    )
+    agg = flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rich"),
+        F.sum(F.when(F.col("is_idle"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_idle"),
+        F.sum("bal_c").cast("long").alias("sum_bal_c"),
+        F.sum(F.when(F.col("is_idle"), F.col("bal_c")).otherwise(0))
+        .cast("long")
+        .alias("sum_idle_bal_c"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_rich",
+        "n_idle",
+        "sum_bal_c",
+        "sum_idle_bal_c",
+        F.expr(
+            "round(CAST(n_idle AS DOUBLE) / CAST(n_rich AS DOUBLE), 6)"
+        ).alias("idle_share"),
+    )

@@ -194,6 +194,9 @@ AUDITED = (
     # round-6m growth/revenue pair
     "growth_accounting",
     "tpch_q6_revenue",
+    # round-6n join pair
+    "tpch_q10_returns",
+    "tpch_q22_idle",
 )
 
 

@@ -248,3 +248,70 @@ def test_q6_empty_selection(spark):
     assert (r["n_rows"], r["sum_qty"], r["revenue_ch"]) == (0, 0, 0) or (
         r["n_rows"] == 0
     )
+
+
+def _orders(spark, rows):
+    """rows = (orderkey, custkey, orderdate)."""
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+
+def test_q10_hand_computed(spark):
+    from aroma_spark.operators.tpch import returned_revenue_by_customer
+
+    li = _lineitem(spark, [
+        # order 1 (cust 10, in window): R line $10.00 @ 10% -> 1000*90
+        (1, 1.0, 10.00, 0.10, 0.0, "R", "F", "1996-02-01 00:00:00"),
+        # order 1: non-returned line ignored
+        (1, 1.0, 99.00, 0.00, 0.0, "N", "O", "1996-02-01 00:00:00"),
+        # order 2 (cust 20, in window): R line $2.00 @ 0% -> 200*100
+        (2, 1.0, 2.00, 0.00, 0.0, "R", "F", "1996-02-02 00:00:00"),
+        # order 3 (cust 10, out of window): R line ignored
+        (3, 1.0, 50.00, 0.00, 0.0, "R", "F", "1996-06-01 00:00:00"),
+    ])
+    orders = _orders(spark, [
+        (1, 10, "1996-01-15 00:00:00"),
+        (2, 20, "1996-03-15 00:00:00"),
+        (3, 10, "1996-05-15 00:00:00"),
+    ])
+    customer = spark.createDataFrame(
+        [(10, "Cust#10", 0, "BUILDING"), (20, "Cust#20", 1, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(0, "FRANCE"), (1, "KENYA")], "n_nationkey int, n_name string"
+    )
+    out = {r["c_custkey"]: r for r in returned_revenue_by_customer(
+        li, orders, customer, nation).collect()}
+    assert out[10]["revenue_ch"] == 1000 * 90
+    assert out[10]["n_name"] == "FRANCE"
+    assert out[20]["revenue_ch"] == 200 * 100
+    assert len(out) == 2
+
+
+def test_q22_idle_rich(spark):
+    from aroma_spark.operators.tpch import idle_rich_customers
+
+    customer = spark.createDataFrame(
+        [
+            # positive balances: 100c, 300c -> avg positive = 200c
+            (1, "a", 0, 1.00, "AUTO"),
+            (2, "b", 0, 3.00, "AUTO"),   # above avg, no orders -> idle
+            (3, "c", 0, 2.50, "STEEL"),  # above avg, HAS orders
+            (4, "d", 0, -5.00, "AUTO"),  # negative, excluded
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(spark, [(9, 3, "1996-01-01 00:00:00")])
+    out = {r["c_mktsegment"]: r
+           for r in idle_rich_customers(customer, orders).collect()}
+    # rich = cust 2 (300c, idle) and cust 3 (250c, has orders)
+    a, s = out["AUTO"], out["STEEL"]
+    assert (a["n_rich"], a["n_idle"], a["sum_bal_c"],
+            a["sum_idle_bal_c"]) == (1, 1, 300, 300)
+    assert a["idle_share"] == 1.0
+    assert (s["n_rich"], s["n_idle"], s["sum_idle_bal_c"]) == (1, 0, 0)
+    assert s["idle_share"] == 0.0
