@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 200 registered queries, ALL 200 with hash-compared DuckDB
-oracles — including the round-6n pair (``tpch_q10_returns`` the
+Round 5: 202 registered queries, ALL 202 with hash-compared DuckDB
+oracles — including the round-6o pair (``tpch_q7_trade`` the
+nation-pair trade matrix, ``tpch_q19_disjunct`` the OR-of-ANDs
+revenue), the round-6n pair (``tpch_q10_returns`` the
 returned-revenue top-20 customer join, ``tpch_q22_idle`` the
 idle-rich anti-join report), the round-6m pair (``growth_accounting`` daily
 new/retained/resurrected/churn decomposition, ``tpch_q6_revenue``
@@ -2284,6 +2286,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q22_idle"] = tpch_q22_idle
+
+    def tpch_q7_trade(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import nation_trade_volume
+
+        return nation_trade_volume(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        )
+
+    q["tpch_q7_trade"] = tpch_q7_trade
+
+    def tpch_q19_disjunct(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import disjunctive_revenue
+
+        return disjunctive_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        )
+
+    q["tpch_q19_disjunct"] = tpch_q19_disjunct
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6024,4 +6049,53 @@ SELECT c_mktsegment, n_rich, n_idle, sum_bal_c, sum_idle_bal_c,
        round(CAST(n_idle AS DOUBLE) / CAST(n_rich AS DOUBLE), 6)
          AS idle_share
 FROM ag"""
+
+    # round-6o trade/disjunction pair: the Q7 nation-pair trade matrix
+    # and the Q19 OR-of-ANDs revenue. The Q19 predicate is generated
+    # from the SAME triple table the Spark operator uses.
+    o["tpch_q7_trade"] = f"""WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem),
+sd AS (SELECT s.s_suppkey, n.n_name AS supp_nation
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+cd AS (SELECT c.c_custkey, n.n_name AS cust_nation
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+ow AS (SELECT o.o_orderkey, cd.cust_nation
+       FROM orders o JOIN cd ON o.o_custkey = cd.c_custkey),
+ag AS (SELECT sd.supp_nation, ow.cust_nation, li.l_year,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(li.rev_ch) AS BIGINT) AS revenue_ch
+       FROM li
+       JOIN sd ON li.l_suppkey = sd.s_suppkey
+       JOIN ow ON li.l_orderkey = ow.o_orderkey
+       GROUP BY sd.supp_nation, ow.cust_nation, li.l_year)
+SELECT supp_nation, cust_nation, l_year, n_lines, revenue_ch,
+       CAST(revenue_ch // n_lines AS BIGINT) AS avg_line_rev_ch
+FROM ag"""
+
+    from aroma_spark.operators.tpch import DISJUNCT_TRIPLES
+
+    _disj = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND qty BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in DISJUNCT_TRIPLES
+    )
+    _brands = ", ".join(
+        f"'{b}'" for b in sorted({t[0] for t in DISJUNCT_TRIPLES})
+    )
+    o["tpch_q19_disjunct"] = f"""WITH li AS (
+  SELECT l_partkey, {_qi} AS qty,
+         {_pc} * (100 - {_dh}) AS rev_ch
+  FROM lineitem),
+p AS (SELECT p_partkey, p_brand, p_size FROM part
+      WHERE p_brand IN ({_brands})),
+sel AS (SELECT p.p_brand, li.qty, li.rev_ch
+        FROM li JOIN p ON li.l_partkey = p.p_partkey
+        WHERE {_disj})
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(rev_ch) AS BIGINT) AS revenue_ch
+FROM sel GROUP BY p_brand"""
     return o

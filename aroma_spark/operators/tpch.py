@@ -663,3 +663,141 @@ def idle_rich_customers(
             "round(CAST(n_idle AS DOUBLE) / CAST(n_rich AS DOUBLE), 6)"
         ).alias("idle_share"),
     )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 generalized: discounted revenue shipped between every
+    (supplier nation, customer nation) pair per ship year — the
+    full international trade-flow matrix instead of the spec's two
+    hard-coded nations.
+
+    Scale shape: the ONE genuinely big exchange is lineitem ⋈ orders
+    on orderkey (both sides 10^9+ rows at SF100k — co-partitioned
+    hash join; bucketing both tables on orderkey makes it
+    exchange-free). supplier, customer and nation are broadcast
+    dimensions — supplier bolts onto lineitem BEFORE the big join
+    (map-side, no extra exchange) and customer onto the joined rows.
+    The final (nation, nation, year) aggregate is map-side combinable
+    into at most |nations|^2 x |years| rows. Revenue is exact
+    cent-hundredths; the per-line average is an INTEGER quotient
+    (the seasonal_profile discipline: at ~1e9 cent-hundredths a float
+    division differs across engines in the last ulp and round(x, 6)
+    cannot absorb it, while the int64 quotient is bit-identical —
+    revenue_ch >= 0 here, so truncation IS floor).
+
+    Emits ``supp_nation, cust_nation, l_year, n_lines, revenue_ch,
+    avg_line_rev_ch``.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    supp_dim = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_dim = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = orders.join(
+        F.broadcast(cust_dim),
+        orders["o_custkey"] == cust_dim["c_custkey"],
+    ).select("o_orderkey", "cust_nation")
+    joined = (
+        li.join(F.broadcast(supp_dim), li["l_suppkey"] == supp_dim["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    agg = joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev_ch").cast("long").alias("revenue_ch"),
+    )
+    return agg.select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        "n_lines",
+        "revenue_ch",
+        F.expr("revenue_ch div n_lines")
+        .cast("long")
+        .alias("avg_line_rev_ch"),
+    )
+
+
+# Q19-style disjunctive (brand, size range, quantity range) triples —
+# module-level so the Spark operator and the DuckDB twin are built
+# from the SAME table.
+DISJUNCT_TRIPLES = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#15", 1, 35, 20, 30),
+)
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    triples=DISJUNCT_TRIPLES,
+) -> DataFrame:
+    """TPC-H Q19: revenue from lineitems matching ANY of three
+    (brand, size-range, quantity-range) triples — the classic
+    OR-of-ANDs predicate that defeats naive single-range pushdown.
+
+    Scale shape: the predicate splits across the join — the
+    part-side disjunction (brand IN (...) plus the size envelope)
+    prunes the broadcast BEFORE the join, and the lineitem side keeps
+    the quantity envelope [min(lo), max(hi)] as a scan-level
+    range (PushedFilters) with the exact per-triple (brand, size,
+    qty) conjunction evaluated after the broadcast join — rows
+    outside every envelope never leave the scan. Quantity quantizes
+    to whole units first (house rule), so the range tests are exact
+    int64 in both engines. Aggregated per brand (one map-side
+    combinable agg, |brands| rows) rather than the spec's single
+    scalar, so each disjunct's contribution is independently
+    verifiable.
+
+    Emits ``p_brand, n_lines, sum_qty, revenue_ch``.
+    """
+    brands = sorted({t[0] for t in triples})
+    qty_lo = min(t[3] for t in triples)
+    qty_hi = max(t[4] for t in triples)
+    # conservative envelope on the RAW column so it reaches parquet
+    # row-group stats (floor(x + 0.5) in [lo, hi]  <=>  x in
+    # [lo - 0.5, hi + 0.5)); the exact quantized conjunction below
+    # re-checks, so the envelope only prunes, never decides
+    li = lineitem.where(
+        (F.col("l_quantity") >= F.lit(qty_lo - 0.5))
+        & (F.col("l_quantity") < F.lit(qty_hi + 0.5))
+    ).select(
+        "l_partkey",
+        F.expr(QTY_I).alias("qty"),
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    ).where((F.col("qty") >= qty_lo) & (F.col("qty") <= qty_hi))
+    p = part.where(F.col("p_brand").isin(list(brands))).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = F.lit(False)
+    for brand, size_lo, size_hi, q_lo, q_hi in triples:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= size_lo)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("qty") >= q_lo)
+            & (F.col("qty") <= q_hi)
+        )
+    joined = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).where(cond)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum("rev_ch").cast("long").alias("revenue_ch"),
+    )

@@ -197,6 +197,9 @@ AUDITED = (
     # round-6n join pair
     "tpch_q10_returns",
     "tpch_q22_idle",
+    # round-6o trade/disjunction pair
+    "tpch_q7_trade",
+    "tpch_q19_disjunct",
 )
 
 

@@ -315,3 +315,73 @@ def test_q22_idle_rich(spark):
     assert a["idle_share"] == 1.0
     assert (s["n_rich"], s["n_idle"], s["sum_idle_bal_c"]) == (1, 0, 0)
     assert s["idle_share"] == 0.0
+
+
+def test_q7_trade_matrix(spark):
+    from aroma_spark.operators.tpch import nation_trade_volume
+
+    li = spark.createDataFrame(
+        [
+            # order 1, supplier 100: $10 @ 10% in 1996 -> 1000*90
+            (1, 0, 100, 1, 1.0, 10.00, 0.10, 0.0, "N", "O",
+             "1996-02-01 00:00:00"),
+            # order 2, supplier 200: $2 @ 0% in 1997 -> 200*100
+            (2, 0, 200, 1, 1.0, 2.00, 0.00, 0.0, "N", "O",
+             "1997-03-01 00:00:00"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    orders = _orders(spark, [
+        (1, 10, "1996-01-01 00:00:00"), (2, 20, "1997-01-01 00:00:00")])
+    customer = spark.createDataFrame(
+        [(10, "a", 0, 0.0, "AUTO"), (20, "b", 1, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(100, "s1", 1, 0.0), (200, "s2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "FRANCE", 0), (1, "KENYA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    out = {(r["supp_nation"], r["cust_nation"], r["l_year"]): r
+           for r in nation_trade_volume(
+               li, orders, customer, supplier, nation).collect()}
+    assert out[("KENYA", "FRANCE", 1996)]["revenue_ch"] == 1000 * 90
+    assert out[("FRANCE", "KENYA", 1997)]["revenue_ch"] == 200 * 100
+    assert len(out) == 2
+
+
+def test_q19_disjunctive(spark):
+    from aroma_spark.operators.tpch import disjunctive_revenue
+
+    li = spark.createDataFrame(
+        [
+            # part 1 (Brand#12, size 5): qty 10 in [1,11] -> matches
+            (1, 1, 10.0, 10.00, 0.00),
+            # part 1: qty 15 outside [1,11] -> no triple matches
+            (2, 1, 15.0, 10.00, 0.00),
+            # part 2 (Brand#23, size 20): qty 15 in [10,20] -> matches
+            (3, 2, 15.0, 4.00, 0.50),
+            # part 3 (Brand#99): no triple -> excluded
+            (4, 3, 10.0, 9.00, 0.00),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#12", 5), (2, "Brand#23", 20), (3, "Brand#99", 5)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    out = {r["p_brand"]: r
+           for r in disjunctive_revenue(li, part).collect()}
+    assert out["Brand#12"]["revenue_ch"] == 1000 * 100
+    assert out["Brand#12"]["n_lines"] == 1
+    assert out["Brand#23"]["revenue_ch"] == 400 * 50
+    assert len(out) == 2
