@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 202 registered queries, ALL 202 with hash-compared DuckDB
-oracles — including the round-6o pair (``tpch_q7_trade`` the
+Round 5: 204 registered queries, ALL 204 with hash-compared DuckDB
+oracles — including the round-6p pair (``interpurchase_1d`` the
+repeat-purchase cadence profile, ``emb_norm_profile`` the exact
+fixed-point embedding-norm rollup), the round-6o pair (``tpch_q7_trade`` the
 nation-pair trade matrix, ``tpch_q19_disjunct`` the OR-of-ANDs
 revenue), the round-6n pair (``tpch_q10_returns`` the
 returned-revenue top-20 customer join, ``tpch_q22_idle`` the
@@ -2309,6 +2311,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q19_disjunct"] = tpch_q19_disjunct
+
+    def interpurchase_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import interpurchase_daily
+
+        return interpurchase_daily(load_table(spark, sf, "events"))
+
+    q["interpurchase_1d"] = interpurchase_1d
+
+    def emb_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import norm_profile
+
+        return norm_profile(load_table(spark, sf, "embeddings"))
+
+    q["emb_norm_profile"] = emb_norm_profile
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6098,4 +6114,41 @@ SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
        CAST(sum(qty) AS BIGINT) AS sum_qty,
        CAST(sum(rev_ch) AS BIGINT) AS revenue_ch
 FROM sel GROUP BY p_brand"""
+
+    # round-6p cadence/vector pair: inter-purchase gap profile and
+    # the exact fixed-point embedding-norm profile.
+    o["interpurchase_1d"] = """WITH p AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'),
+g AS (SELECT date_trunc('day', ts) AS day_ts,
+        ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS gap_us
+      FROM p),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+         CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM g WHERE gap_us IS NOT NULL GROUP BY day_ts)
+SELECT day_ts, n_gaps, sum_gap_us, min_gap_us, max_gap_us,
+       CAST(sum_gap_us // n_gaps AS BIGINT) AS mean_gap_us
+FROM ag"""
+
+    o["emb_norm_profile"] = """WITH pv AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(len(embedding) AS INTEGER) AS dim,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         )) AS BIGINT) AS sq_fx
+  FROM embeddings),
+ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(max(dim) AS INTEGER) AS dim,
+         CAST(sum(sq_fx) AS BIGINT) AS sum_sq_fx,
+         CAST(min(sq_fx) AS BIGINT) AS min_sq_fx,
+         CAST(max(sq_fx) AS BIGINT) AS max_sq_fx
+       FROM pv GROUP BY label)
+SELECT label, n_vecs, dim, sum_sq_fx, min_sq_fx, max_sq_fx,
+       round(CAST(sum_sq_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+         AS mean_sq_fx
+FROM ag"""
     return o

@@ -220,3 +220,57 @@ def pareto_revenue(events: DataFrame, pct_x10: int = 8) -> DataFrame:
             "round(CAST(top_m AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)"
         ).alias("top_user_share"),
     )
+
+
+def interpurchase_daily(events: DataFrame) -> DataFrame:
+    """Inter-purchase gap profile per day: for every user's
+    consecutive purchase pair, the gap in exact integer microseconds,
+    aggregated onto the day of the LATER purchase — the
+    repeat-purchase-cadence report (how long do buyers wait between
+    purchases, and is that drifting?).
+
+    Scale shape: the event-type filter prunes the scan
+    (``EqualTo(event_type, purchase)`` in PushedFilters — on a 100 TB
+    warehouse partitioned or z-ordered by type/day that is the
+    difference between reading purchases and reading everything);
+    the lag window rides ONE hash exchange on user_id over the
+    filtered slice only; the per-day aggregate is map-side
+    combinable. Gaps are exact int64 µs (epoch-µs subtraction, the
+    signals discipline); the mean is an INTEGER quotient (the
+    seasonal_profile discipline — at ~1e11 µs a float division
+    differs across engines in the last ulp and round(x, 6) cannot
+    absorb it; gaps are nonnegative by the window order, so
+    truncation IS floor and sub-µs mean precision is noise).
+
+    Emits ``day_ts, n_gaps, sum_gap_us, min_gap_us, max_gap_us,
+    mean_gap_us``.
+    """
+    from pyspark.sql import Window
+
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_gaps",
+        "sum_gap_us",
+        "min_gap_us",
+        "max_gap_us",
+        F.expr("sum_gap_us div n_gaps").cast("long").alias(
+            "mean_gap_us"
+        ),
+    )

@@ -681,3 +681,58 @@ def cluster_purity(
             "round(CAST(top_count AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
         ).alias("purity"),
     )
+
+
+def norm_profile(embeddings: DataFrame, scale: int = 10_000) -> DataFrame:
+    """Per-label embedding-norm profile in exact fixed point: each
+    component quantizes to ``floor(x * scale + 0.5)`` int64 (after the
+    deterministic float32 -> float64 widening), the squared norm is an
+    exact integer sum of squares, and the per-label rollup is exact
+    int64 throughout — the drift monitor for an embedding pipeline
+    ("did label 7's vectors suddenly shrink?") with none of the
+    cross-engine float-summation ambiguity.
+
+    Headroom: |x| <= ~1 at scale 1e4 gives q^2 <= ~1e8, x 64 dims
+    ~6e9 per vector, so the int64 per-label sum is safe to ~1e9
+    vectors per label; raise ``scale`` only with a matching headroom
+    check. Scale shape: ONE map-side combinable aggregation; the
+    per-vector transform+fold is a Catalyst higher-order function
+    (JVM-side, no Python); |labels| output rows.
+
+    Emits ``label, n_vecs, dim, sum_sq_fx, min_sq_fx, max_sq_fx,
+    mean_sq_fx``.
+    """
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    sq = F.aggregate(
+        q,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    per_vec = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").alias("dim"),
+        sq.alias("sq_fx"),
+    )
+    agg = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max("dim").cast("int").alias("dim"),
+        F.sum("sq_fx").cast("long").alias("sum_sq_fx"),
+        F.min("sq_fx").cast("long").alias("min_sq_fx"),
+        F.max("sq_fx").cast("long").alias("max_sq_fx"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "dim",
+        "sum_sq_fx",
+        "min_sq_fx",
+        "max_sq_fx",
+        F.expr(
+            "round(CAST(sum_sq_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
+        ).alias("mean_sq_fx"),
+    )

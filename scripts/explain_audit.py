@@ -200,6 +200,9 @@ AUDITED = (
     # round-6o trade/disjunction pair
     "tpch_q7_trade",
     "tpch_q19_disjunct",
+    # round-6p cadence/vector pair
+    "interpurchase_1d",
+    "emb_norm_profile",
 )
 
 

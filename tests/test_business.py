@@ -123,3 +123,44 @@ def test_pareto_uniform(spark):
     # uniform: need 4 of 5 users for 80%
     assert (r["users_to_pct"], r["covered_cents"]) == (4, 4000)
     assert r["top_user_share"] == 0.2
+
+
+def test_interpurchase_hand_computed(spark):
+    from aroma_spark.operators.business import interpurchase_daily
+
+    rows = [
+        # user 1: purchases at t0, t0+10s (same day), next day +20s
+        (1, "2024-01-01 10:00:00", 1, "purchase"),
+        (2, "2024-01-01 10:00:10", 1, "purchase"),
+        (3, "2024-01-02 10:00:30", 1, "purchase"),
+        # user 2: single purchase -> no gap
+        (4, "2024-01-01 12:00:00", 2, "purchase"),
+        # non-purchase noise ignored
+        (5, "2024-01-01 10:00:05", 1, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in interpurchase_daily(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_gaps"], d1["sum_gap_us"]) == (1, 10_000_000)
+    # day-2 gap: 24h + 20s
+    assert (d2["n_gaps"], d2["sum_gap_us"]) == (
+        1, (86400 + 20) * 1_000_000)
+    assert d1["mean_gap_us"] == 10_000_000
+
+
+def test_interpurchase_tie_break_event_id(spark):
+    from aroma_spark.operators.business import interpurchase_daily
+
+    # same-ts purchases ordered by event_id: gaps are 0
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "purchase"),
+        (11, "2024-01-01 10:00:00", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = interpurchase_daily(df).collect()[0]
+    assert (r["n_gaps"], r["sum_gap_us"], r["min_gap_us"]) == (1, 0, 0)

@@ -233,3 +233,25 @@ def test_codebook_fixture_matches_spark_path(spark):
     assert fixture.centroid_id.tolist() == live.centroid_id.tolist()
     for a, b in zip(fixture.cent_vec, live.cent_vec):
         assert np.allclose(a, b, atol=0, rtol=0)
+
+
+def test_norm_profile_fixed_point(spark):
+    from aroma_spark.operators.similarity import norm_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.5], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.00006, 0.0], 1),  # rounds to 1 fx unit at 1e4
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in norm_profile(df).collect()}
+    # label 0: vec1 -> 5000^2 + (-5000)^2 = 50e6; vec2 -> 1e8
+    l0 = out[0]
+    assert (l0["n_vecs"], l0["dim"]) == (2, 2)
+    assert l0["sum_sq_fx"] == 50_000_000 + 100_000_000
+    assert (l0["min_sq_fx"], l0["max_sq_fx"]) == (50_000_000, 100_000_000)
+    assert l0["mean_sq_fx"] == 75_000_000.0
+    # label 1: 0.00006*1e4 = 0.6 -> floor(0.6+0.5)=1 -> sq 1
+    assert out[1]["sum_sq_fx"] == 1
