@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 204 registered queries, ALL 204 with hash-compared DuckDB
-oracles — including the round-6p pair (``interpurchase_1d`` the
+Round 5: 206 registered queries, ALL 206 with hash-compared DuckDB
+oracles — including the round-6q pair (``rolling_revenue_7d`` the
+trailing-week revenue line over daily pre-aggregates,
+``bounce_rate_1d`` the start-day single-turn share), the
+round-6p pair (``interpurchase_1d`` the
 repeat-purchase cadence profile, ``emb_norm_profile`` the exact
 fixed-point embedding-norm rollup), the round-6o pair (``tpch_q7_trade`` the
 nation-pair trade matrix, ``tpch_q19_disjunct`` the OR-of-ANDs
@@ -2325,6 +2328,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return norm_profile(load_table(spark, sf, "embeddings"))
 
     q["emb_norm_profile"] = emb_norm_profile
+
+    def rolling_revenue_7d_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import rolling_revenue_7d
+
+        return rolling_revenue_7d(load_table(spark, sf, "events"))
+
+    q["rolling_revenue_7d"] = rolling_revenue_7d_q
+
+    def bounce_rate_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import bounce_rate_daily
+
+        return bounce_rate_daily(transcripts_from_events(spark, sf))
+
+    q["bounce_rate_1d"] = bounce_rate_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6150,5 +6167,38 @@ ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
 SELECT label, n_vecs, dim, sum_sq_fx, min_sq_fx, max_sq_fx,
        round(CAST(sum_sq_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
          AS mean_sq_fx
+FROM ag"""
+
+    # round-6q smoothing/engagement pair: the trailing-7-day revenue
+    # line over daily pre-aggregates and the start-day bounce rate.
+    o["rolling_revenue_7d"] = """WITH daily AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents,
+         CAST(count(*) AS BIGINT) AS day_n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+keyed AS (SELECT day_ts, day_cents, day_n,
+            CAST(date_diff('day', DATE '1970-01-01',
+              CAST(day_ts AS DATE)) AS BIGINT) AS day_no
+          FROM daily)
+SELECT day_ts, day_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_days_in_window,
+       CAST(sum(day_cents) OVER w AS BIGINT) AS rolling_cents,
+       CAST(sum(day_n) OVER w AS BIGINT) AS rolling_n_events
+FROM keyed
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING
+             AND CURRENT ROW)"""
+
+    o["bounce_rate_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         date_trunc('day', min(ts)) AS day_ts
+       FROM t GROUP BY conv_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_started,
+         CAST(sum(CASE WHEN n_turns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounced
+       FROM pc GROUP BY day_ts)
+SELECT day_ts, n_started, n_bounced,
+       round(CAST(n_bounced AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
+         AS bounce_share
 FROM ag"""
     return o

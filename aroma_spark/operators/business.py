@@ -274,3 +274,49 @@ def interpurchase_daily(events: DataFrame) -> DataFrame:
             "mean_gap_us"
         ),
     )
+
+
+def rolling_revenue_7d(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing ``window_days``-day purchase revenue per day — the
+    classic smoothed-revenue line — computed as a calendar RANGE
+    window over DAILY PRE-AGGREGATES, never over raw events.
+
+    Scale shape: the purchase filter prunes the scan, ONE map-side
+    combinable aggregation collapses 10^12 events to |days| rows, and
+    the rolling frame then runs over those |days| rows on a single
+    partition — microscopic by construction, because the window input
+    is the daily rollup, not the event stream. Missing calendar days
+    simply contribute nothing to the frame (n_days_in_window reports
+    how many actual days back the frame reached). All sums exact
+    int64 cents.
+
+    Emits ``day_ts, day_cents, n_days_in_window, rolling_cents,
+    rolling_n_events``.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(
+            F.sum(F.expr(CENTS)).cast("long").alias("day_cents"),
+            F.count(F.lit(1)).cast("long").alias("day_n"),
+        )
+    )
+    # RANGE frame keyed on whole days-since-epoch so the window is
+    # calendar-aware (skips missing days) yet integer-ordered
+    keyed = daily.withColumn(
+        "day_no", F.datediff(F.col("day_ts"), F.lit("1970-01-01")).cast("long")
+    )
+    w = (
+        Window.orderBy("day_no")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    out = keyed.select(
+        "day_ts",
+        "day_cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
+        F.sum("day_cents").over(w).cast("long").alias("rolling_cents"),
+        F.sum("day_n").over(w).cast("long").alias("rolling_n_events"),
+    )
+    return out

@@ -574,3 +574,37 @@ def growth_accounting(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_active AS DOUBLE), 6)"
         ).alias("retained_share"),
     )
+
+
+def bounce_rate_daily(transcripts: DataFrame) -> DataFrame:
+    """Bounce rate per start-day cohort: of the conversations whose
+    FIRST turn lands on day d, how many never get a second turn? The
+    single-interaction share — the first metric any engagement
+    dashboard shows next to DAU.
+
+    Scale shape: ONE aggregation per conversation (count + min ts)
+    riding the canonical conv_id exchange, then one map-side
+    combinable per-day rollup with |days| output rows. Counts exact
+    int64; the share is one shared float.
+
+    Emits ``day_ts, n_started, n_bounced, bounce_share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.sum(F.when(F.col("n_turns") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounced"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_started",
+        "n_bounced",
+        F.expr(
+            "round(CAST(n_bounced AS DOUBLE)"
+            " / CAST(n_started AS DOUBLE), 6)"
+        ).alias("bounce_share"),
+    )

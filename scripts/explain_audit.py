@@ -203,6 +203,9 @@ AUDITED = (
     # round-6p cadence/vector pair
     "interpurchase_1d",
     "emb_norm_profile",
+    # round-6q smoothing/engagement pair
+    "rolling_revenue_7d",
+    "bounce_rate_1d",
 )
 
 

@@ -164,3 +164,32 @@ def test_interpurchase_tie_break_event_id(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     r = interpurchase_daily(df).collect()[0]
     assert (r["n_gaps"], r["sum_gap_us"], r["min_gap_us"]) == (1, 0, 0)
+
+
+def test_rolling_revenue_7d(spark):
+    from aroma_spark.operators.business import rolling_revenue_7d
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-03 10:00:00", 1, "purchase", 2.00),
+        # 9 days later: day 1+3 fall out of the 7-day frame
+        (3, "2024-01-10 10:00:00", 2, "purchase", 4.00),
+        (4, "2024-01-10 11:00:00", 2, "view", 99.00),  # not purchase
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in rolling_revenue_7d(df).collect()}
+    assert out["2024-01-01"]["rolling_cents"] == 100
+    # Jan 3 window [Dec 28..Jan 3] holds both purchases
+    d3 = out["2024-01-03"]
+    assert (d3["day_cents"], d3["rolling_cents"],
+            d3["n_days_in_window"]) == (200, 300, 2)
+    # Jan 10 window [Jan 4..Jan 10]: only its own purchase
+    d10 = out["2024-01-10"]
+    assert (d10["day_cents"], d10["rolling_cents"],
+            d10["n_days_in_window"], d10["rolling_n_events"]) == (
+        400, 400, 1, 1)

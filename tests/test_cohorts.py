@@ -281,3 +281,27 @@ def test_growth_accounting_hand_computed(spark):
     assert d2["retained_share"] == 0.5
     # identity: retained(d2) = active(d1) - churn_next(d1)
     assert d2["n_retained"] == d1["n_active"] - d1["n_churn_next"]
+
+
+def test_bounce_rate_hand_computed(spark):
+    from aroma_spark.operators.cohorts import bounce_rate_daily
+
+    df = _t(
+        spark,
+        [
+            # a: 2 turns starting day 1 (second turn next day) -> not a bounce
+            ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-02 10:00:00"),
+            # b: 1 turn day 1 -> bounce
+            ("b", 0, "user", "x", None, "2024-01-01 11:00:00"),
+            # c: 1 turn day 2 -> bounce
+            ("c", 0, "user", "x", None, "2024-01-02 09:00:00"),
+        ],
+    )
+    out = {str(r["day_ts"])[:10]: r
+           for r in bounce_rate_daily(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_started"], d1["n_bounced"]) == (2, 1)
+    assert d1["bounce_share"] == 0.5
+    assert (d2["n_started"], d2["n_bounced"], d2["bounce_share"]) == (
+        1, 1, 1.0)
