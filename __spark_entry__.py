@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 206 registered queries, ALL 206 with hash-compared DuckDB
-oracles — including the round-6q pair (``rolling_revenue_7d`` the
+Round 5: 208 registered queries, ALL 208 with hash-compared DuckDB
+oracles — including the round-6r pair (``doc_len_quartiles`` exact
+type-1 per-language length quantiles, ``idle_share_1d`` the daily
+conversation idle-time share), the round-6q pair (``rolling_revenue_7d`` the
 trailing-week revenue line over daily pre-aggregates,
 ``bounce_rate_1d`` the start-day single-turn share), the
 round-6p pair (``interpurchase_1d`` the
@@ -2342,6 +2344,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bounce_rate_daily(transcripts_from_events(spark, sf))
 
     q["bounce_rate_1d"] = bounce_rate_1d
+
+    def doc_len_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import (
+            doc_len_quartiles_by_lang,
+        )
+
+        return doc_len_quartiles_by_lang(
+            load_table(spark, sf, "documents")
+        )
+
+    q["doc_len_quartiles"] = doc_len_quartiles
+
+    def idle_share_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import idle_share_daily
+
+        return idle_share_daily(_signals(spark, sf))
+
+    q["idle_share_1d"] = idle_share_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6200,5 +6220,47 @@ ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_started,
 SELECT day_ts, n_started, n_bounced,
        round(CAST(n_bounced AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
          AS bounce_share
+FROM ag"""
+
+    # round-6r distribution/idle pair: exact per-language length
+    # quartiles and the daily conversation idle-time share.
+    o["doc_len_quartiles"] = """WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+  FROM documents)
+SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_docs * 25 / 100.0) AS BIGINT))
+         THEN n_chars END) AS BIGINT) AS p25_chars,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_docs * 50 / 100.0) AS BIGINT))
+         THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_docs * 75 / 100.0) AS BIGINT))
+         THEN n_chars END) AS BIGINT) AS p75_chars,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_docs * 95 / 100.0) AS BIGINT))
+         THEN n_chars END) AS BIGINT) AS p95_chars
+FROM ranked GROUP BY lang"""
+
+    o["idle_share_1d"] = f"""{SIG_SQL},
+pc AS (SELECT conv_id, date_trunc('day', min(ts)) AS day_ts,
+         CAST(sum(inter_time_us) AS BIGINT) AS span_us,
+         CAST(sum(CASE WHEN inter_time_us > 60000000
+           THEN inter_time_us ELSE 0 END) AS BIGINT) AS idle_us,
+         CAST(sum(CASE WHEN inter_time_us > 60000000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_idle_gaps
+       FROM sig GROUP BY conv_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(span_us) AS BIGINT) AS sum_span_us,
+         CAST(sum(idle_us) AS BIGINT) AS sum_idle_us,
+         CAST(sum(n_idle_gaps) AS BIGINT) AS n_idle_gaps
+       FROM pc GROUP BY day_ts)
+SELECT day_ts, n_convs, sum_span_us, sum_idle_us, n_idle_gaps,
+       CASE WHEN sum_span_us > 0 THEN round(CAST(sum_idle_us
+         AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END
+         AS idle_share
 FROM ag"""
     return o

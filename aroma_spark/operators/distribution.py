@@ -280,3 +280,48 @@ def gmd_by_bucket(
     return out.select(
         "bucket_ts", "n_points", "gmd_num", F.expr(gmd_sql()).alias("gmd")
     )
+
+
+QUARTILE_QS = ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95"))
+
+
+def doc_len_quartiles_by_lang(documents: DataFrame) -> DataFrame:
+    """Exact length quartiles (+p95) of the document corpus per
+    language — the profile a curation pipeline checks before setting
+    per-language length cutoffs. Type-1 (inverse-CDF) quantiles at
+    rank ``max(1, ceil(q/100 * n))`` under the deterministic
+    (n_chars, doc_id) total order, so every engine picks the SAME
+    document at every quantile — no interpolation, no float.
+
+    Scale shape: ONE hash exchange on lang for the rank window, then
+    a |langs|-row conditional aggregate. Exact percentiles genuinely
+    need the per-lang sort — that is the cost of "exact"; the sketch
+    alternative (t-digest / histogram) lives in
+    ``hist_quantiles_1d``. Per-lang skew is bounded because langs
+    are few and the window sort spills gracefully; at 100 TB you
+    would pre-filter to the lang slice being tuned.
+
+    Emits ``lang, n_docs, p25_chars, p50_chars, p75_chars,
+    p95_chars``.
+    """
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = documents.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+    aggs = [F.max("n_docs").cast("long").alias("n_docs")]
+    for q, name in QUARTILE_QS:
+        target = F.greatest(
+            F.lit(1), F.ceil(F.col("n_docs") * F.lit(q) / F.lit(100))
+        )
+        aggs.append(
+            F.min(F.when(F.col("rk") == target, F.col("n_chars")))
+            .cast("long")
+            .alias(f"{name}_chars")
+        )
+    return ranked.groupBy("lang").agg(*aggs)

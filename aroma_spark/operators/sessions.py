@@ -367,3 +367,60 @@ def alternation_rate(transcripts: DataFrame, min_turns: int = 2) -> DataFrame:
             "round(CAST(n_switches AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"
         ).alias("alternation"),
     )
+
+
+def idle_share_daily(
+    signals: DataFrame, idle_threshold_us: int = 60_000_000
+) -> DataFrame:
+    """Idle-time share per start day: how much of the conversations'
+    wall-clock is spent in gaps longer than ``idle_threshold_us``?
+    The "is the agent waiting or working" report, rolled up over the
+    conversations that STARTED each day.
+
+    Per conversation the span is the sum of its inter-turn gaps
+    (first turn's inter_time_us is 0 by the signals contract, so the
+    sum IS last-ts minus first-ts) and the idle part is the sum of
+    gaps past the threshold — both exact int64 µs riding the
+    canonical conv_id exchange; the daily rollup is map-side
+    combinable; the share is one shared float guarded for zero-span
+    days.
+
+    Emits ``day_ts, n_convs, sum_span_us, sum_idle_us, n_idle_gaps,
+    idle_share``.
+    """
+    per_conv = signals.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+        F.sum("inter_time_us").cast("long").alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("inter_time_us") > F.lit(int(idle_threshold_us)),
+                F.col("inter_time_us"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("idle_us"),
+        F.sum(
+            F.when(
+                F.col("inter_time_us") > F.lit(int(idle_threshold_us)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_idle_gaps"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("span_us").cast("long").alias("sum_span_us"),
+        F.sum("idle_us").cast("long").alias("sum_idle_us"),
+        F.sum("n_idle_gaps").cast("long").alias("n_idle_gaps"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_convs",
+        "sum_span_us",
+        "sum_idle_us",
+        "n_idle_gaps",
+        F.expr(
+            "CASE WHEN sum_span_us > 0 THEN round(CAST(sum_idle_us"
+            " AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END"
+        ).alias("idle_share"),
+    )

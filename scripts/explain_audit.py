@@ -206,6 +206,9 @@ AUDITED = (
     # round-6q smoothing/engagement pair
     "rolling_revenue_7d",
     "bounce_rate_1d",
+    # round-6r distribution/idle pair
+    "doc_len_quartiles",
+    "idle_share_1d",
 )
 
 

@@ -94,3 +94,23 @@ def test_benford_digits_and_shares(spark):
     assert out[1]["n_values"] == 2
     assert math.isclose(out[1]["share"], 2 / 5)
     assert math.isclose(out[9]["share"], 1 / 5)
+
+
+def test_doc_len_quartiles_hand_computed(spark):
+    from aroma_spark.operators.distribution import doc_len_quartiles_by_lang
+
+    rows = [(i, f"d{i}", "en", "web", n)
+            for i, n in enumerate([10, 20, 30, 40])]
+    rows += [(99, "x", "fr", "web", 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["lang"]: r
+           for r in doc_len_quartiles_by_lang(df).collect()}
+    en = out["en"]
+    # n=4: ranks ceil(1)=1, ceil(2)=2, ceil(3)=3, ceil(3.8)=4
+    assert (en["n_docs"], en["p25_chars"], en["p50_chars"],
+            en["p75_chars"], en["p95_chars"]) == (4, 10, 20, 30, 40)
+    fr = out["fr"]
+    # n=1: every quantile is the single value
+    assert (fr["n_docs"], fr["p25_chars"], fr["p95_chars"]) == (1, 7, 7)

@@ -119,3 +119,43 @@ def test_alternation_rate_hand_computed(spark):
     assert "b" not in out
     # c: no switch
     assert out["c"]["alternation"] == 0.0
+
+
+def test_idle_share_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import idle_share_daily
+
+    # conv a (starts Jan 1): gaps 0, 30s, 120s -> span 150s, idle 120s
+    # conv b (starts Jan 2): gaps 0, 10s -> span 10s, no idle
+    rows = [
+        ("a", "2024-01-01 10:00:00", 0),
+        ("a", "2024-01-01 10:00:30", 30_000_000),
+        ("a", "2024-01-01 10:02:30", 120_000_000),
+        ("b", "2024-01-02 09:00:00", 0),
+        ("b", "2024-01-02 09:00:10", 10_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in idle_share_daily(df).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1["n_convs"], d1["sum_span_us"], d1["sum_idle_us"],
+            d1["n_idle_gaps"]) == (1, 150_000_000, 120_000_000, 1)
+    assert d1["idle_share"] == 0.8
+    d2 = out["2024-01-02"]
+    assert (d2["sum_idle_us"], d2["idle_share"]) == (0, 0.0)
+
+
+def test_idle_share_zero_span_guard(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import idle_share_daily
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 0)],
+        "conv_id string, ts string, inter_time_us long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = idle_share_daily(df).collect()[0]
+    assert (r["sum_span_us"], r["idle_share"]) == (0, None)
