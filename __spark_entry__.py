@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 208 registered queries, ALL 208 with hash-compared DuckDB
-oracles — including the round-6r pair (``doc_len_quartiles`` exact
+Round 5: 210 registered queries, ALL 210 with hash-compared DuckDB
+oracles — including the round-6s pair (``role_cooccur`` the
+role co-occurrence Jaccard matrix, ``fulfillment_priority`` the
+days-to-fulfill profile), the round-6r pair (``doc_len_quartiles`` exact
 type-1 per-language length quantiles, ``idle_share_1d`` the daily
 conversation idle-time share), the round-6q pair (``rolling_revenue_7d`` the
 trailing-week revenue line over daily pre-aggregates,
@@ -2362,6 +2364,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idle_share_daily(_signals(spark, sf))
 
     q["idle_share_1d"] = idle_share_1d
+
+    def role_cooccur(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import role_cooccurrence
+
+        return role_cooccurrence(transcripts_from_events(spark, sf))
+
+    q["role_cooccur"] = role_cooccur
+
+    def fulfillment_priority(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import fulfillment_by_priority
+
+        return fulfillment_by_priority(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["fulfillment_priority"] = fulfillment_priority
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6262,5 +6281,43 @@ SELECT day_ts, n_convs, sum_span_us, sum_idle_us, n_idle_gaps,
        CASE WHEN sum_span_us > 0 THEN round(CAST(sum_idle_us
          AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END
          AS idle_share
+FROM ag"""
+
+    # round-6s affinity/fulfillment pair: the role co-occurrence
+    # matrix and the days-to-fulfill profile per order priority.
+    o["role_cooccur"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+cr AS (SELECT DISTINCT conv_id, role FROM t),
+pairs AS (SELECT a.role AS role_a, b.role AS role_b,
+            CAST(count(*) AS BIGINT) AS n_both
+          FROM cr a JOIN cr b
+            ON a.conv_id = b.conv_id AND a.role < b.role
+          GROUP BY a.role, b.role),
+pr AS (SELECT role, CAST(count(*) AS BIGINT) AS n_convs
+       FROM cr GROUP BY role)
+SELECT p.role_a, p.role_b, p.n_both,
+       ra.n_convs AS n_a, rb.n_convs AS n_b,
+       round(CAST(p.n_both AS DOUBLE)
+         / CAST(ra.n_convs + rb.n_convs - p.n_both AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN pr ra ON p.role_a = ra.role
+JOIN pr rb ON p.role_b = rb.role"""
+
+    o["fulfillment_priority"] = """WITH ls AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_shipdate
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_orderpriority,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          CAST(ls.last_shipdate AS DATE)) AS BIGINT) AS days
+      FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+ag AS (SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(days) AS BIGINT) AS sum_days,
+         CAST(min(days) AS BIGINT) AS min_days,
+         CAST(max(days) AS BIGINT) AS max_days
+       FROM j GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_orders, sum_days, min_days, max_days,
+       round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS mean_days
 FROM ag"""
     return o

@@ -424,3 +424,57 @@ def idle_share_daily(
             " AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END"
         ).alias("idle_share"),
     )
+
+
+def role_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """Which event roles appear TOGETHER in a conversation? The
+    corpus co-occurrence matrix over distinct per-conversation role
+    sets, with the exact Jaccard affinity of every unordered role
+    pair — the "users who click also purchase?" structure report.
+
+    Scale shape: dedup to (conv, role) first (map-side combinable —
+    10^12 turns collapse to at most |convs| x |roles| rows), then a
+    SELF-JOIN ON conv_id of that deduped slice with the role_a <
+    role_b triangle filter — fan-out bounded at |roles|^2/2 per
+    conversation, never turn-squared. The pair aggregate is map-side
+    combinable into |roles|^2/2 rows; per-role conversation counts
+    join in as a broadcast |roles|-row dimension. Counts exact
+    int64; Jaccard is one shared float.
+
+    Emits ``role_a, role_b, n_both, n_a, n_b, jaccard``.
+    """
+    cr = transcripts.select("conv_id", "role").distinct()
+    a = cr.select("conv_id", F.col("role").alias("role_a"))
+    b = cr.select(F.col("conv_id").alias("conv_id_b"),
+                  F.col("role").alias("role_b"))
+    pairs = a.join(
+        b,
+        (a["conv_id"] == b["conv_id_b"])
+        & (F.col("role_a") < F.col("role_b")),
+    ).groupBy("role_a", "role_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    per_role = cr.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    ra = per_role.select(
+        F.col("role").alias("ra"), F.col("n_convs").alias("n_a")
+    )
+    rb = per_role.select(
+        F.col("role").alias("rb"), F.col("n_convs").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ra), F.col("role_a") == F.col("ra"))
+        .join(F.broadcast(rb), F.col("role_b") == F.col("rb"))
+    )
+    return out.select(
+        "role_a",
+        "role_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.expr(
+            "round(CAST(n_both AS DOUBLE)"
+            " / CAST(n_a + n_b - n_both AS DOUBLE), 6)"
+        ).alias("jaccard"),
+    )

@@ -801,3 +801,52 @@ def disjunctive_revenue(
         F.sum("qty").cast("long").alias("sum_qty"),
         F.sum("rev_ch").cast("long").alias("revenue_ch"),
     )
+
+
+def fulfillment_by_priority(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order-fulfillment latency per priority class: whole days from
+    order placement to the LAST line shipped — does priority actually
+    buy faster fulfillment? Exact day arithmetic end to end.
+
+    Scale shape: one per-order max over lineitem riding the orderkey
+    exchange (map-side combinable: 10^12 lines collapse to |orders|
+    rows before the join), then a co-partitioned orderkey join
+    against the pruned (orderkey, orderdate, priority) projection of
+    orders, then ONE |priorities|-row aggregate. Day differences are
+    exact int64; the mean is one shared float at day magnitudes
+    (far inside round(x, 6)'s ulp headroom — this is ~1e2, not the
+    1e11 that forced integer quotients elsewhere).
+
+    Emits ``o_orderpriority, n_orders, sum_days, min_days, max_days,
+    mean_days``.
+    """
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_shipdate")
+    )
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("last_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    agg = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("days").cast("long").alias("sum_days"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_days",
+        "min_days",
+        "max_days",
+        F.expr(
+            "round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("mean_days"),
+    )

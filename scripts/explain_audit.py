@@ -209,6 +209,9 @@ AUDITED = (
     # round-6r distribution/idle pair
     "doc_len_quartiles",
     "idle_share_1d",
+    # round-6s affinity/fulfillment pair
+    "role_cooccur",
+    "fulfillment_priority",
 )
 
 

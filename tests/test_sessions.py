@@ -159,3 +159,26 @@ def test_idle_share_zero_span_guard(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     r = idle_share_daily(df).collect()[0]
     assert (r["sum_span_us"], r["idle_share"]) == (0, None)
+
+
+def test_role_cooccurrence_hand_computed(spark):
+    from aroma_spark.operators.sessions import role_cooccurrence
+
+    rows = [
+        ("a", 0, "click"), ("a", 1, "view"), ("a", 2, "view"),
+        ("b", 0, "view"),
+        ("c", 0, "click"), ("c", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    out = {(r["role_a"], r["role_b"]): r
+           for r in role_cooccurrence(df).collect()}
+    cv = out[("click", "view")]
+    # click in {a,c}, view in {a,b}; both in {a}
+    assert (cv["n_both"], cv["n_a"], cv["n_b"]) == (1, 2, 2)
+    assert cv["jaccard"] == round(1 / 3, 6)
+    cp = out[("click", "purchase")]
+    assert (cp["n_both"], cp["n_a"], cp["n_b"]) == (1, 2, 1)
+    assert cp["jaccard"] == 0.5
+    # view/purchase never co-occur -> no row (pairs come from joins)
+    assert ("purchase", "view") not in out

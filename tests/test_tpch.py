@@ -385,3 +385,33 @@ def test_q19_disjunctive(spark):
     assert out["Brand#12"]["n_lines"] == 1
     assert out["Brand#23"]["revenue_ch"] == 400 * 50
     assert len(out) == 2
+
+
+def test_fulfillment_by_priority(spark):
+    from aroma_spark.operators.tpch import fulfillment_by_priority
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "1996-01-01 00:00:00"),
+            (2, "1-URGENT", "1996-02-01 00:00:00"),
+            (3, "5-LOW", "1996-01-01 00:00:00"),
+            (4, "5-LOW", "1996-01-01 00:00:00"),  # no lines -> dropped
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(spark, [
+        # order 1: last ship 10 days out (two lines)
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-05 00:00:00"),
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-11 00:00:00"),
+        # order 2: 2 days
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-03 00:00:00"),
+        # order 3: 30 days
+        (3, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-31 00:00:00"),
+    ])
+    out = {r["o_orderpriority"]: r
+           for r in fulfillment_by_priority(orders, li).collect()}
+    u = out["1-URGENT"]
+    assert (u["n_orders"], u["sum_days"], u["min_days"],
+            u["max_days"]) == (2, 12, 2, 10)
+    assert u["mean_days"] == 6.0
+    assert (out["5-LOW"]["n_orders"], out["5-LOW"]["sum_days"]) == (1, 30)
