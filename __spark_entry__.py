@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 210 registered queries, ALL 210 with hash-compared DuckDB
-oracles — including the round-6s pair (``role_cooccur`` the
+Round 5: 212 registered queries, ALL 212 with hash-compared DuckDB
+oracles — including the round-6t pair (``trigram_paths``
+second-order role paths, ``revenue_heatmap`` the revenue-weighted
+(dow, hod) matrix), the round-6s pair (``role_cooccur`` the
 role co-occurrence Jaccard matrix, ``fulfillment_priority`` the
 days-to-fulfill profile), the round-6r pair (``doc_len_quartiles`` exact
 type-1 per-language length quantiles, ``idle_share_1d`` the daily
@@ -2381,6 +2383,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fulfillment_priority"] = fulfillment_priority
+
+    def trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import trigram_transitions
+
+        return trigram_transitions(transcripts_from_events(spark, sf))
+
+    q["trigram_paths"] = trigram_paths
+
+    def revenue_heatmap_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import revenue_heatmap
+
+        return revenue_heatmap(load_table(spark, sf, "events"))
+
+    q["revenue_heatmap"] = revenue_heatmap_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6319,5 +6335,38 @@ ag AS (SELECT o_orderpriority,
 SELECT o_orderpriority, n_orders, sum_days, min_days, max_days,
        round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
          AS mean_days
+FROM ag"""
+
+    # round-6t path/heatmap pair: second-order role trigrams and the
+    # revenue-weighted (dow, hod) heatmap.
+    o["trigram_paths"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tri AS (SELECT lag(role, 2) OVER w AS prev2,
+          lag(role, 1) OVER w AS prev1,
+          role AS cur
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+counts AS (SELECT prev2, prev1, cur,
+             CAST(count(*) AS BIGINT) AS n
+           FROM tri WHERE prev2 IS NOT NULL
+           GROUP BY prev2, prev1, cur),
+pt AS (SELECT prev2 AS p2, prev1 AS p1,
+         CAST(sum(n) AS BIGINT) AS pair_n
+       FROM counts GROUP BY prev2, prev1)
+SELECT c.prev2, c.prev1, c.cur, c.n, pt.pair_n,
+       round(CAST(c.n AS DOUBLE) / CAST(pt.pair_n AS DOUBLE), 6)
+         AS cond_share
+FROM counts c JOIN pt ON c.prev2 = pt.p2 AND c.prev1 = pt.p1"""
+
+    o["revenue_heatmap"] = """WITH base AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+ag AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM base GROUP BY dow, hod)
+SELECT dow, hod, n_purchases, sum_cents,
+       round(CAST(sum_cents AS DOUBLE)
+         / CAST(n_purchases AS DOUBLE), 6) AS mean_cents
 FROM ag"""
     return o

@@ -320,3 +320,37 @@ def rolling_revenue_7d(events: DataFrame, window_days: int = 7) -> DataFrame:
         F.sum("day_n").over(w).cast("long").alias("rolling_n_events"),
     )
     return out
+
+
+def revenue_heatmap(events: DataFrame) -> DataFrame:
+    """Purchase revenue by (day-of-week, hour-of-day) — the
+    revenue-weighted version of the activity heatmap: WHEN is the
+    money made, not just when are users active?
+
+    ``dow`` follows Spark's ``dayofweek`` (1=Sunday..7=Saturday; the
+    DuckDB twin maps ``dayofweek(ts)+1``). One pruned scan (purchase
+    filter pushed), ONE map-side combinable aggregation into at most
+    168 rows. Cents exact int64; the per-event mean is one shared
+    float at cent magnitudes.
+
+    Emits ``dow, hod, n_purchases, sum_cents, mean_cents``.
+    """
+    base = events.where(F.col("event_type") == "purchase").select(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        F.expr(CENTS).alias("cents"),
+    )
+    agg = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return agg.select(
+        "dow",
+        "hod",
+        "n_purchases",
+        "sum_cents",
+        F.expr(
+            "round(CAST(sum_cents AS DOUBLE)"
+            " / CAST(n_purchases AS DOUBLE), 6)"
+        ).alias("mean_cents"),
+    )

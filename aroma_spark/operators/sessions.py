@@ -478,3 +478,48 @@ def role_cooccurrence(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_a + n_b - n_both AS DOUBLE), 6)"
         ).alias("jaccard"),
     )
+
+
+def trigram_transitions(transcripts: DataFrame) -> DataFrame:
+    """Two-step role paths: counts of every (role[t-2], role[t-1],
+    role[t]) trigram in the canonical turn order, with the
+    conditional continuation share P(cur | prev2, prev1) — the
+    second-order structure that :func:`role_transitions` (first
+    order) cannot see (e.g. view->click->purchase vs
+    click->view->purchase).
+
+    ONE lag window on the canonical (conv_id, turn_idx) order — both
+    lags ride the same window spec, so Catalyst evaluates them in a
+    single Window node on one conv_id exchange — then a map-side
+    combinable aggregate into at most |roles|^3 rows; the pair total
+    joins back as a broadcast |roles|^2 dimension. Counts exact
+    int64; the share is one shared float.
+
+    Emits ``prev2, prev1, cur, n, pair_n, cond_share``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tri = transcripts.select(
+        F.lag("role", 2).over(w).alias("prev2"),
+        F.lag("role", 1).over(w).alias("prev1"),
+        F.col("role").alias("cur"),
+    ).where(F.col("prev2").isNotNull())
+    counts = tri.groupBy("prev2", "prev1", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pair_tot = counts.groupBy(
+        F.col("prev2").alias("p2"), F.col("prev1").alias("p1")
+    ).agg(F.sum("n").cast("long").alias("pair_n"))
+    out = counts.join(
+        F.broadcast(pair_tot),
+        (F.col("prev2") == F.col("p2")) & (F.col("prev1") == F.col("p1")),
+    )
+    return out.select(
+        "prev2",
+        "prev1",
+        "cur",
+        "n",
+        "pair_n",
+        F.expr(
+            "round(CAST(n AS DOUBLE) / CAST(pair_n AS DOUBLE), 6)"
+        ).alias("cond_share"),
+    )

@@ -212,6 +212,9 @@ AUDITED = (
     # round-6s affinity/fulfillment pair
     "role_cooccur",
     "fulfillment_priority",
+    # round-6t path/heatmap pair
+    "trigram_paths",
+    "revenue_heatmap",
 )
 
 

@@ -193,3 +193,26 @@ def test_rolling_revenue_7d(spark):
     assert (d10["day_cents"], d10["rolling_cents"],
             d10["n_days_in_window"], d10["rolling_n_events"]) == (
         400, 400, 1, 1)
+
+
+def test_revenue_heatmap_hand_computed(spark):
+    from aroma_spark.operators.business import revenue_heatmap
+
+    rows = [
+        # 2024-01-01 is a Monday -> Spark dow=2
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-01 10:30:00", 2, "purchase", 2.50),
+        (3, "2024-01-01 11:00:00", 1, "purchase", 4.00),
+        (4, "2024-01-01 10:15:00", 1, "view", 99.0),  # not purchase
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["dow"], r["hod"]): r for r in revenue_heatmap(df).collect()}
+    m10 = out[(2, 10)]
+    assert (m10["n_purchases"], m10["sum_cents"]) == (2, 350)
+    assert m10["mean_cents"] == 175.0
+    assert out[(2, 11)]["sum_cents"] == 400
+    assert len(out) == 2

@@ -182,3 +182,24 @@ def test_role_cooccurrence_hand_computed(spark):
     assert cp["jaccard"] == 0.5
     # view/purchase never co-occur -> no row (pairs come from joins)
     assert ("purchase", "view") not in out
+
+
+def test_trigram_transitions_hand_computed(spark):
+    from aroma_spark.operators.sessions import trigram_transitions
+
+    rows = [
+        ("a", 0, "v"), ("a", 1, "c"), ("a", 2, "p"), ("a", 3, "v"),
+        ("b", 0, "v"), ("b", 1, "c"), ("b", 2, "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    out = {(r["prev2"], r["prev1"], r["cur"]): r
+           for r in trigram_transitions(df).collect()}
+    # (v,c,*) appears twice: ->p (conv a) and ->v (conv b)
+    vcp, vcv = out[("v", "c", "p")], out[("v", "c", "v")]
+    assert (vcp["n"], vcp["pair_n"]) == (1, 2)
+    assert vcp["cond_share"] == 0.5
+    assert (vcv["n"], vcv["pair_n"], vcv["cond_share"]) == (1, 2, 0.5)
+    # (c,p,v) from conv a only
+    assert out[("c", "p", "v")]["cond_share"] == 1.0
+    assert len(out) == 3
