@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 212 registered queries, ALL 212 with hash-compared DuckDB
-oracles — including the round-6t pair (``trigram_paths``
+Round 5: 214 registered queries, ALL 214 with hash-compared DuckDB
+oracles — including the round-6u pair (``conv_boundary_roles`` the
+(first, last) role outcome matrix, ``orders_per_cust_hist`` the
+power-of-two purchase-frequency histogram), the round-6t pair (``trigram_paths``
 second-order role paths, ``revenue_heatmap`` the revenue-weighted
 (dow, hod) matrix), the round-6s pair (``role_cooccur`` the
 role co-occurrence Jaccard matrix, ``fulfillment_priority`` the
@@ -2397,6 +2399,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return revenue_heatmap(load_table(spark, sf, "events"))
 
     q["revenue_heatmap"] = revenue_heatmap_q
+
+    def conv_boundary_roles(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import boundary_roles
+
+        return boundary_roles(transcripts_from_events(spark, sf))
+
+    q["conv_boundary_roles"] = conv_boundary_roles
+
+    def orders_per_cust_hist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import orders_per_customer_hist
+
+        return orders_per_customer_hist(load_table(spark, sf, "orders"))
+
+    q["orders_per_cust_hist"] = orders_per_cust_hist
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6369,4 +6385,38 @@ SELECT dow, hod, n_purchases, sum_cents,
        round(CAST(sum_cents AS DOUBLE)
          / CAST(n_purchases AS DOUBLE), 6) AS mean_cents
 FROM ag"""
+
+    # round-6u boundary/frequency pair: the (first, last) role matrix
+    # and the power-of-two orders-per-customer histogram.
+    o["conv_boundary_roles"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id,
+         min_by(role, turn_idx) AS first_role,
+         max_by(role, turn_idx) AS last_role
+       FROM t GROUP BY conv_id),
+counts AS (SELECT first_role, last_role,
+             CAST(count(*) AS BIGINT) AS n_convs
+           FROM pc GROUP BY first_role, last_role),
+tot AS (SELECT CAST(sum(n_convs) AS BIGINT) AS total_convs
+        FROM counts)
+SELECT c.first_role, c.last_role, c.n_convs, tot.total_convs,
+       round(CAST(c.n_convs AS DOUBLE)
+         / CAST(tot.total_convs AS DOUBLE), 6) AS share
+FROM counts c, tot"""
+
+    o["orders_per_cust_hist"] = """WITH pc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey),
+bk AS (SELECT CAST(length(bin(n_orders)) - 1 AS INTEGER) AS bucket,
+         n_orders
+       FROM pc),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS sum_orders
+         FROM bk GROUP BY bucket),
+tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total_customers
+        FROM hist)
+SELECT h.bucket, CAST(1 << h.bucket AS BIGINT) AS lo_orders,
+       h.n_customers, h.sum_orders,
+       round(CAST(h.n_customers AS DOUBLE)
+         / CAST(tot.total_customers AS DOUBLE), 6) AS share
+FROM hist h, tot"""
     return o

@@ -523,3 +523,44 @@ def trigram_transitions(transcripts: DataFrame) -> DataFrame:
             "round(CAST(n AS DOUBLE) / CAST(pair_n AS DOUBLE), 6)"
         ).alias("cond_share"),
     )
+
+
+def boundary_roles(transcripts: DataFrame) -> DataFrame:
+    """How do conversations open and close? Counts of every (first
+    role, last role) pair under the canonical turn order, with the
+    share of all conversations — the session outcome matrix (opened
+    with a view, ended with a purchase vs. ended with an error).
+
+    ONE aggregation per conversation riding the canonical conv_id
+    exchange — first/last are min/max struct tricks over (turn_idx,
+    role), exact because turn_idx is a total order within the
+    conversation — then a map-side combinable |roles|^2 rollup with
+    the corpus total broadcast in. Counts exact int64; the share is
+    one shared float.
+
+    Emits ``first_role, last_role, n_convs, total_convs, share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.min(F.struct("turn_idx", "role"))["role"].alias("first_role"),
+        F.max(F.struct("turn_idx", "role"))["role"].alias("last_role"),
+    )
+    counts = per_conv.groupBy("first_role", "last_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    # corpus total as a global window over the |roles|^2-row
+    # aggregate — ONE pass; a crossJoin against counts.agg() would
+    # re-execute the whole per-conversation subtree
+    counts = counts.withColumn(
+        "total_convs",
+        F.sum("n_convs").over(Window.partitionBy()).cast("long"),
+    )
+    return counts.select(
+        "first_role",
+        "last_role",
+        "n_convs",
+        "total_convs",
+        F.expr(
+            "round(CAST(n_convs AS DOUBLE)"
+            " / CAST(total_convs AS DOUBLE), 6)"
+        ).alias("share"),
+    )

@@ -850,3 +850,57 @@ def fulfillment_by_priority(
             "round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
         ).alias("mean_days"),
     )
+
+
+def orders_per_customer_hist(orders: DataFrame) -> DataFrame:
+    """Customer purchase-frequency distribution: a power-of-two
+    histogram of how many orders each ordering customer placed — the
+    whale-vs-one-timer shape of the customer base in ~30 rows at any
+    scale.
+
+    Two map-side combinable aggregations (orders -> per-customer
+    counts on the custkey exchange, counts -> log2 buckets) — the
+    same discipline as the latency histograms: the histogram never
+    sees raw orders twice. Bucket b holds customers with
+    2^b <= n_orders < 2^(b+1) (floor(log2); exact in both engines
+    because n_orders is int64 and the bucket is computed by integer
+    bit-length, not float log). The share is one shared float.
+
+    Emits ``bucket, lo_orders, n_customers, sum_orders, share``.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    # floor(log2(n)) via string bit-length trick is overkill here:
+    # bucket = length of binary representation - 1, exact for int64
+    bucketed = per_cust.select(
+        (F.length(F.conv(F.col("n_orders"), 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "n_orders",
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+    )
+    # total via a global window over the ~30-row histogram — ONE
+    # pass; a crossJoin against hist.agg() would re-execute the
+    # per-customer subtree
+    from pyspark.sql import Window
+
+    hist = hist.withColumn(
+        "total_customers",
+        F.sum("n_customers").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias(
+            "lo_orders"
+        ),
+        "n_customers",
+        "sum_orders",
+        F.expr(
+            "round(CAST(n_customers AS DOUBLE)"
+            " / CAST(total_customers AS DOUBLE), 6)"
+        ).alias("share"),
+    )

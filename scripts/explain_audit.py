@@ -215,6 +215,9 @@ AUDITED = (
     # round-6t path/heatmap pair
     "trigram_paths",
     "revenue_heatmap",
+    # round-6u boundary/frequency pair
+    "conv_boundary_roles",
+    "orders_per_cust_hist",
 )
 
 

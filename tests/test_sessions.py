@@ -203,3 +203,23 @@ def test_trigram_transitions_hand_computed(spark):
     # (c,p,v) from conv a only
     assert out[("c", "p", "v")]["cond_share"] == 1.0
     assert len(out) == 3
+
+
+def test_boundary_roles_hand_computed(spark):
+    from aroma_spark.operators.sessions import boundary_roles
+
+    rows = [
+        ("a", 0, "view"), ("a", 1, "click"), ("a", 2, "purchase"),
+        ("b", 0, "view"), ("b", 1, "error"),
+        ("c", 0, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    out = {(r["first_role"], r["last_role"]): r
+           for r in boundary_roles(df).collect()}
+    vp = out[("view", "purchase")]
+    assert (vp["n_convs"], vp["total_convs"]) == (1, 3)
+    assert vp["share"] == round(1 / 3, 6)
+    # single-turn conv: first == last
+    assert out[("signup", "signup")]["n_convs"] == 1
+    assert len(out) == 3

@@ -415,3 +415,21 @@ def test_fulfillment_by_priority(spark):
             u["max_days"]) == (2, 12, 2, 10)
     assert u["mean_days"] == 6.0
     assert (out["5-LOW"]["n_orders"], out["5-LOW"]["sum_days"]) == (1, 30)
+
+
+def test_orders_per_customer_hist(spark):
+    from aroma_spark.operators.tpch import orders_per_customer_hist
+
+    # cust 1: 1 order (bucket 0), cust 2: 3 orders (bucket 1),
+    # cust 3: 4 orders (bucket 2)
+    rows = [(k, c, "1996-01-01 00:00:00")
+            for k, c in enumerate([1, 2, 2, 2, 3, 3, 3, 3])]
+    orders = _orders(spark, rows)
+    out = {r["bucket"]: r
+           for r in orders_per_customer_hist(orders).collect()}
+    assert (out[0]["lo_orders"], out[0]["n_customers"],
+            out[0]["sum_orders"]) == (1, 1, 1)
+    assert (out[1]["lo_orders"], out[1]["n_customers"],
+            out[1]["sum_orders"]) == (2, 1, 3)
+    assert (out[2]["lo_orders"], out[2]["n_customers"]) == (4, 1)
+    assert out[0]["share"] == round(1 / 3, 6)
