@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 214 registered queries, ALL 214 with hash-compared DuckDB
-oracles — including the round-6u pair (``conv_boundary_roles`` the
+Round 5: 216 registered queries, ALL 216 with hash-compared DuckDB
+oracles — including the round-6v pair (``ttft_1d`` time-to-first-tool
+per start-day cohort, ``error_recovery_1d`` the daily error-recovery
+profile), the round-6u pair (``conv_boundary_roles`` the
 (first, last) role outcome matrix, ``orders_per_cust_hist`` the
 power-of-two purchase-frequency histogram), the round-6t pair (``trigram_paths``
 second-order role paths, ``revenue_heatmap`` the revenue-weighted
@@ -2413,6 +2415,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return orders_per_customer_hist(load_table(spark, sf, "orders"))
 
     q["orders_per_cust_hist"] = orders_per_cust_hist
+
+    def ttft_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import time_to_first_tool_daily
+
+        return time_to_first_tool_daily(transcripts_from_events(spark, sf))
+
+    q["ttft_1d"] = ttft_1d
+
+    def error_recovery_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import error_recovery_daily
+
+        return error_recovery_daily(transcripts_from_events(spark, sf))
+
+    q["error_recovery_1d"] = error_recovery_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6419,4 +6435,49 @@ SELECT h.bucket, CAST(1 << h.bucket AS BIGINT) AS lo_orders,
        round(CAST(h.n_customers AS DOUBLE)
          / CAST(tot.total_customers AS DOUBLE), 6) AS share
 FROM hist h, tot"""
+
+    # round-6v activation/recovery pair: time-to-first-tool per
+    # start-day cohort and the daily error-recovery profile.
+    o["ttft_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, date_trunc('day', min(ts)) AS day_ts,
+         epoch_us(min(ts)) AS first_us,
+         epoch_us(min(CASE WHEN tool IS NOT NULL AND tool <> ''
+           THEN ts END)) AS first_tool_us
+       FROM t GROUP BY conv_id),
+tt AS (SELECT day_ts, first_tool_us - first_us AS ttft_us FROM pc),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_started,
+         CAST(count(ttft_us) AS BIGINT) AS n_with_tool,
+         CAST(sum(ttft_us) AS BIGINT) AS sum_ttft_us,
+         CAST(min(ttft_us) AS BIGINT) AS min_ttft_us,
+         CAST(max(ttft_us) AS BIGINT) AS max_ttft_us
+       FROM tt GROUP BY day_ts)
+SELECT day_ts, n_started, n_with_tool, sum_ttft_us, min_ttft_us,
+       max_ttft_us,
+       CASE WHEN n_with_tool > 0 THEN
+         CAST(sum_ttft_us // n_with_tool AS BIGINT) END
+         AS mean_ttft_us,
+       round(CAST(n_with_tool AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
+         AS tool_share
+FROM ag"""
+
+    o["error_recovery_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+mk AS (SELECT role, ts,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+           ORDER BY turn_idx) - epoch_us(ts) AS next_gap_us
+       FROM t),
+er AS (SELECT date_trunc('day', ts) AS day_ts, next_gap_us
+       FROM mk WHERE role = 'error'),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_errors,
+         CAST(count(next_gap_us) AS BIGINT) AS n_recovered,
+         CAST(sum(next_gap_us) AS BIGINT) AS sum_recovery_us
+       FROM er GROUP BY day_ts)
+SELECT day_ts, n_errors, n_recovered,
+       CAST(n_errors - n_recovered AS BIGINT) AS n_terminal,
+       sum_recovery_us,
+       CASE WHEN n_recovered > 0 THEN
+         CAST(sum_recovery_us // n_recovered AS BIGINT) END
+         AS mean_recovery_us,
+       round(CAST(n_recovered AS DOUBLE) / CAST(n_errors AS DOUBLE), 6)
+         AS recovery_share
+FROM ag"""
     return o

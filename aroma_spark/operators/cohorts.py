@@ -608,3 +608,109 @@ def bounce_rate_daily(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_started AS DOUBLE), 6)"
         ).alias("bounce_share"),
     )
+
+
+def time_to_first_tool_daily(transcripts: DataFrame) -> DataFrame:
+    """Time-to-first-tool per start-day cohort: for conversations
+    that ever invoke a tool, the exact µs from their first turn to
+    their first tool turn — the activation-latency companion to
+    :func:`tool_adoption_daily` (which counts adopters but never
+    says how LONG activation took).
+
+    ONE aggregation per conversation (min ts, conditional min tool
+    ts — both ride the canonical conv_id exchange), then a map-side
+    combinable per-day rollup. Exact int64 µs; the mean is an
+    integer quotient (1e11-µs magnitudes — the seasonal_profile
+    discipline; ttft >= 0 by construction so truncation IS floor);
+    the adoption share is one shared float.
+
+    Emits ``day_ts, n_started, n_with_tool, sum_ttft_us, min_ttft_us,
+    max_ttft_us, mean_ttft_us, tool_share``.
+    """
+    tool_ts = F.when(
+        F.col("tool").isNotNull() & (F.col("tool") != ""), F.col("ts")
+    )
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.min(tool_ts)).alias("first_tool_us"),
+    ).select(
+        "day_ts",
+        (F.col("first_tool_us") - F.col("first_us")).alias("ttft_us"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.count("ttft_us").cast("long").alias("n_with_tool"),
+        F.sum("ttft_us").cast("long").alias("sum_ttft_us"),
+        F.min("ttft_us").cast("long").alias("min_ttft_us"),
+        F.max("ttft_us").cast("long").alias("max_ttft_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_started",
+        "n_with_tool",
+        "sum_ttft_us",
+        "min_ttft_us",
+        "max_ttft_us",
+        F.expr(
+            "CASE WHEN n_with_tool > 0 THEN"
+            " CAST(sum_ttft_us div n_with_tool AS BIGINT) END"
+        ).alias("mean_ttft_us"),
+        F.expr(
+            "round(CAST(n_with_tool AS DOUBLE)"
+            " / CAST(n_started AS DOUBLE), 6)"
+        ).alias("tool_share"),
+    )
+
+
+def error_recovery_daily(
+    transcripts: DataFrame, error_role: str = "error"
+) -> DataFrame:
+    """Error-recovery profile per day: after an ``error`` turn, does
+    the conversation continue, and how fast? Error turns that are the
+    conversation's LAST turn count as terminal; the rest recover
+    after an exact µs gap — the ops-dashboard row that separates
+    "errors happen" from "errors kill sessions".
+
+    ONE lead window on the canonical (conv_id, turn_idx) order (the
+    same conv_id exchange every per-conversation operator rides),
+    error rows filtered AFTER the window (the lead must see every
+    turn), then a map-side combinable per-day rollup. Exact int64 µs;
+    integer-quotient mean; one shared float share.
+
+    Emits ``day_ts, n_errors, n_recovered, n_terminal,
+    sum_recovery_us, mean_recovery_us, recovery_share``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = transcripts.select(
+        "role",
+        "ts",
+        (F.lead(F.unix_micros(F.col("ts"))).over(w)
+         - F.unix_micros(F.col("ts"))).alias("next_gap_us"),
+    ).where(F.col("role") == error_role)
+    agg = marked.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+        F.count("next_gap_us").cast("long").alias("n_recovered"),
+        F.sum("next_gap_us").cast("long").alias("sum_recovery_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_errors",
+        "n_recovered",
+        (F.col("n_errors") - F.col("n_recovered"))
+        .cast("long")
+        .alias("n_terminal"),
+        "sum_recovery_us",
+        F.expr(
+            "CASE WHEN n_recovered > 0 THEN"
+            " CAST(sum_recovery_us div n_recovered AS BIGINT) END"
+        ).alias("mean_recovery_us"),
+        F.expr(
+            "round(CAST(n_recovered AS DOUBLE)"
+            " / CAST(n_errors AS DOUBLE), 6)"
+        ).alias("recovery_share"),
+    )

@@ -218,6 +218,9 @@ AUDITED = (
     # round-6u boundary/frequency pair
     "conv_boundary_roles",
     "orders_per_cust_hist",
+    # round-6v activation/recovery pair
+    "ttft_1d",
+    "error_recovery_1d",
 )
 
 

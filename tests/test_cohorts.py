@@ -305,3 +305,51 @@ def test_bounce_rate_hand_computed(spark):
     assert d1["bounce_share"] == 0.5
     assert (d2["n_started"], d2["n_bounced"], d2["bounce_share"]) == (
         1, 1, 1.0)
+
+
+def test_ttft_hand_computed(spark):
+    from aroma_spark.operators.cohorts import time_to_first_tool_daily
+
+    df = _t(
+        spark,
+        [
+            # a: first turn 10:00, first tool 10:00:30 -> ttft 30s
+            ("a", 0, "view", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "click", "x", "click", "2024-01-01 10:00:30"),
+            ("a", 2, "click", "x", "click", "2024-01-01 10:05:00"),
+            # b: never uses a tool
+            ("b", 0, "view", "x", None, "2024-01-01 11:00:00"),
+            ("b", 1, "view", "x", "", "2024-01-01 11:00:10"),
+        ],
+    )
+    out = time_to_first_tool_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_started"], r["n_with_tool"]) == (2, 1)
+    assert (r["sum_ttft_us"], r["mean_ttft_us"]) == (
+        30_000_000, 30_000_000)
+    assert r["tool_share"] == 0.5
+
+
+def test_error_recovery_hand_computed(spark):
+    from aroma_spark.operators.cohorts import error_recovery_daily
+
+    df = _t(
+        spark,
+        [
+            # a: error at turn 1, recovered 5s later
+            ("a", 0, "view", "x", None, "2024-01-01 10:00:00"),
+            ("a", 1, "error", "x", None, "2024-01-01 10:00:10"),
+            ("a", 2, "view", "x", None, "2024-01-01 10:00:15"),
+            # b: error is terminal
+            ("b", 0, "view", "x", None, "2024-01-01 11:00:00"),
+            ("b", 1, "error", "x", None, "2024-01-01 11:00:20"),
+        ],
+    )
+    out = error_recovery_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_errors"], r["n_recovered"], r["n_terminal"]) == (2, 1, 1)
+    assert (r["sum_recovery_us"], r["mean_recovery_us"]) == (
+        5_000_000, 5_000_000)
+    assert r["recovery_share"] == 0.5
