@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 216 registered queries, ALL 216 with hash-compared DuckDB
-oracles — including the round-6v pair (``ttft_1d`` time-to-first-tool
+Round 5: 218 registered queries, ALL 218 with hash-compared DuckDB
+oracles — including the round-6w pair (``doc_source_ttr``
+source-level lexical richness, ``part_class_rev`` the part-class
+revenue mix), the round-6v pair (``ttft_1d`` time-to-first-tool
 per start-day cohort, ``error_recovery_1d`` the daily error-recovery
 profile), the round-6u pair (``conv_boundary_roles`` the
 (first, last) role outcome matrix, ``orders_per_cust_hist`` the
@@ -2429,6 +2431,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return error_recovery_daily(transcripts_from_events(spark, sf))
 
     q["error_recovery_1d"] = error_recovery_1d
+
+    def doc_source_ttr(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import source_ttr
+
+        return source_ttr(load_table(spark, sf, "documents"))
+
+    q["doc_source_ttr"] = doc_source_ttr
+
+    def part_class_rev(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import part_class_revenue
+
+        return part_class_revenue(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        )
+
+    q["part_class_rev"] = part_class_rev
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6480,4 +6499,39 @@ SELECT day_ts, n_errors, n_recovered,
        round(CAST(n_recovered AS DOUBLE) / CAST(n_errors AS DOUBLE), 6)
          AS recovery_share
 FROM ag"""
+
+    # round-6w provenance/category pair: source-level lexical
+    # richness and part-class revenue mix.
+    o["doc_source_ttr"] = """WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                      '\\s+')) AS term
+  FROM documents),
+tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM tok WHERE term <> '' GROUP BY source, term),
+docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY source),
+ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+       FROM tc GROUP BY source)
+SELECT a.source, d.n_docs, a.n_tokens, a.n_types, a.n_hapax,
+       CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE), 6) END AS ttr
+FROM ag a JOIN docs d ON a.source = d.source"""
+
+    o["part_class_rev"] = f"""WITH cls AS (
+  SELECT p_partkey, split_part(p_type, ' ', 1) AS part_class
+  FROM part),
+ag AS (SELECT c.part_class, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum({_pc} * (100 - {_dh})) AS BIGINT) AS revenue_ch
+       FROM lineitem li JOIN cls c ON li.l_partkey = c.p_partkey
+       GROUP BY c.part_class),
+tot AS (SELECT ag.*, CAST(sum(revenue_ch) OVER () AS BIGINT)
+          AS total_ch FROM ag)
+SELECT part_class, n_lines, revenue_ch,
+       round(CAST(revenue_ch AS DOUBLE) / CAST(total_ch AS DOUBLE), 6)
+         AS revenue_share
+FROM tot"""
     return o

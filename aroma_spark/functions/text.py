@@ -987,3 +987,48 @@ def source_profile(df: DataFrame) -> DataFrame:
             "round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
         ).alias("mean_chars"),
     )
+
+
+def source_ttr(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical diversity per document SOURCE: the corpus-standard
+    whitespace tokenizer rolled up to the provenance dimension — the
+    curation dashboard's "which feed is template spam?" row (a
+    scraped-boilerplate source re-mints the same few types; a
+    organic-text source keeps a high type rate). Same contract as
+    :func:`conversation_ttr`, different grain.
+
+    Two aggregations riding one (source, term) exchange — the
+    per-term counts collapse 10^12 tokens map-side before the
+    shuffle — then a |sources|-row rollup. All exact int64; the
+    ratio is the one shared float (:func:`ttr_sql`).
+
+    Emits ``source, n_docs, n_tokens, n_types, n_hapax, ttr``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    terms = (
+        documents.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return agg.join(F.broadcast(docs), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(ttr_sql()).alias("ttr"),
+    )

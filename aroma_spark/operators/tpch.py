@@ -904,3 +904,51 @@ def orders_per_customer_hist(orders: DataFrame) -> DataFrame:
             " / CAST(total_customers AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def part_class_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue share by part CLASS — the first word of ``p_type``
+    (TPC-H types read "STANDARD PLATED COPPER"; the leading word is
+    the quality tier) — the category-mix report a merchandiser reads
+    before the per-SKU detail.
+
+    Scale shape: the class extraction is a map-side string split on
+    the |parts| dimension, which then broadcasts into lineitem — the
+    fact table is scanned once with only 3 columns and never
+    shuffled wider than the |classes|-row aggregate; the share comes
+    from a global window over that tiny aggregate. Revenue exact
+    cent-hundredths; the share is one shared float.
+
+    Emits ``part_class, n_lines, revenue_ch, revenue_share``.
+    """
+    from pyspark.sql import Window
+
+    cls = part.select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("part_class"),
+    )
+    li = lineitem.select(
+        "l_partkey",
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    agg = (
+        li.join(F.broadcast(cls), li["l_partkey"] == cls["p_partkey"])
+        .groupBy("part_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_ch").cast("long").alias("revenue_ch"),
+        )
+    )
+    agg = agg.withColumn(
+        "total_ch",
+        F.sum("revenue_ch").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "part_class",
+        "n_lines",
+        "revenue_ch",
+        F.expr(
+            "round(CAST(revenue_ch AS DOUBLE)"
+            " / CAST(total_ch AS DOUBLE), 6)"
+        ).alias("revenue_share"),
+    )

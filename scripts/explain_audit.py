@@ -221,6 +221,9 @@ AUDITED = (
     # round-6v activation/recovery pair
     "ttft_1d",
     "error_recovery_1d",
+    # round-6w provenance/category pair
+    "doc_source_ttr",
+    "part_class_rev",
 )
 
 

@@ -225,3 +225,28 @@ def test_zipf_buckets(spark):
     assert set(out) == {1, 2}
     assert (out[2]["n_terms"], out[2]["sum_tokens"]) == (2, 5)
     assert (out[1]["n_terms"], out[1]["sum_tokens"]) == (1, 1)
+
+
+def test_source_ttr_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.functions.text import source_ttr
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en", "web", 11),
+            (2, "the dog", "en", "web", 7),
+            (3, "a a a", "en", "feed", 5),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["source"]: r for r in source_ttr(df).collect()}
+    web = out["web"]
+    # tokens: the,cat,sat,the,dog -> 5 tokens, 4 types, 3 hapax
+    assert (web["n_docs"], web["n_tokens"], web["n_types"],
+            web["n_hapax"]) == (2, 5, 4, 3)
+    assert web["ttr"] == 0.8
+    feed = out["feed"]
+    assert (feed["n_tokens"], feed["n_types"], feed["n_hapax"]) == (
+        3, 1, 0)

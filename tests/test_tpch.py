@@ -433,3 +433,26 @@ def test_orders_per_customer_hist(spark):
             out[1]["sum_orders"]) == (2, 1, 3)
     assert (out[2]["lo_orders"], out[2]["n_customers"]) == (4, 1)
     assert out[0]["share"] == round(1 / 3, 6)
+
+
+def test_part_class_revenue(spark):
+    from aroma_spark.operators.tpch import part_class_revenue
+
+    part = spark.createDataFrame(
+        [(1, "PROMO BRUSHED TIN"), (2, "STANDARD PLATED")],
+        "p_partkey long, p_type string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10.00, 0.10),  # 1000 * 90 = 90000
+            (1, 1.00, 0.00),   # 100 * 100 = 10000
+            (2, 2.00, 0.00),   # 200 * 100 = 20000
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    out = {r["part_class"]: r
+           for r in part_class_revenue(li, part).collect()}
+    p = out["PROMO"]
+    assert (p["n_lines"], p["revenue_ch"]) == (2, 100000)
+    assert p["revenue_share"] == round(100000 / 120000, 6)
+    assert out["STANDARD"]["revenue_share"] == round(20000 / 120000, 6)
