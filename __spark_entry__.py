@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 218 registered queries, ALL 218 with hash-compared DuckDB
-oracles — including the round-6w pair (``doc_source_ttr``
+Round 5: 220 registered queries, ALL 220 with hash-compared DuckDB
+oracles — including the round-6x pair (``dod_growth`` day-over-day
+turn growth with calendar chain breaks, ``lang_source_mix`` the
+(lang, source) independence-lift cross-tab), the round-6w pair (``doc_source_ttr``
 source-level lexical richness, ``part_class_rev`` the part-class
 revenue mix), the round-6v pair (``ttft_1d`` time-to-first-tool
 per start-day cohort, ``error_recovery_1d`` the daily error-recovery
@@ -2448,6 +2450,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["part_class_rev"] = part_class_rev
+
+    def dod_growth_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import dod_growth
+
+        return dod_growth(_signals(spark, sf))
+
+    q["dod_growth"] = dod_growth_q
+
+    def lang_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import lang_source_matrix
+
+        return lang_source_matrix(load_table(spark, sf, "documents"))
+
+    q["lang_source_mix"] = lang_source_mix
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6534,4 +6550,37 @@ SELECT part_class, n_lines, revenue_ch,
        round(CAST(revenue_ch AS DOUBLE) / CAST(total_ch AS DOUBLE), 6)
          AS revenue_share
 FROM tot"""
+
+    # round-6x growth/balance pair: day-over-day turn growth and the
+    # (lang, source) independence-lift cross-tab.
+    o["dod_growth"] = f"""{SIG_SQL},
+daily AS (SELECT date_trunc('day', ts) AS day_ts,
+            CAST(count(*) AS BIGINT) AS n_turns
+          FROM sig GROUP BY 1),
+lg AS (SELECT day_ts, n_turns,
+         CAST(CASE WHEN lag(day_ts) OVER w
+           = day_ts - INTERVAL 1 DAY
+           THEN lag(n_turns) OVER w END AS BIGINT) AS prev_n_turns
+       FROM daily WINDOW w AS (ORDER BY day_ts))
+SELECT day_ts, n_turns, prev_n_turns,
+       CASE WHEN prev_n_turns > 0 THEN
+         round(CAST(n_turns - prev_n_turns AS DOUBLE)
+           / CAST(prev_n_turns AS DOUBLE), 6) END AS dod_growth
+FROM lg"""
+
+    o["lang_source_mix"] = """WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source),
+m AS (SELECT lang, source, n_docs,
+        CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+          AS lang_total,
+        CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+          AS source_total,
+        CAST(sum(n_docs) OVER () AS BIGINT) AS corpus_total
+      FROM cell)
+SELECT lang, source, n_docs, lang_total, source_total, corpus_total,
+       round(CAST(n_docs AS DOUBLE) * CAST(corpus_total AS DOUBLE)
+         / (CAST(lang_total AS DOUBLE)
+         * CAST(source_total AS DOUBLE)), 6) AS lift
+FROM m"""
     return o

@@ -1032,3 +1032,56 @@ def source_ttr(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_hapax",
         F.expr(ttr_sql()).alias("ttr"),
     )
+
+
+def lang_source_matrix(documents: DataFrame) -> DataFrame:
+    """The (lang, source) cross-tab with the independence LIFT: how
+    over- or under-represented is each language in each source
+    relative to the corpus baseline? lift = n_cell * total /
+    (row_total * col_total); 1.0 is independence, 3.0 means "this
+    source is 3x as French as the corpus" — the provenance-balance
+    check a multilingual curation run starts from.
+
+    ONE map-side combinable (lang, source) aggregate, then the three
+    marginals as window sums OVER the tiny cross-tab itself (never a
+    second scan of the corpus). Counts exact int64; the lift is one
+    shared float over four exact integers.
+
+    Emits ``lang, source, n_docs, lang_total, source_total,
+    corpus_total, lift``.
+    """
+    from pyspark.sql import Window
+
+    cell = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    cell = cell.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.sum("n_docs")
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("lang_total"),
+        F.sum("n_docs")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("source_total"),
+        F.sum("n_docs")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("corpus_total"),
+    )
+    return cell.select(
+        "lang",
+        "source",
+        "n_docs",
+        "lang_total",
+        "source_total",
+        "corpus_total",
+        F.expr(
+            "round(CAST(n_docs AS DOUBLE) * CAST(corpus_total AS DOUBLE)"
+            " / (CAST(lang_total AS DOUBLE)"
+            " * CAST(source_total AS DOUBLE)), 6)"
+        ).alias("lift"),
+    )

@@ -382,3 +382,47 @@ def linear_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def dod_growth(signals: DataFrame) -> DataFrame:
+    """Day-over-day growth of daily turn volume: each day's count
+    next to the previous CALENDAR day's (a gap day breaks the chain
+    — growth vs a week-old number is not "day over day"), with the
+    signed relative change — the topline the morning dashboard opens
+    with.
+
+    ONE map-side combinable daily aggregate (10^12 turns to |days|
+    rows), then a lag window over those |days| rows on a single
+    partition — microscopic by construction. Counts exact int64; the
+    growth is one shared float, NULL on chain breaks and on the
+    first day.
+
+    Emits ``day_ts, n_turns, prev_n_turns, dod_growth``.
+    """
+    from pyspark.sql import Window
+
+    daily = signals.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    w = Window.orderBy("day_ts")
+    out = daily.select(
+        "day_ts",
+        "n_turns",
+        F.when(
+            F.lag("day_ts").over(w)
+            == F.col("day_ts") - F.expr("INTERVAL 1 DAY"),
+            F.lag("n_turns").over(w),
+        )
+        .cast("long")
+        .alias("prev_n_turns"),
+    )
+    return out.select(
+        "day_ts",
+        "n_turns",
+        "prev_n_turns",
+        F.expr(
+            "CASE WHEN prev_n_turns > 0 THEN"
+            " round(CAST(n_turns - prev_n_turns AS DOUBLE)"
+            " / CAST(prev_n_turns AS DOUBLE), 6) END"
+        ).alias("dod_growth"),
+    )

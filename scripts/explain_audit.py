@@ -224,6 +224,9 @@ AUDITED = (
     # round-6w provenance/category pair
     "doc_source_ttr",
     "part_class_rev",
+    # round-6x growth/balance pair
+    "dod_growth",
+    "lang_source_mix",
 )
 
 

@@ -278,3 +278,24 @@ def test_linear_trend_matches_numpy(spark):
     slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
     assert abs(row.slope - slope) < 1e-6
     assert abs(row.intercept - intercept) < 1e-6
+
+
+def test_dod_growth_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.stats import dod_growth
+
+    rows = []
+    for day, n in [("2024-01-01", 2), ("2024-01-02", 3),
+                   ("2024-01-04", 6)]:
+        rows += [("c", i, day + " 10:00:00") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r for r in dod_growth(df).collect()}
+    assert out["2024-01-01"]["dod_growth"] is None
+    d2 = out["2024-01-02"]
+    assert (d2["prev_n_turns"], d2["dod_growth"]) == (2, 0.5)
+    # Jan 4 follows a gap day -> chain broken
+    d4 = out["2024-01-04"]
+    assert (d4["prev_n_turns"], d4["dod_growth"]) == (None, None)

@@ -250,3 +250,25 @@ def test_source_ttr_hand_computed(spark):
     feed = out["feed"]
     assert (feed["n_tokens"], feed["n_types"], feed["n_hapax"]) == (
         3, 1, 0)
+
+
+def test_lang_source_matrix_lift(spark):
+    from aroma_spark.functions.text import lang_source_matrix
+
+    rows = [
+        (1, "x", "en", "web", 1), (2, "x", "en", "web", 1),
+        (3, "x", "fr", "web", 1),
+        (4, "x", "en", "feed", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {(r["lang"], r["source"]): r
+           for r in lang_source_matrix(df).collect()}
+    enw = out[("en", "web")]
+    assert (enw["n_docs"], enw["lang_total"], enw["source_total"],
+            enw["corpus_total"]) == (2, 3, 3, 4)
+    assert enw["lift"] == round(2 * 4 / (3 * 3), 6)
+    frw = out[("fr", "web")]
+    assert frw["lift"] == round(1 * 4 / (1 * 3), 6)
+    assert len(out) == 3
