@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 220 registered queries, ALL 220 with hash-compared DuckDB
-oracles — including the round-6x pair (``dod_growth`` day-over-day
+Round 5: 222 registered queries, ALL 222 with hash-compared DuckDB
+oracles — including the round-6y pair (``depth_tool_rate`` tool
+usage by conversation-depth bucket, ``doc_dup_rate_lang`` the
+per-language exact-duplicate share), the round-6x pair (``dod_growth`` day-over-day
 turn growth with calendar chain breaks, ``lang_source_mix`` the
 (lang, source) independence-lift cross-tab), the round-6w pair (``doc_source_ttr``
 source-level lexical richness, ``part_class_rev`` the part-class
@@ -2464,6 +2466,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_source_matrix(load_table(spark, sf, "documents"))
 
     q["lang_source_mix"] = lang_source_mix
+
+    def depth_tool_rate_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import depth_tool_rate
+
+        return depth_tool_rate(transcripts_from_events(spark, sf))
+
+    q["depth_tool_rate"] = depth_tool_rate_q
+
+    def doc_dup_rate_lang(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import dup_rate_by_lang
+
+        return dup_rate_by_lang(load_table(spark, sf, "documents"))
+
+    q["doc_dup_rate_lang"] = doc_dup_rate_lang
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6583,4 +6599,36 @@ SELECT lang, source, n_docs, lang_total, source_total, corpus_total,
          / (CAST(lang_total AS DOUBLE)
          * CAST(source_total AS DOUBLE)), 6) AS lift
 FROM m"""
+
+    # round-6y depth/duplication pair: tool rate by conversation
+    # depth bucket and the per-language exact-duplicate share.
+    o["depth_tool_rate"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> ''
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_tools
+       FROM t GROUP BY conv_id),
+bk AS (SELECT CAST(length(bin(n_turns)) - 1 AS INTEGER) AS bucket,
+         n_turns, n_tools
+       FROM pc),
+ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(n_turns) AS BIGINT) AS sum_turns,
+         CAST(sum(n_tools) AS BIGINT) AS sum_tool_calls
+       FROM bk GROUP BY bucket)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_turns, n_convs,
+       sum_turns, sum_tool_calls,
+       round(CAST(sum_tool_calls AS DOUBLE)
+         / CAST(sum_turns AS DOUBLE), 6) AS tool_rate
+FROM ag"""
+
+    o["doc_dup_rate_lang"] = """WITH pt AS (
+  SELECT lang, COALESCE(text, '') AS t, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, t),
+ag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct
+       FROM pt GROUP BY lang)
+SELECT lang, n_docs, n_distinct,
+       CAST(n_docs - n_distinct AS BIGINT) AS n_dupes,
+       round(CAST(n_docs - n_distinct AS DOUBLE)
+         / CAST(n_docs AS DOUBLE), 6) AS dup_share
+FROM ag"""
     return o

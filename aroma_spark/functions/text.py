@@ -1085,3 +1085,43 @@ def lang_source_matrix(documents: DataFrame) -> DataFrame:
             " * CAST(source_total AS DOUBLE)), 6)"
         ).alias("lift"),
     )
+
+
+def dup_rate_by_lang(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate pressure per language: how many documents are
+    byte-identical repeats of another doc in the SAME language? The
+    per-language version of the corpus dedup report — template spam
+    is usually language-local, so this is where it shows first.
+
+    Two map-side combinable aggregations riding one (lang, text)
+    exchange. Grouping is on the RAW text so the DuckDB twin is
+    bit-identical with no hash-function parity question; at 100 TB
+    you would group on xxhash64(text) instead to keep the exchange
+    narrow (one misclassified pair per ~4e9 distinct texts — fine
+    for a monitoring view; the DELETE path in operators/dedup.py
+    keeps full-text semantics). Counts exact int64; the dup share is
+    one shared float.
+
+    Emits ``lang, n_docs, n_distinct, n_dupes, dup_share``.
+    """
+    per_text = documents.select(
+        "lang", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    ).groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = per_text.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct"))
+        .cast("long")
+        .alias("n_dupes"),
+        F.expr(
+            "round(CAST(n_docs - n_distinct AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("dup_share"),
+    )

@@ -564,3 +564,51 @@ def boundary_roles(transcripts: DataFrame) -> DataFrame:
             " / CAST(total_convs AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def depth_tool_rate(transcripts: DataFrame) -> DataFrame:
+    """Do longer conversations lean harder on tools? Tool-call rate
+    per conversation-length bucket (power-of-two depth buckets via
+    integer bit-length, the histogram discipline) — the
+    capability-vs-verbosity curve.
+
+    ONE aggregation per conversation (turn count + tool count on the
+    conv_id exchange), map-side bucketing, then a ~30-row rollup.
+    Counts exact int64; the per-turn tool rate is one shared float.
+
+    Emits ``bucket, lo_turns, n_convs, sum_turns, sum_tool_calls,
+    tool_rate``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(
+            F.when(
+                F.col("tool").isNotNull() & (F.col("tool") != ""), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tools"),
+    )
+    bucketed = per_conv.select(
+        (F.length(F.conv(F.col("n_turns"), 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "n_turns",
+        "n_tools",
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("sum_turns"),
+        F.sum("n_tools").cast("long").alias("sum_tool_calls"),
+    )
+    return agg.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias("lo_turns"),
+        "n_convs",
+        "sum_turns",
+        "sum_tool_calls",
+        F.expr(
+            "round(CAST(sum_tool_calls AS DOUBLE)"
+            " / CAST(sum_turns AS DOUBLE), 6)"
+        ).alias("tool_rate"),
+    )

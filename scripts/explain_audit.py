@@ -227,6 +227,9 @@ AUDITED = (
     # round-6x growth/balance pair
     "dod_growth",
     "lang_source_mix",
+    # round-6y depth/duplication pair
+    "depth_tool_rate",
+    "doc_dup_rate_lang",
 )
 
 

@@ -223,3 +223,27 @@ def test_boundary_roles_hand_computed(spark):
     # single-turn conv: first == last
     assert out[("signup", "signup")]["n_convs"] == 1
     assert len(out) == 3
+
+
+def test_depth_tool_rate_hand_computed(spark):
+    from aroma_spark.operators.sessions import depth_tool_rate
+
+    rows = [
+        # conv a: 1 turn, no tool -> bucket 0
+        ("a", 0, "view", None),
+        # conv b: 3 turns, 2 tools -> bucket 1
+        ("b", 0, "click", "click"), ("b", 1, "view", ""),
+        ("b", 2, "purchase", "purchase"),
+        # conv c: 2 turns, 1 tool -> bucket 1
+        ("c", 0, "click", "click"), ("c", 1, "view", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    out = {r["bucket"]: r for r in depth_tool_rate(df).collect()}
+    b0, b1 = out[0], out[1]
+    assert (b0["lo_turns"], b0["n_convs"], b0["sum_turns"],
+            b0["sum_tool_calls"]) == (1, 1, 1, 0)
+    assert b0["tool_rate"] == 0.0
+    assert (b1["lo_turns"], b1["n_convs"], b1["sum_turns"],
+            b1["sum_tool_calls"]) == (2, 2, 5, 3)
+    assert b1["tool_rate"] == 0.6

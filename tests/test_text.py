@@ -272,3 +272,22 @@ def test_lang_source_matrix_lift(spark):
     frw = out[("fr", "web")]
     assert frw["lift"] == round(1 * 4 / (1 * 3), 6)
     assert len(out) == 3
+
+
+def test_dup_rate_by_lang(spark):
+    from aroma_spark.functions.text import dup_rate_by_lang
+
+    rows = [
+        (1, "hello", "en", "web", 5),
+        (2, "hello", "en", "feed", 5),   # exact dup of 1
+        (3, "world", "en", "web", 5),
+        (4, "hello", "fr", "web", 5),    # same text, other lang
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["lang"]: r for r in dup_rate_by_lang(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_distinct"], en["n_dupes"]) == (3, 2, 1)
+    assert en["dup_share"] == round(1 / 3, 6)
+    assert (out["fr"]["n_dupes"], out["fr"]["dup_share"]) == (0, 0.0)
