@@ -6,8 +6,17 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 222 registered queries, ALL 222 with hash-compared DuckDB
-oracles — including the round-6y pair (``depth_tool_rate`` tool
+Round 5: 232 registered queries, ALL 232 with hash-compared DuckDB
+oracles — including the round-6z..7d batch (``value_percentiles_1d``
+exact daily basket percentiles, ``wow_revenue`` week-over-week
+revenue, ``peak_hour_dow`` per-weekday peak hour,
+``tool_latency_1d`` tool-vs-plain latency contrast,
+``order_price_audit`` the header-vs-lines money audit,
+``region_rev_mix`` supplier-region revenue mix, ``mau_1mo`` monthly
+actives with MoM growth, ``conv_span_1d`` the multi-day span
+profile, ``charclass_lang`` the character-class script check,
+``orders_month_mix`` month-of-year seasonality), the round-6y pair
+(``depth_tool_rate`` tool
 usage by conversation-depth bucket, ``doc_dup_rate_lang`` the
 per-language exact-duplicate share), the round-6x pair (``dod_growth`` day-over-day
 turn growth with calendar chain breaks, ``lang_source_mix`` the
@@ -2480,6 +2489,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dup_rate_by_lang(load_table(spark, sf, "documents"))
 
     q["doc_dup_rate_lang"] = doc_dup_rate_lang
+
+    def value_percentiles_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import (
+            purchase_value_percentiles,
+        )
+
+        return purchase_value_percentiles(load_table(spark, sf, "events"))
+
+    q["value_percentiles_1d"] = value_percentiles_1d
+
+    def wow_revenue_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import wow_revenue
+
+        return wow_revenue(load_table(spark, sf, "events"))
+
+    q["wow_revenue"] = wow_revenue_q
+
+    def peak_hour_dow(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import peak_hour_by_dow
+
+        return peak_hour_by_dow(_signals(spark, sf))
+
+    q["peak_hour_dow"] = peak_hour_dow
+
+    def tool_latency_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_latency_contrast
+
+        return tool_latency_contrast(_signals(spark, sf))
+
+    q["tool_latency_1d"] = tool_latency_1d
+
+    def order_price_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_price_audit
+
+        return order_price_audit(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["order_price_audit"] = order_price_audit_q
+
+    def region_rev_mix(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import region_revenue_mix
+
+        return region_revenue_mix(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+
+    q["region_rev_mix"] = region_rev_mix
+
+    def mau_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import mau_monthly
+
+        return mau_monthly(transcripts_from_events(spark, sf))
+
+    q["mau_1mo"] = mau_1mo
+
+    def conv_span_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import conv_span_profile
+
+        return conv_span_profile(transcripts_from_events(spark, sf))
+
+    q["conv_span_1d"] = conv_span_1d
+
+    def charclass_lang(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import charclass_by_lang
+
+        return charclass_by_lang(load_table(spark, sf, "documents"))
+
+    q["charclass_lang"] = charclass_lang
+
+    def orders_month_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import orders_month_mix
+
+        return orders_month_mix(load_table(spark, sf, "orders"))
+
+    q["orders_month_mix"] = orders_month_mix_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6631,4 +6720,200 @@ SELECT lang, n_docs, n_distinct,
        round(CAST(n_docs - n_distinct AS DOUBLE)
          / CAST(n_docs AS DOUBLE), 6) AS dup_share
 FROM ag"""
+
+    # round-6z basket/topline pair: exact daily purchase-value
+    # percentiles and the week-over-week revenue growth line.
+    o["value_percentiles_1d"] = """WITH base AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+  FROM events WHERE event_type = 'purchase'),
+ranked AS (SELECT day_ts, cents,
+             row_number() OVER (PARTITION BY day_ts
+               ORDER BY cents, event_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY day_ts) AS BIGINT)
+               AS n_purchases
+           FROM base)
+SELECT day_ts, CAST(max(n_purchases) AS BIGINT) AS n_purchases,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_purchases * 50 / 100.0) AS BIGINT))
+         THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_purchases * 90 / 100.0) AS BIGINT))
+         THEN cents END) AS BIGINT) AS p90_cents,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_purchases * 99 / 100.0) AS BIGINT))
+         THEN cents END) AS BIGINT) AS p99_cents
+FROM ranked GROUP BY day_ts"""
+
+    o["wow_revenue"] = """WITH weekly AS (
+  SELECT date_trunc('week', ts) AS week_ts,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS week_cents,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lg AS (SELECT week_ts, week_cents, n_purchases,
+         CAST(CASE WHEN lag(week_ts) OVER w
+           = week_ts - INTERVAL 7 DAYS
+           THEN lag(week_cents) OVER w END AS BIGINT)
+           AS prev_week_cents
+       FROM weekly WINDOW w AS (ORDER BY week_ts))
+SELECT week_ts, week_cents, n_purchases, prev_week_cents,
+       CASE WHEN prev_week_cents > 0 THEN
+         round(CAST(week_cents - prev_week_cents AS DOUBLE)
+           / CAST(prev_week_cents AS DOUBLE), 6) END AS wow_growth
+FROM lg"""
+
+    # round-7a schedule/cost pair: the per-weekday peak hour and the
+    # tool-vs-plain latency contrast.
+    o["peak_hour_dow"] = f"""{SIG_SQL},
+cell AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(count(*) AS BIGINT) AS n_turns
+         FROM sig GROUP BY 1, 2),
+rk AS (SELECT dow, hod, n_turns,
+         row_number() OVER (PARTITION BY dow
+           ORDER BY n_turns DESC, hod ASC) AS rn,
+         CAST(sum(n_turns) OVER (PARTITION BY dow) AS BIGINT)
+           AS day_turns
+       FROM cell)
+SELECT dow, hod AS peak_hod, n_turns AS peak_turns, day_turns,
+       round(CAST(n_turns AS DOUBLE) / CAST(day_turns AS DOUBLE), 6)
+         AS peak_share
+FROM rk WHERE rn = 1"""
+
+    o["tool_latency_1d"] = f"""{SIG_SQL},
+ag AS (SELECT date_trunc('day', ts) AS day_ts,
+         CAST(sum(CASE WHEN tool_call = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_tool,
+         CAST(sum(CASE WHEN tool_call = 1 THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_plain,
+         CAST(sum(CASE WHEN tool_call = 1 THEN inter_time_us
+           ELSE 0 END) AS BIGINT) AS sum_tool_us,
+         CAST(sum(CASE WHEN tool_call = 1 THEN 0
+           ELSE inter_time_us END) AS BIGINT) AS sum_plain_us
+       FROM sig GROUP BY day_ts)
+SELECT day_ts, n_tool, n_plain, sum_tool_us, sum_plain_us,
+       CASE WHEN n_tool > 0 THEN
+         CAST(sum_tool_us // n_tool AS BIGINT) END AS mean_tool_us,
+       CASE WHEN n_plain > 0 THEN
+         CAST(sum_plain_us // n_plain AS BIGINT) END AS mean_plain_us,
+       CASE WHEN n_tool > 0 AND n_plain > 0 AND sum_plain_us > 0
+         THEN round((CAST(sum_tool_us AS DOUBLE)
+           * CAST(n_plain AS DOUBLE))
+           / (CAST(sum_plain_us AS DOUBLE)
+           * CAST(n_tool AS DOUBLE)), 6) END AS tool_plain_ratio
+FROM ag"""
+
+    # round-7b audit/mix pair: the header-vs-lines money audit and
+    # the supplier-region revenue mix.
+    o["order_price_audit"] = f"""WITH lc AS (
+  SELECT l_orderkey,
+         CAST(sum({_pc} * (100 - {_dh}) * (100 + {_th})) AS BIGINT)
+           AS charge_chh
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_orderstatus,
+        abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+          - charge_chh // 10000) AS abs_gap_c
+      FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+ag AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN abs_gap_c <= 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_within_tol,
+         CAST(max(abs_gap_c) AS BIGINT) AS max_abs_gap_c,
+         CAST(sum(abs_gap_c) AS BIGINT) AS sum_abs_gap_c
+       FROM j GROUP BY o_orderstatus)
+SELECT o_orderstatus, n_orders, n_within_tol, max_abs_gap_c,
+       sum_abs_gap_c,
+       round(CAST(n_within_tol AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS within_share
+FROM ag"""
+
+    o["region_rev_mix"] = f"""WITH nat AS (
+  SELECT n.n_nationkey, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+supp AS (SELECT s.s_suppkey, nat.r_name
+         FROM supplier s JOIN nat ON s.s_nationkey = nat.n_nationkey),
+ag AS (SELECT supp.r_name, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum({_pc} * (100 - {_dh})) AS BIGINT) AS revenue_ch
+       FROM lineitem li JOIN supp ON li.l_suppkey = supp.s_suppkey
+       GROUP BY supp.r_name),
+tot AS (SELECT ag.*, CAST(sum(revenue_ch) OVER () AS BIGINT)
+          AS total_ch FROM ag)
+SELECT r_name, n_lines, revenue_ch,
+       round(CAST(revenue_ch AS DOUBLE) / CAST(total_ch AS DOUBLE), 6)
+         AS revenue_share
+FROM tot"""
+
+    # round-7c monthly/span pair: monthly actives with MoM growth and
+    # the conversation span profile.
+    o["mau_1mo"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+m AS (SELECT DISTINCT conv_id, date_trunc('month', ts) AS month_ts
+      FROM t),
+monthly AS (SELECT month_ts, CAST(count(*) AS BIGINT) AS n_active
+            FROM m GROUP BY month_ts),
+lg AS (SELECT month_ts, n_active,
+         CAST(CASE WHEN lag(month_ts) OVER w
+           = month_ts - INTERVAL 1 MONTH
+           THEN lag(n_active) OVER w END AS BIGINT) AS prev_n_active
+       FROM monthly WINDOW w AS (ORDER BY month_ts))
+SELECT month_ts, n_active, prev_n_active,
+       CASE WHEN prev_n_active > 0 THEN
+         round(CAST(n_active - prev_n_active AS DOUBLE)
+           / CAST(prev_n_active AS DOUBLE), 6) END AS mom_growth
+FROM lg"""
+
+    o["conv_span_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, date_trunc('day', min(ts)) AS day_ts,
+         CAST(date_diff('day',
+           CAST(date_trunc('day', min(ts)) AS DATE),
+           CAST(date_trunc('day', max(ts)) AS DATE)) AS BIGINT)
+           AS span_days
+       FROM t GROUP BY conv_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_started,
+         CAST(sum(CASE WHEN span_days > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_multi_day,
+         CAST(max(span_days) AS BIGINT) AS max_span_days,
+         CAST(sum(span_days) AS BIGINT) AS sum_span_days
+       FROM pc GROUP BY day_ts)
+SELECT day_ts, n_started, n_multi_day, max_span_days, sum_span_days,
+       round(CAST(n_multi_day AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
+         AS multi_day_share
+FROM ag"""
+
+    # round-7d script/seasonality pair: the character-class profile
+    # per language and the month-of-year order mix.
+    o["charclass_lang"] = """WITH base AS (
+  SELECT lang, COALESCE(text, '') AS c FROM documents),
+per AS (SELECT lang, length(c) AS n,
+          length(c) - length(regexp_replace(c, '[A-Za-z]', '', 'g'))
+            AS lt,
+          length(c) - length(regexp_replace(c, '[0-9]', '', 'g')) AS dg,
+          length(c) - length(regexp_replace(c, '\\s', '', 'g')) AS sp
+        FROM base),
+ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_chars,
+         CAST(sum(lt) AS BIGINT) AS n_letters,
+         CAST(sum(dg) AS BIGINT) AS n_digits,
+         CAST(sum(sp) AS BIGINT) AS n_spaces
+       FROM per GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_letters, n_digits, n_spaces,
+       CASE WHEN n_chars > 0 THEN round(CAST(n_letters AS DOUBLE)
+         / CAST(n_chars AS DOUBLE), 6) END AS letter_share,
+       CASE WHEN n_chars > 0 THEN round(CAST(n_digits AS DOUBLE)
+         / CAST(n_chars AS DOUBLE), 6) END AS digit_share,
+       CASE WHEN n_chars > 0 THEN round(CAST(n_spaces AS DOUBLE)
+         / CAST(n_chars AS DOUBLE), 6) END AS space_share
+FROM ag"""
+
+    o["orders_month_mix"] = """WITH ag AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_total_c
+  FROM orders GROUP BY 1),
+tot AS (SELECT ag.*, CAST(sum(n_orders) OVER () AS BIGINT)
+          AS all_orders FROM ag)
+SELECT month, n_orders, sum_total_c,
+       round(CAST(n_orders AS DOUBLE) / CAST(all_orders AS DOUBLE), 6)
+         AS order_share
+FROM tot"""
     return o

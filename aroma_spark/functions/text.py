@@ -1125,3 +1125,47 @@ def dup_rate_by_lang(documents: DataFrame) -> DataFrame:
             " / CAST(n_docs AS DOUBLE), 6)"
         ).alias("dup_share"),
     )
+
+
+def charclass_by_lang(documents: DataFrame) -> DataFrame:
+    """Character-class profile per language: exact counts of ASCII
+    letters, digits and whitespace vs everything else — the cheap
+    script sanity check next to :func:`lang_id` (a "fr" slice that is
+    40% digits is a scraped table, not French prose).
+
+    All counting is length-difference regexp arithmetic (map-side,
+    whole-stage codegen, no Python), summed exact int64 into a
+    |langs|-row aggregate; the three shares are shared floats over
+    exact ints.
+
+    Emits ``lang, n_docs, n_chars, n_letters, n_digits, n_spaces,
+    letter_share, digit_share, space_share``.
+    """
+    c = F.coalesce(F.col("text"), F.lit(""))
+    letters = F.length(c) - F.length(
+        F.regexp_replace(c, "[A-Za-z]", "")
+    )
+    digits = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    spaces = F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))
+    agg = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(c)).cast("long").alias("n_chars"),
+        F.sum(letters).cast("long").alias("n_letters"),
+        F.sum(digits).cast("long").alias("n_digits"),
+        F.sum(spaces).cast("long").alias("n_spaces"),
+    )
+    share = (
+        "CASE WHEN n_chars > 0 THEN round(CAST({num} AS DOUBLE)"
+        " / CAST(n_chars AS DOUBLE), 6) END"
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_letters",
+        "n_digits",
+        "n_spaces",
+        F.expr(share.format(num="n_letters")).alias("letter_share"),
+        F.expr(share.format(num="n_digits")).alias("digit_share"),
+        F.expr(share.format(num="n_spaces")).alias("space_share"),
+    )

@@ -560,3 +560,45 @@ def residual_autocorr_hourly(signals: DataFrame) -> DataFrame:
             F.col("sxy"), F.col("sxx"), F.col("syy"),
         ).alias("autocorr"),
     )
+
+
+def peak_hour_by_dow(signals: DataFrame) -> DataFrame:
+    """The busiest hour of each weekday: deterministic argmax over
+    the (dow, hod) turn-count matrix (ties break to the EARLIER
+    hour) with the peak's share of its weekday — where the capacity
+    planner draws the scaling schedule from.
+
+    ONE map-side combinable aggregate into at most 168 rows, then
+    the argmax and day totals as window functions OVER that tiny
+    matrix. ``dow`` follows Spark's ``dayofweek`` (1=Sunday; DuckDB
+    twin maps ``dayofweek(ts)+1``). Counts exact int64; the share is
+    one shared float.
+
+    Emits ``dow, peak_hod, peak_turns, day_turns, peak_share``.
+    """
+    from pyspark.sql import Window
+
+    cell = signals.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    w = Window.partitionBy("dow").orderBy(
+        F.col("n_turns").desc(), F.col("hod").asc()
+    )
+    wd = Window.partitionBy("dow")
+    ranked = cell.select(
+        "dow",
+        "hod",
+        "n_turns",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_turns").over(wd).cast("long").alias("day_turns"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "dow",
+        F.col("hod").alias("peak_hod"),
+        F.col("n_turns").alias("peak_turns"),
+        "day_turns",
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE) / CAST(day_turns AS DOUBLE), 6)"
+        ).alias("peak_share"),
+    )

@@ -354,3 +354,100 @@ def revenue_heatmap(events: DataFrame) -> DataFrame:
             " / CAST(n_purchases AS DOUBLE), 6)"
         ).alias("mean_cents"),
     )
+
+
+VALUE_PCTS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def purchase_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact daily purchase-value percentiles (p50/p90/p99 in integer
+    cents): the basket-size distribution tail, type-1 quantiles at
+    rank ``max(1, ceil(q/100 * n))`` under the deterministic
+    (cents, event_id) order — no interpolation, no float, every
+    engine picks the SAME purchase.
+
+    The purchase filter prunes the scan; ONE hash exchange on the day
+    for the rank window (exactness genuinely needs the per-day sort —
+    the sketch path is ``hist_quantiles_1d``); then a |days|-row
+    conditional aggregate. All int64.
+
+    Emits ``day_ts, n_purchases, p50_cents, p90_cents, p99_cents``.
+    """
+    from pyspark.sql import Window
+
+    base = events.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.expr(CENTS).alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("day_ts").orderBy("cents", "event_id")
+    ranked = base.select(
+        "day_ts",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("day_ts"))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    aggs = [F.max("n_purchases").cast("long").alias("n_purchases")]
+    for q, name in VALUE_PCTS:
+        target = F.greatest(
+            F.lit(1), F.ceil(F.col("n_purchases") * F.lit(q) / F.lit(100))
+        )
+        aggs.append(
+            F.min(F.when(F.col("rk") == target, F.col("cents")))
+            .cast("long")
+            .alias(f"{name}_cents")
+        )
+    return ranked.groupBy("day_ts").agg(*aggs)
+
+
+def wow_revenue(events: DataFrame) -> DataFrame:
+    """Week-over-week purchase-revenue growth: each ISO week's cents
+    next to the previous CALENDAR week's (a missing week breaks the
+    chain, the :func:`~aroma_spark.operators.stats.dod_growth`
+    discipline at weekly grain).
+
+    ONE map-side combinable weekly aggregate over the pruned
+    purchase scan, then a lag window over |weeks| rows on a single
+    partition. Cents exact int64; the growth is one shared float,
+    NULL on chain breaks and the first week.
+
+    Emits ``week_ts, week_cents, n_purchases, prev_week_cents,
+    wow_growth``.
+    """
+    from pyspark.sql import Window
+
+    weekly = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("week_ts"))
+        .agg(
+            F.sum(F.expr(CENTS)).cast("long").alias("week_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+    )
+    w = Window.orderBy("week_ts")
+    out = weekly.select(
+        "week_ts",
+        "week_cents",
+        "n_purchases",
+        F.when(
+            F.lag("week_ts").over(w)
+            == F.col("week_ts") - F.expr("INTERVAL 7 DAYS"),
+            F.lag("week_cents").over(w),
+        )
+        .cast("long")
+        .alias("prev_week_cents"),
+    )
+    return out.select(
+        "week_ts",
+        "week_cents",
+        "n_purchases",
+        "prev_week_cents",
+        F.expr(
+            "CASE WHEN prev_week_cents > 0 THEN"
+            " round(CAST(week_cents - prev_week_cents AS DOUBLE)"
+            " / CAST(prev_week_cents AS DOUBLE), 6) END"
+        ).alias("wow_growth"),
+    )

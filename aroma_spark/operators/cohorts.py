@@ -714,3 +714,94 @@ def error_recovery_daily(
             " / CAST(n_errors AS DOUBLE), 6)"
         ).alias("recovery_share"),
     )
+
+
+def mau_monthly(transcripts: DataFrame) -> DataFrame:
+    """Monthly active conversations with month-over-month growth —
+    the grain above active_7d's rolling window: exact distinct
+    actives per calendar month, growth NULL on calendar chain breaks
+    (the dod_growth discipline at monthly grain).
+
+    Dedup to (conv, month) map-side (10^12 turns to |convs| x
+    |months| rows before any wide operation), ONE count per month,
+    then the lag window over |months| rows. Counts exact int64; the
+    growth is one shared float.
+
+    Emits ``month_ts, n_active, prev_n_active, mom_growth``.
+    """
+    from pyspark.sql import Window
+
+    monthly = (
+        transcripts.select(
+            "conv_id", F.date_trunc("month", F.col("ts")).alias("month_ts")
+        )
+        .distinct()
+        .groupBy("month_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    w = Window.orderBy("month_ts")
+    out = monthly.select(
+        "month_ts",
+        "n_active",
+        F.when(
+            F.lag("month_ts").over(w)
+            == F.col("month_ts") - F.expr("INTERVAL 1 MONTH"),
+            F.lag("n_active").over(w),
+        )
+        .cast("long")
+        .alias("prev_n_active"),
+    )
+    return out.select(
+        "month_ts",
+        "n_active",
+        "prev_n_active",
+        F.expr(
+            "CASE WHEN prev_n_active > 0 THEN"
+            " round(CAST(n_active - prev_n_active AS DOUBLE)"
+            " / CAST(prev_n_active AS DOUBLE), 6) END"
+        ).alias("mom_growth"),
+    )
+
+
+def conv_span_profile(transcripts: DataFrame) -> DataFrame:
+    """How many conversations outlive their start day? Per start-day
+    cohort: the multi-day share and the longest span in whole
+    calendar days — the long-running-session monitor next to
+    :func:`bounce_rate_daily`'s single-turn share.
+
+    ONE aggregation per conversation (min/max ts on the conv_id
+    exchange), then a map-side combinable per-day rollup. Day spans
+    exact int64 (datediff of the day-truncated endpoints); the share
+    is one shared float.
+
+    Emits ``day_ts, n_started, n_multi_day, max_span_days,
+    sum_span_days, multi_day_share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+        F.datediff(
+            F.date_trunc("day", F.max("ts")),
+            F.date_trunc("day", F.min("ts")),
+        )
+        .cast("long")
+        .alias("span_days"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.sum(F.when(F.col("span_days") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_day"),
+        F.max("span_days").cast("long").alias("max_span_days"),
+        F.sum("span_days").cast("long").alias("sum_span_days"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_started",
+        "n_multi_day",
+        "max_span_days",
+        "sum_span_days",
+        F.expr(
+            "round(CAST(n_multi_day AS DOUBLE)"
+            " / CAST(n_started AS DOUBLE), 6)"
+        ).alias("multi_day_share"),
+    )

@@ -612,3 +612,57 @@ def depth_tool_rate(transcripts: DataFrame) -> DataFrame:
             " / CAST(sum_turns AS DOUBLE), 6)"
         ).alias("tool_rate"),
     )
+
+
+def tool_latency_contrast(signals: DataFrame) -> DataFrame:
+    """Are tool turns slower to arrive than plain turns? Daily
+    contrast of inter-turn latency for tool-bearing vs plain turns —
+    the "does tool use cost wall-clock" report.
+
+    Rides the signals frame's precomputed ``tool_call`` 0/1 column
+    (the tool string itself never shuffles). ONE map-side
+    combinable aggregate per (day, is_tool) folded into a |days|-row
+    pivot via conditional sums. Latencies exact int64 µs;
+    integer-quotient means (1e11 magnitudes); the ratio of means is
+    one shared float over four exact ints, guarded for empty sides.
+
+    Emits ``day_ts, n_tool, n_plain, sum_tool_us, sum_plain_us,
+    mean_tool_us, mean_plain_us, tool_plain_ratio``.
+    """
+    is_tool = F.col("tool_call") == 1
+    agg = signals.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.sum(F.when(is_tool, 1).otherwise(0)).cast("long").alias("n_tool"),
+        F.sum(F.when(~is_tool, 1).otherwise(0))
+        .cast("long")
+        .alias("n_plain"),
+        F.sum(F.when(is_tool, F.col("inter_time_us")).otherwise(0))
+        .cast("long")
+        .alias("sum_tool_us"),
+        F.sum(F.when(~is_tool, F.col("inter_time_us")).otherwise(0))
+        .cast("long")
+        .alias("sum_plain_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_tool",
+        "n_plain",
+        "sum_tool_us",
+        "sum_plain_us",
+        F.expr(
+            "CASE WHEN n_tool > 0 THEN"
+            " CAST(sum_tool_us div n_tool AS BIGINT) END"
+        ).alias("mean_tool_us"),
+        F.expr(
+            "CASE WHEN n_plain > 0 THEN"
+            " CAST(sum_plain_us div n_plain AS BIGINT) END"
+        ).alias("mean_plain_us"),
+        F.expr(
+            "CASE WHEN n_tool > 0 AND n_plain > 0 AND sum_plain_us > 0"
+            " THEN round((CAST(sum_tool_us AS DOUBLE)"
+            " * CAST(n_plain AS DOUBLE))"
+            " / (CAST(sum_plain_us AS DOUBLE)"
+            " * CAST(n_tool AS DOUBLE)), 6) END"
+        ).alias("tool_plain_ratio"),
+    )

@@ -952,3 +952,159 @@ def part_class_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             " / CAST(total_ch AS DOUBLE), 6)"
         ).alias("revenue_share"),
     )
+
+
+def order_price_audit(
+    orders: DataFrame, lineitem: DataFrame, tol_c: int = 0
+) -> DataFrame:
+    """Referential money audit: does ``o_totalprice`` equal the sum
+    of its lines' charges (price * (1-disc) * (1+tax))? The warehouse
+    consistency check every ingestion pipeline should run — reported
+    per order status as counts and the worst absolute gap, everything
+    in exact integer cents.
+
+    The line charge is computed in cent-hundredth-hundredths
+    (exact int64) and floor-divided by 10^4 back to cents for the
+    comparison — floor on both engines, and o_totalprice quantizes
+    through the same ``floor(x*100+0.5)`` as every money column.
+    Scale shape: per-order line-sum on the orderkey exchange
+    (map-side combinable), co-partitioned join to orders, ONE
+    |statuses|-row rollup.
+
+    Emits ``o_orderstatus, n_orders, n_within_tol, max_abs_gap_c,
+    sum_abs_gap_c, within_share``.
+    """
+    line_charge = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(PRICE_C)
+            * (F.lit(100) - F.expr(DISC_H))
+            * (F.lit(100) + F.expr(TAX_H))
+        )
+        .cast("long")
+        .alias("charge_chh")
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    joined = o.join(
+        line_charge, o["o_orderkey"] == line_charge["l_orderkey"]
+    ).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("total_c") - F.expr("charge_chh div 10000")
+        ).alias("abs_gap_c"),
+    )
+    agg = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("abs_gap_c") <= tol_c, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_tol"),
+        F.max("abs_gap_c").cast("long").alias("max_abs_gap_c"),
+        F.sum("abs_gap_c").cast("long").alias("sum_abs_gap_c"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "n_within_tol",
+        "max_abs_gap_c",
+        "sum_abs_gap_c",
+        F.expr(
+            "round(CAST(n_within_tol AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("within_share"),
+    )
+
+
+def region_revenue_mix(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue mix by SUPPLIER region: where does the supply-side
+    money flow? The 5-row board slide above tpch_q7_trade's
+    nation-pair matrix.
+
+    region -> nation -> supplier collapse into one tiny broadcast
+    dimension bolted onto the lineitem scan map-side — the fact
+    table never shuffles wider than the |regions|-row aggregate; the
+    share comes from a global window over that aggregate. Revenue
+    exact cent-hundredths; the share is one shared float.
+
+    Emits ``r_name, n_lines, revenue_ch, revenue_share``.
+    """
+    from pyspark.sql import Window
+
+    nat = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "r_name")
+    supp = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "r_name")
+    li = lineitem.select(
+        "l_suppkey",
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias("rev_ch"),
+    )
+    agg = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_ch").cast("long").alias("revenue_ch"),
+        )
+    )
+    agg = agg.withColumn(
+        "total_ch",
+        F.sum("revenue_ch").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "r_name",
+        "n_lines",
+        "revenue_ch",
+        F.expr(
+            "round(CAST(revenue_ch AS DOUBLE)"
+            " / CAST(total_ch AS DOUBLE), 6)"
+        ).alias("revenue_share"),
+    )
+
+
+def orders_month_mix(orders: DataFrame) -> DataFrame:
+    """Order seasonality: the month-of-year mix of order volume and
+    header value across all years — does December actually spike?
+
+    ONE map-side combinable aggregation into 12 rows; the share
+    comes from a global window over those 12. Header prices quantize
+    to exact cents; the share is one shared float.
+
+    Emits ``month, n_orders, sum_total_c, order_share``.
+    """
+    from pyspark.sql import Window
+
+    agg = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sum_total_c"),
+    )
+    agg = agg.withColumn(
+        "all_orders",
+        F.sum("n_orders").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "month",
+        "n_orders",
+        "sum_total_c",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(all_orders AS DOUBLE), 6)"
+        ).alias("order_share"),
+    )

@@ -230,6 +230,21 @@ AUDITED = (
     # round-6y depth/duplication pair
     "depth_tool_rate",
     "doc_dup_rate_lang",
+    # round-6z basket/topline pair
+    "value_percentiles_1d",
+    "wow_revenue",
+    # round-7a schedule/cost pair
+    "peak_hour_dow",
+    "tool_latency_1d",
+    # round-7b audit/mix pair
+    "order_price_audit",
+    "region_rev_mix",
+    # round-7c monthly/span pair
+    "mau_1mo",
+    "conv_span_1d",
+    # round-7d script/seasonality pair
+    "charclass_lang",
+    "orders_month_mix",
 )
 
 

@@ -94,3 +94,24 @@ def test_hist_drift_daily(spark):
     assert out["2024-01-01"]["l1"] == 0.0
     assert (out["2024-01-01"]["total_l"], out["2024-01-01"]["total_r"]) == (4, 2)
     assert out["2024-01-02"]["l1"] == 2.0
+
+
+def test_peak_hour_by_dow(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.anomaly import peak_hour_by_dow
+
+    # Monday 2024-01-01 (Spark dow=2): 3 turns at 10h, 1 at 11h
+    rows = [("c", i, "2024-01-01 10:00:0%d" % i) for i in range(3)]
+    rows += [("c", 3, "2024-01-01 11:00:00")]
+    # Tuesday: tie between 09h and 10h -> earlier hour wins
+    rows += [("c", 4, "2024-01-02 09:00:00"), ("c", 5, "2024-01-02 10:00:00")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["dow"]: r for r in peak_hour_by_dow(df).collect()}
+    mon = out[2]
+    assert (mon["peak_hod"], mon["peak_turns"], mon["day_turns"]) == (
+        10, 3, 4)
+    assert mon["peak_share"] == 0.75
+    assert out[3]["peak_hod"] == 9  # tie -> earlier hour

@@ -216,3 +216,45 @@ def test_revenue_heatmap_hand_computed(spark):
     assert m10["mean_cents"] == 175.0
     assert out[(2, 11)]["sum_cents"] == 400
     assert len(out) == 2
+
+
+def test_purchase_value_percentiles(spark):
+    from aroma_spark.operators.business import purchase_value_percentiles
+
+    # 10 purchases of 1.00..10.00 on one day
+    rows = [(i, "2024-01-01 10:00:00", 1, "purchase", float(i))
+            for i in range(1, 11)]
+    rows.append((99, "2024-01-01 11:00:00", 1, "view", 50.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = purchase_value_percentiles(df).collect()[0]
+    # ranks: p50 -> 5, p90 -> 9, p99 -> ceil(9.9) = 10
+    assert (r["n_purchases"], r["p50_cents"], r["p90_cents"],
+            r["p99_cents"]) == (10, 500, 900, 1000)
+
+
+def test_wow_revenue_chain_break(spark):
+    from aroma_spark.operators.business import wow_revenue
+
+    rows = [
+        # week of Mon 2024-01-01: 1.00
+        (1, "2024-01-02 10:00:00", 1, "purchase", 1.00),
+        # next week: 3.00
+        (2, "2024-01-09 10:00:00", 1, "purchase", 3.00),
+        # two weeks later (gap): 9.00 -> chain broken
+        (3, "2024-01-23 10:00:00", 1, "purchase", 9.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["week_ts"])[:10]: r for r in wow_revenue(df).collect()}
+    assert out["2024-01-01"]["wow_growth"] is None
+    w2 = out["2024-01-08"]
+    assert (w2["prev_week_cents"], w2["wow_growth"]) == (100, 2.0)
+    w4 = out["2024-01-22"]
+    assert (w4["prev_week_cents"], w4["wow_growth"]) == (None, None)

@@ -353,3 +353,47 @@ def test_error_recovery_hand_computed(spark):
     assert (r["sum_recovery_us"], r["mean_recovery_us"]) == (
         5_000_000, 5_000_000)
     assert r["recovery_share"] == 0.5
+
+
+def test_mau_monthly_chain_break(spark):
+    from aroma_spark.operators.cohorts import mau_monthly
+
+    df = _t(
+        spark,
+        [
+            ("a", 0, "user", "x", None, "2024-01-05 10:00:00"),
+            ("b", 0, "user", "x", None, "2024-01-20 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-02-05 10:00:00"),
+            # March skipped; April has one conv -> chain broken
+            ("c", 0, "user", "x", None, "2024-04-01 10:00:00"),
+        ],
+    )
+    out = {str(r["month_ts"])[:7]: r for r in mau_monthly(df).collect()}
+    assert out["2024-01"]["n_active"] == 2
+    feb = out["2024-02"]
+    assert (feb["n_active"], feb["prev_n_active"], feb["mom_growth"]) == (
+        1, 2, -0.5)
+    apr = out["2024-04"]
+    assert (apr["prev_n_active"], apr["mom_growth"]) == (None, None)
+
+
+def test_conv_span_profile(spark):
+    from aroma_spark.operators.cohorts import conv_span_profile
+
+    df = _t(
+        spark,
+        [
+            # a: spans 2 calendar days
+            ("a", 0, "user", "x", None, "2024-01-01 23:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-03 01:00:00"),
+            # b: same-day
+            ("b", 0, "user", "x", None, "2024-01-01 10:00:00"),
+            ("b", 1, "user", "x", None, "2024-01-01 10:30:00"),
+        ],
+    )
+    out = conv_span_profile(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_started"], r["n_multi_day"], r["max_span_days"],
+            r["sum_span_days"]) == (2, 1, 2, 2)
+    assert r["multi_day_share"] == 0.5

@@ -247,3 +247,26 @@ def test_depth_tool_rate_hand_computed(spark):
     assert (b1["lo_turns"], b1["n_convs"], b1["sum_turns"],
             b1["sum_tool_calls"]) == (2, 2, 5, 3)
     assert b1["tool_rate"] == 0.6
+
+
+def test_tool_latency_contrast(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import tool_latency_contrast
+
+    rows = [
+        # day 1: tool turns with gaps 10s, 30s; plain turns 0s, 4s
+        ("a", "2024-01-01 10:00:00", 0, 1, 10_000_000),
+        ("a", "2024-01-01 10:00:30", 1, 1, 30_000_000),
+        ("a", "2024-01-01 09:00:00", 2, 0, 0),
+        ("a", "2024-01-01 09:00:04", 3, 0, 4_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, turn_idx int,"
+        " tool_call long, inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = tool_latency_contrast(df).collect()[0]
+    assert (r["n_tool"], r["n_plain"]) == (2, 2)
+    assert (r["sum_tool_us"], r["sum_plain_us"]) == (40_000_000, 4_000_000)
+    assert (r["mean_tool_us"], r["mean_plain_us"]) == (20_000_000, 2_000_000)
+    assert r["tool_plain_ratio"] == 10.0

@@ -291,3 +291,23 @@ def test_dup_rate_by_lang(spark):
     assert (en["n_docs"], en["n_distinct"], en["n_dupes"]) == (3, 2, 1)
     assert en["dup_share"] == round(1 / 3, 6)
     assert (out["fr"]["n_dupes"], out["fr"]["dup_share"]) == (0, 0.0)
+
+
+def test_charclass_by_lang(spark):
+    from aroma_spark.functions.text import charclass_by_lang
+
+    rows = [
+        (1, "ab 12", "en", "web", 5),   # 2 letters, 2 digits, 1 space
+        (2, "xyz", "en", "web", 3),     # 3 letters
+        (3, "99", "fr", "web", 2),      # 2 digits
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["lang"]: r for r in charclass_by_lang(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_chars"], en["n_letters"], en["n_digits"],
+            en["n_spaces"]) == (2, 8, 5, 2, 1)
+    assert en["letter_share"] == round(5 / 8, 6)
+    fr = out["fr"]
+    assert (fr["digit_share"], fr["letter_share"]) == (1.0, 0.0)

@@ -456,3 +456,71 @@ def test_part_class_revenue(spark):
     assert (p["n_lines"], p["revenue_ch"]) == (2, 100000)
     assert p["revenue_share"] == round(100000 / 120000, 6)
     assert out["STANDARD"]["revenue_share"] == round(20000 / 120000, 6)
+
+
+def test_order_price_audit(spark):
+    from aroma_spark.operators.tpch import order_price_audit
+
+    orders = spark.createDataFrame(
+        # order 1 totalprice exactly matches its one line's charge:
+        # 1000c * 95 * 102 = 9_690_000 chh -> 969 c -> $9.69
+        [(1, "O", 9.69), (2, "F", 5.00)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    li = _lineitem(spark, [
+        (1, 1.0, 10.00, 0.05, 0.02, "N", "O", "1996-01-01 00:00:00"),
+        # order 2's line charges sum to 300c but header says 500c
+        (2, 1.0, 3.00, 0.00, 0.00, "N", "O", "1996-01-01 00:00:00"),
+    ])
+    out = {r["o_orderstatus"]: r
+           for r in order_price_audit(orders, li).collect()}
+    o = out["O"]
+    assert (o["n_orders"], o["n_within_tol"], o["max_abs_gap_c"]) == (
+        1, 1, 0)
+    assert o["within_share"] == 1.0
+    f = out["F"]
+    assert (f["n_within_tol"], f["max_abs_gap_c"],
+            f["sum_abs_gap_c"]) == (0, 200, 200)
+
+
+def test_region_revenue_mix(spark):
+    from aroma_spark.operators.tpch import region_revenue_mix
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "CHINA", 0), (20, "FRANCE", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, "s1", 10, 0.0), (200, "s2", 20, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double")
+    li = spark.createDataFrame(
+        [
+            (100, 10.00, 0.10),  # ASIA: 1000*90 = 90000
+            (200, 1.00, 0.00),   # EUROPE: 100*100 = 10000
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double")
+    out = {r["r_name"]: r
+           for r in region_revenue_mix(li, supplier, nation, region).collect()}
+    assert out["ASIA"]["revenue_ch"] == 90000
+    assert out["ASIA"]["revenue_share"] == 0.9
+    assert out["EUROPE"]["revenue_share"] == 0.1
+
+
+def test_orders_month_mix(spark):
+    from aroma_spark.operators.tpch import orders_month_mix
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1995-01-10 00:00:00", 1.00),
+            (2, "1996-01-20 00:00:00", 2.00),  # same month, other year
+            (3, "1996-03-05 00:00:00", 4.00),
+        ],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["month"]: r for r in orders_month_mix(orders).collect()}
+    jan = out[1]
+    assert (jan["n_orders"], jan["sum_total_c"]) == (2, 300)
+    assert jan["order_share"] == round(2 / 3, 6)
+    assert out[3]["sum_total_c"] == 400
