@@ -6,8 +6,17 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 232 registered queries, ALL 232 with hash-compared DuckDB
-oracles — including the round-6z..7d batch (``value_percentiles_1d``
+Round 5: 242 registered queries, ALL 242 with hash-compared DuckDB
+oracles — including the round-7e..7i batch (``ship_delay_nation``
+supplier-nation shipping delay, ``signup_purchase_lag`` the
+signup-to-purchase funnel latency, ``revenue_new_ret`` the
+new-vs-returning money split, ``tool_diversity`` the tool-repertoire
+histogram, ``order_value_priority`` header value by priority,
+``first_role_mix_1d`` the daily entry-point mix,
+``purchase_by_depth`` conversion by depth bucket, ``top_order_1mo``
+the monthly whale order, ``error_rate_hod`` error share by hour,
+``emb_dim_profile`` the per-dimension embedding census), the
+round-6z..7d batch (``value_percentiles_1d``
 exact daily basket percentiles, ``wow_revenue`` week-over-week
 revenue, ``peak_hour_dow`` per-weekday peak hour,
 ``tool_latency_1d`` tool-vs-plain latency contrast,
@@ -2569,6 +2578,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return orders_month_mix(load_table(spark, sf, "orders"))
 
     q["orders_month_mix"] = orders_month_mix_q
+
+    def ship_delay_nation(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import ship_delay_by_nation
+
+        return ship_delay_by_nation(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        )
+
+    q["ship_delay_nation"] = ship_delay_nation
+
+    def signup_purchase_lag(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import signup_purchase_lag_daily
+
+        return signup_purchase_lag_daily(transcripts_from_events(spark, sf))
+
+    q["signup_purchase_lag"] = signup_purchase_lag
+
+    def revenue_new_ret(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import revenue_new_vs_returning
+
+        return revenue_new_vs_returning(load_table(spark, sf, "events"))
+
+    q["revenue_new_ret"] = revenue_new_ret
+
+    def tool_diversity_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_diversity
+
+        return tool_diversity(transcripts_from_events(spark, sf))
+
+    q["tool_diversity"] = tool_diversity_q
+
+    def order_value_priority(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_value_by_priority
+
+        return order_value_by_priority(load_table(spark, sf, "orders"))
+
+    q["order_value_priority"] = order_value_priority
+
+    def first_role_mix_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import first_role_mix_daily
+
+        return first_role_mix_daily(transcripts_from_events(spark, sf))
+
+    q["first_role_mix_1d"] = first_role_mix_1d
+
+    def purchase_by_depth_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import purchase_by_depth
+
+        return purchase_by_depth(transcripts_from_events(spark, sf))
+
+    q["purchase_by_depth"] = purchase_by_depth_q
+
+    def top_order_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import top_order_monthly
+
+        return top_order_monthly(load_table(spark, sf, "orders"))
+
+    q["top_order_1mo"] = top_order_1mo
+
+    def error_rate_hod(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import error_rate_by_hour
+
+        return error_rate_by_hour(transcripts_from_events(spark, sf))
+
+    q["error_rate_hod"] = error_rate_hod
+
+    def emb_dim_profile(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import dim_profile
+
+        return dim_profile(load_table(spark, sf, "embeddings"))
+
+    q["emb_dim_profile"] = emb_dim_profile
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -6916,4 +7000,179 @@ SELECT month, n_orders, sum_total_c,
        round(CAST(n_orders AS DOUBLE) / CAST(all_orders AS DOUBLE), 6)
          AS order_share
 FROM tot"""
+
+    # round-7e..7i batch: logistics, funnels, money splits, mixes and
+    # the per-dimension embedding census.
+    o["ship_delay_nation"] = """WITH sd AS (
+  SELECT s.s_suppkey, n.n_name AS supp_nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+j AS (SELECT sd.supp_nation,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          CAST(li.l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem li
+      JOIN orders o ON li.l_orderkey = o.o_orderkey
+      JOIN sd ON li.l_suppkey = sd.s_suppkey),
+ag AS (SELECT supp_nation, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(days) AS BIGINT) AS sum_days,
+         CAST(min(days) AS BIGINT) AS min_days,
+         CAST(max(days) AS BIGINT) AS max_days
+       FROM j GROUP BY supp_nation)
+SELECT supp_nation, n_lines, sum_days, min_days, max_days,
+       round(CAST(sum_days AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS mean_days
+FROM ag"""
+
+    o["signup_purchase_lag"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+fs AS (SELECT conv_id,
+         min(CASE WHEN role = 'signup' THEN ts END) AS signup_ts
+       FROM t GROUP BY conv_id),
+j AS (SELECT t.conv_id, t.role, t.ts, fs.signup_ts
+      FROM t JOIN fs ON t.conv_id = fs.conv_id
+      WHERE fs.signup_ts IS NOT NULL),
+pc AS (SELECT conv_id,
+         date_trunc('day', min(signup_ts)) AS day_ts,
+         epoch_us(min(CASE WHEN role = 'purchase'
+             AND ts >= signup_ts THEN ts END))
+           - epoch_us(min(signup_ts)) AS lag_us
+       FROM j GROUP BY conv_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_signups,
+         CAST(count(lag_us) AS BIGINT) AS n_converted,
+         CAST(sum(lag_us) AS BIGINT) AS sum_lag_us,
+         CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+         CAST(max(lag_us) AS BIGINT) AS max_lag_us
+       FROM pc GROUP BY day_ts)
+SELECT day_ts, n_signups, n_converted, sum_lag_us, min_lag_us,
+       max_lag_us,
+       CASE WHEN n_converted > 0 THEN
+         CAST(sum_lag_us // n_converted AS BIGINT) END AS mean_lag_us,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_signups AS DOUBLE), 6)
+         AS conversion_share
+FROM ag"""
+
+    o["revenue_new_ret"] = """WITH fd AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS first_day
+  FROM events GROUP BY user_id),
+p AS (SELECT e.user_id, date_trunc('day', e.ts) AS day_ts,
+        CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e WHERE e.event_type = 'purchase'),
+j AS (SELECT p.day_ts, p.cents,
+        p.day_ts = fd.first_day AS is_new
+      FROM p JOIN fd ON p.user_id = fd.user_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+           AS new_cents,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+           AS returning_cents,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+       FROM j GROUP BY day_ts)
+SELECT day_ts, n_purchases, new_cents, returning_cents, total_cents,
+       CASE WHEN total_cents > 0 THEN round(CAST(new_cents AS DOUBLE)
+         / CAST(total_cents AS DOUBLE), 6) END AS new_share
+FROM ag"""
+
+    o["tool_diversity"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id,
+         CAST(count(DISTINCT CASE WHEN tool IS NOT NULL
+           AND tool <> '' THEN tool END) AS BIGINT)
+           AS n_distinct_tools
+       FROM t GROUP BY conv_id),
+hist AS (SELECT n_distinct_tools,
+           CAST(count(*) AS BIGINT) AS n_convs
+         FROM pc GROUP BY n_distinct_tools),
+tot AS (SELECT hist.*, CAST(sum(n_convs) OVER () AS BIGINT)
+          AS total_convs FROM hist)
+SELECT n_distinct_tools, n_convs,
+       round(CAST(n_convs AS DOUBLE) / CAST(total_convs AS DOUBLE), 6)
+         AS share
+FROM tot"""
+
+    o["order_value_priority"] = """WITH base AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+  FROM orders),
+ag AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(total_c) AS BIGINT) AS sum_total_c,
+         CAST(min(total_c) AS BIGINT) AS min_total_c,
+         CAST(max(total_c) AS BIGINT) AS max_total_c
+       FROM base GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_orders, sum_total_c, min_total_c,
+       max_total_c,
+       round(CAST(sum_total_c AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS mean_total_c
+FROM ag"""
+
+    o["first_role_mix_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, date_trunc('day', min(ts)) AS day_ts,
+         min_by(role, turn_idx) AS first_role
+       FROM t GROUP BY conv_id),
+counts AS (SELECT day_ts, first_role,
+             CAST(count(*) AS BIGINT) AS n_convs
+           FROM pc GROUP BY day_ts, first_role),
+m AS (SELECT counts.*, CAST(sum(n_convs) OVER (PARTITION BY day_ts)
+        AS BIGINT) AS day_convs FROM counts)
+SELECT day_ts, first_role, n_convs, day_convs,
+       round(CAST(n_convs AS DOUBLE) / CAST(day_convs AS DOUBLE), 6)
+         AS share
+FROM m"""
+
+    o["purchase_by_depth"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(max(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS has_purchase
+       FROM t GROUP BY conv_id),
+bk AS (SELECT CAST(length(bin(n_turns)) - 1 AS INTEGER) AS bucket,
+         has_purchase
+       FROM pc),
+ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(has_purchase) AS BIGINT) AS n_with_purchase
+       FROM bk GROUP BY bucket)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_turns, n_convs,
+       n_with_purchase,
+       round(CAST(n_with_purchase AS DOUBLE)
+         / CAST(n_convs AS DOUBLE), 6) AS purchase_share
+FROM ag"""
+
+    o["top_order_1mo"] = """WITH base AS (
+  SELECT date_trunc('month', o_orderdate) AS month_ts, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+  FROM orders),
+rk AS (SELECT month_ts, o_orderkey, total_c,
+         row_number() OVER (PARTITION BY month_ts
+           ORDER BY total_c DESC, o_orderkey ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY month_ts) AS BIGINT)
+           AS n_orders,
+         CAST(sum(total_c) OVER (PARTITION BY month_ts) AS BIGINT)
+           AS month_total_c
+       FROM base)
+SELECT month_ts, o_orderkey, total_c AS top_total_c, n_orders,
+       month_total_c,
+       CASE WHEN month_total_c > 0 THEN round(CAST(total_c AS DOUBLE)
+         / CAST(month_total_c AS DOUBLE), 6) END AS top_share
+FROM rk WHERE rn = 1"""
+
+    o["error_rate_hod"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+ag AS (SELECT CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN role = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_errors
+       FROM t GROUP BY 1)
+SELECT hod, n_turns, n_errors,
+       round(CAST(n_errors AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)
+         AS error_share
+FROM ag"""
+
+    o["emb_dim_profile"] = """WITH ex AS (
+  SELECT CAST(t.i AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000 + 0.5)
+           AS BIGINT) AS fx
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+ag AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(fx) AS BIGINT) AS sum_fx,
+         CAST(min(fx) AS BIGINT) AS min_fx,
+         CAST(max(fx) AS BIGINT) AS max_fx
+       FROM ex GROUP BY dim)
+SELECT dim, n_vecs, sum_fx, min_fx, max_fx,
+       round(CAST(sum_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+         AS mean_fx
+FROM ag"""
     return o

@@ -451,3 +451,54 @@ def wow_revenue(events: DataFrame) -> DataFrame:
             " / CAST(prev_week_cents AS DOUBLE), 6) END"
         ).alias("wow_growth"),
     )
+
+
+def revenue_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily purchase revenue split by NEW vs RETURNING buyers: cents
+    from users whose first-ever activity (any event type) is that
+    same day vs. everyone else — the acquisition-vs-retention money
+    split under the growth-accounting lens.
+
+    Two passes over the one user_id exchange: the per-user first
+    active day (a map-side combinable min), then a co-partitioned
+    join onto the purchase slice (the purchase filter pushed to its
+    scan) and ONE |days|-row rollup. Cents exact int64; the new
+    share is one shared float, guarded for zero-revenue days.
+
+    Emits ``day_ts, n_purchases, new_cents, returning_cents,
+    total_cents, new_share``.
+    """
+    first_day = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.expr(CENTS).alias("cents"),
+    )
+    j = p.join(first_day, "user_id").select(
+        "day_ts",
+        "cents",
+        (F.col("day_ts") == F.col("first_day")).alias("is_new"),
+    )
+    agg = j.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("returning_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_purchases",
+        "new_cents",
+        "returning_cents",
+        "total_cents",
+        F.expr(
+            "CASE WHEN total_cents > 0 THEN round(CAST(new_cents"
+            " AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) END"
+        ).alias("new_share"),
+    )

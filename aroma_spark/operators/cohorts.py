@@ -805,3 +805,62 @@ def conv_span_profile(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_started AS DOUBLE), 6)"
         ).alias("multi_day_share"),
     )
+
+
+def signup_purchase_lag_daily(transcripts: DataFrame) -> DataFrame:
+    """Signup-to-first-purchase lag per signup-day cohort: for
+    conversations that sign up and LATER purchase, the exact µs from
+    first signup turn to the first purchase turn at or after it —
+    the activation funnel's wall-clock cost (the monetary sibling of
+    :func:`time_to_first_tool_daily`).
+
+    ONE aggregation per conversation — min signup ts, then the
+    conditional min purchase ts bounded below by it, both riding the
+    conv_id exchange (the bound is enforced with a two-pass
+    conditional aggregate, no self-join) — then a map-side
+    combinable per-day rollup. Exact int64 µs; integer-quotient
+    mean; one shared float conversion share.
+
+    Emits ``day_ts, n_signups, n_converted, sum_lag_us, min_lag_us,
+    max_lag_us, mean_lag_us, conversion_share``.
+    """
+    su = F.when(F.col("role") == "signup", F.col("ts"))
+    first_signup = transcripts.groupBy("conv_id").agg(
+        F.min(su).alias("signup_ts")
+    )
+    j = transcripts.join(first_signup, "conv_id").where(
+        F.col("signup_ts").isNotNull()
+    )
+    pu = F.when(
+        (F.col("role") == "purchase") & (F.col("ts") >= F.col("signup_ts")),
+        F.col("ts"),
+    )
+    per_conv = j.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("signup_ts")).alias("day_ts"),
+        (
+            F.unix_micros(F.min(pu)) - F.unix_micros(F.min("signup_ts"))
+        ).alias("lag_us"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("lag_us").cast("long").alias("n_converted"),
+        F.sum("lag_us").cast("long").alias("sum_lag_us"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_signups",
+        "n_converted",
+        "sum_lag_us",
+        "min_lag_us",
+        "max_lag_us",
+        F.expr(
+            "CASE WHEN n_converted > 0 THEN"
+            " CAST(sum_lag_us div n_converted AS BIGINT) END"
+        ).alias("mean_lag_us"),
+        F.expr(
+            "round(CAST(n_converted AS DOUBLE)"
+            " / CAST(n_signups AS DOUBLE), 6)"
+        ).alias("conversion_share"),
+    )

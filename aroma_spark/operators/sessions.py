@@ -666,3 +666,149 @@ def tool_latency_contrast(signals: DataFrame) -> DataFrame:
             " * CAST(n_tool AS DOUBLE)), 6) END"
         ).alias("tool_plain_ratio"),
     )
+
+
+def tool_diversity(transcripts: DataFrame) -> DataFrame:
+    """Tool-repertoire histogram: how many DISTINCT tools does a
+    conversation touch? The capability-breadth distribution (0 =
+    pure dialogue, k = the whole toolbox), with the corpus share.
+
+    One exact count-distinct per conversation on the conv_id
+    exchange (empty/null tools excluded), then a tiny histogram
+    with its share from a global window. Counts exact int64.
+
+    Emits ``n_distinct_tools, n_convs, share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.countDistinct(
+            F.when(
+                F.col("tool").isNotNull() & (F.col("tool") != ""),
+                F.col("tool"),
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_tools")
+    )
+    hist = per_conv.groupBy("n_distinct_tools").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    hist = hist.withColumn(
+        "total_convs",
+        F.sum("n_convs").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "n_distinct_tools",
+        "n_convs",
+        F.expr(
+            "round(CAST(n_convs AS DOUBLE)"
+            " / CAST(total_convs AS DOUBLE), 6)"
+        ).alias("share"),
+    )
+
+
+def first_role_mix_daily(transcripts: DataFrame) -> DataFrame:
+    """How do each day's NEW conversations open? Counts of the first
+    role per start-day with the within-day share — the acquisition
+    entry-point mix over time (the daily drill-down of
+    :func:`boundary_roles`' corpus matrix).
+
+    ONE min-struct aggregation per conversation on the conv_id
+    exchange, a map-side combinable (day, role) rollup, the day
+    total as a window sum over that small result. Counts exact
+    int64; the share is one shared float.
+
+    Emits ``day_ts, first_role, n_convs, day_convs, share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+        F.min(F.struct("turn_idx", "role"))["role"].alias("first_role"),
+    )
+    counts = per_conv.groupBy("day_ts", "first_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    counts = counts.withColumn(
+        "day_convs",
+        F.sum("n_convs")
+        .over(Window.partitionBy("day_ts"))
+        .cast("long"),
+    )
+    return counts.select(
+        "day_ts",
+        "first_role",
+        "n_convs",
+        "day_convs",
+        F.expr(
+            "round(CAST(n_convs AS DOUBLE) / CAST(day_convs AS DOUBLE), 6)"
+        ).alias("share"),
+    )
+
+
+def purchase_by_depth(transcripts: DataFrame) -> DataFrame:
+    """Conversion by conversation depth: of the conversations in each
+    power-of-two turn-count bucket, how many contain a purchase?
+    Answers "do longer sessions convert better?" — the commerce
+    sibling of :func:`depth_tool_rate`.
+
+    ONE per-conversation aggregate (count + purchase flag) on the
+    conv_id exchange, integer bit-length bucketing, a ~30-row
+    rollup. Counts exact int64; the conversion share is one shared
+    float.
+
+    Emits ``bucket, lo_turns, n_convs, n_with_purchase,
+    purchase_share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max(F.when(F.col("role") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("has_purchase"),
+    )
+    bucketed = per_conv.select(
+        (F.length(F.conv(F.col("n_turns"), 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "has_purchase",
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("has_purchase").cast("long").alias("n_with_purchase"),
+    )
+    return agg.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias("lo_turns"),
+        "n_convs",
+        "n_with_purchase",
+        F.expr(
+            "round(CAST(n_with_purchase AS DOUBLE)"
+            " / CAST(n_convs AS DOUBLE), 6)"
+        ).alias("purchase_share"),
+    )
+
+
+def error_rate_by_hour(transcripts: DataFrame) -> DataFrame:
+    """Error pressure by hour of day: the share of turns that are
+    ``error`` events per hour-of-day across the corpus — does the
+    error rate follow load (a capacity symptom) or not (a code
+    symptom)?
+
+    ONE map-side combinable aggregation into 24 rows; the share is
+    one shared float over exact counts.
+
+    Emits ``hod, n_turns, n_errors, error_share``.
+    """
+    agg = transcripts.groupBy(
+        F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return agg.select(
+        "hod",
+        "n_turns",
+        "n_errors",
+        F.expr(
+            "round(CAST(n_errors AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)"
+        ).alias("error_share"),
+    )

@@ -736,3 +736,42 @@ def norm_profile(embeddings: DataFrame, scale: int = 10_000) -> DataFrame:
             "round(CAST(sum_sq_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
         ).alias("mean_sq_fx"),
     )
+
+
+def dim_profile(embeddings: DataFrame, scale: int = 10_000) -> DataFrame:
+    """Per-DIMENSION embedding census in exact fixed point: for every
+    vector position, the count / sum / min / max of the quantized
+    components — the "is dimension 17 dead or saturated?" drift
+    check that :func:`norm_profile` (per label) cannot see.
+
+    The posexplode fans out |vecs| x dim rows — bounded by the fixed
+    dimensionality, never data-squared — and feeds ONE map-side
+    combinable aggregate into exactly ``dim`` output rows. Sums
+    exact int64 (same 1e-4 fixed point and headroom note as
+    norm_profile); the mean is one shared float at component
+    magnitudes.
+
+    Emits ``dim, n_vecs, sum_fx, min_fx, max_fx, mean_fx``.
+    """
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    exploded = embeddings.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), q.alias("fx"))
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("fx").cast("long").alias("sum_fx"),
+        F.min("fx").cast("long").alias("min_fx"),
+        F.max("fx").cast("long").alias("max_fx"),
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        "sum_fx",
+        "min_fx",
+        "max_fx",
+        F.expr(
+            "round(CAST(sum_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
+        ).alias("mean_fx"),
+    )

@@ -1108,3 +1108,136 @@ def orders_month_mix(orders: DataFrame) -> DataFrame:
             " / CAST(all_orders AS DOUBLE), 6)"
         ).alias("order_share"),
     )
+
+
+def ship_delay_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-supplier-nation shipping delay: whole days from order
+    placement to each line's ship date — which supply bases are
+    slow? The logistics companion to tpch_q7_trade's revenue matrix.
+
+    The big lineitem ⋈ orders orderkey join (co-partitioned; the
+    orders side pruned to 2 columns), supplier+nation broadcast on
+    map-side, ONE |nations|-row aggregate. Day diffs exact int64;
+    the mean is one shared float at day magnitudes.
+
+    Emits ``supp_nation, n_lines, sum_days, min_days, max_days,
+    mean_days``.
+    """
+    sd = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    o = orders.select("o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sd), li["l_suppkey"] == sd["s_suppkey"])
+        .select(
+            "supp_nation",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    agg = joined.groupBy("supp_nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("days").cast("long").alias("sum_days"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    return agg.select(
+        "supp_nation",
+        "n_lines",
+        "sum_days",
+        "min_days",
+        "max_days",
+        F.expr(
+            "round(CAST(sum_days AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)"
+        ).alias("mean_days"),
+    )
+
+
+def order_value_by_priority(orders: DataFrame) -> DataFrame:
+    """Order header value profile per priority class in exact cents —
+    do urgent orders actually carry more money?
+
+    ONE map-side combinable aggregation into |priorities| rows; the
+    mean is one shared float at cent magnitudes.
+
+    Emits ``o_orderpriority, n_orders, sum_total_c, min_total_c,
+    max_total_c, mean_total_c``.
+    """
+    base = orders.select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("total_c").cast("long").alias("sum_total_c"),
+        F.min("total_c").cast("long").alias("min_total_c"),
+        F.max("total_c").cast("long").alias("max_total_c"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_total_c",
+        "min_total_c",
+        "max_total_c",
+        F.expr(
+            "round(CAST(sum_total_c AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("mean_total_c"),
+    )
+
+
+def top_order_monthly(orders: DataFrame) -> DataFrame:
+    """The single biggest order of each month (exact cents,
+    deterministic tie to the lower orderkey) and its share of the
+    month's header value — the whale-watch report.
+
+    ONE (month) aggregate for totals plus a row_number argmax, both
+    riding one month exchange. Cents exact int64; the share is one
+    shared float.
+
+    Emits ``month_ts, o_orderkey, top_total_c, n_orders,
+    month_total_c, top_share``.
+    """
+    from pyspark.sql import Window
+
+    base = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts"),
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    w = Window.partitionBy("month_ts").orderBy(
+        F.col("total_c").desc(), F.col("o_orderkey").asc()
+    )
+    wm = Window.partitionBy("month_ts")
+    ranked = base.select(
+        "month_ts",
+        "o_orderkey",
+        "total_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).cast("long").alias("n_orders"),
+        F.sum("total_c").over(wm).cast("long").alias("month_total_c"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "month_ts",
+        "o_orderkey",
+        F.col("total_c").alias("top_total_c"),
+        "n_orders",
+        "month_total_c",
+        F.expr(
+            "CASE WHEN month_total_c > 0 THEN round(CAST(total_c"
+            " AS DOUBLE) / CAST(month_total_c AS DOUBLE), 6) END"
+        ).alias("top_share"),
+    )

@@ -245,6 +245,17 @@ AUDITED = (
     # round-7d script/seasonality pair
     "charclass_lang",
     "orders_month_mix",
+    # round-7e..7i batch
+    "ship_delay_nation",
+    "signup_purchase_lag",
+    "revenue_new_ret",
+    "tool_diversity",
+    "order_value_priority",
+    "first_role_mix_1d",
+    "purchase_by_depth",
+    "top_order_1mo",
+    "error_rate_hod",
+    "emb_dim_profile",
 )
 
 

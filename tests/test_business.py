@@ -258,3 +258,31 @@ def test_wow_revenue_chain_break(spark):
     assert (w2["prev_week_cents"], w2["wow_growth"]) == (100, 2.0)
     w4 = out["2024-01-22"]
     assert (w4["prev_week_cents"], w4["wow_growth"]) == (None, None)
+
+
+def test_revenue_new_vs_returning(spark):
+    from aroma_spark.operators.business import revenue_new_vs_returning
+
+    rows = [
+        # user 1 first active Jan 1 (view), purchases same day (new)
+        (1, "2024-01-01 09:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        # user 1 purchases again Jan 2 (returning)
+        (3, "2024-01-02 10:00:00", 1, "purchase", 3.00),
+        # user 2 first active Jan 2 via purchase (new)
+        (4, "2024-01-02 11:00:00", 2, "purchase", 5.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in revenue_new_vs_returning(df).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1["new_cents"], d1["returning_cents"]) == (100, 0)
+    assert d1["new_share"] == 1.0
+    d2 = out["2024-01-02"]
+    assert (d2["new_cents"], d2["returning_cents"],
+            d2["total_cents"]) == (500, 300, 800)
+    assert d2["new_share"] == 0.625

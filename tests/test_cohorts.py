@@ -397,3 +397,28 @@ def test_conv_span_profile(spark):
     assert (r["n_started"], r["n_multi_day"], r["max_span_days"],
             r["sum_span_days"]) == (2, 1, 2, 2)
     assert r["multi_day_share"] == 0.5
+
+
+def test_signup_purchase_lag(spark):
+    from aroma_spark.operators.cohorts import signup_purchase_lag_daily
+
+    df = _t(
+        spark,
+        [
+            # a: signup then purchase 90s later (an earlier purchase
+            # BEFORE signup must not count)
+            ("a", 0, "purchase", "x", None, "2024-01-01 09:00:00"),
+            ("a", 1, "signup", "x", None, "2024-01-01 10:00:00"),
+            ("a", 2, "purchase", "x", None, "2024-01-01 10:01:30"),
+            # b: signup, never purchases
+            ("b", 0, "signup", "x", None, "2024-01-01 11:00:00"),
+            # c: no signup -> not a cohort member
+            ("c", 0, "purchase", "x", None, "2024-01-01 12:00:00"),
+        ],
+    )
+    out = signup_purchase_lag_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_signups"], r["n_converted"]) == (2, 1)
+    assert (r["sum_lag_us"], r["mean_lag_us"]) == (90_000_000, 90_000_000)
+    assert r["conversion_share"] == 0.5

@@ -270,3 +270,83 @@ def test_tool_latency_contrast(spark):
     assert (r["sum_tool_us"], r["sum_plain_us"]) == (40_000_000, 4_000_000)
     assert (r["mean_tool_us"], r["mean_plain_us"]) == (20_000_000, 2_000_000)
     assert r["tool_plain_ratio"] == 10.0
+
+
+def test_tool_diversity(spark):
+    from aroma_spark.operators.sessions import tool_diversity
+
+    rows = [
+        ("a", 0, "click", "click"), ("a", 1, "purchase", "purchase"),
+        ("b", 0, "click", "click"), ("b", 1, "click", "click"),
+        ("c", 0, "view", None), ("c", 1, "view", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    out = {r["n_distinct_tools"]: r for r in tool_diversity(df).collect()}
+    assert out[2]["n_convs"] == 1  # a
+    assert out[1]["n_convs"] == 1  # b
+    assert out[0]["n_convs"] == 1  # c
+    assert out[0]["share"] == round(1 / 3, 6)
+
+
+def test_first_role_mix_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import first_role_mix_daily
+
+    rows = [
+        ("a", 0, "view", "2024-01-01 10:00:00"),
+        ("a", 1, "click", "2024-01-01 11:00:00"),
+        ("b", 0, "signup", "2024-01-01 12:00:00"),
+        ("c", 0, "view", "2024-01-02 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["day_ts"])[:10], r["first_role"]): r
+           for r in first_role_mix_daily(df).collect()}
+    v = out[("2024-01-01", "view")]
+    assert (v["n_convs"], v["day_convs"]) == (1, 2)
+    assert v["share"] == 0.5
+    assert out[("2024-01-02", "view")]["share"] == 1.0
+
+
+def test_purchase_by_depth(spark):
+    from aroma_spark.operators.sessions import purchase_by_depth
+
+    rows = [
+        # 1-turn conv without purchase (bucket 0)
+        ("a", 0, "view"),
+        # 1-turn conv WITH purchase (bucket 0)
+        ("b", 0, "purchase"),
+        # 3-turn conv with purchase (bucket 1)
+        ("c", 0, "view"), ("c", 1, "click"), ("c", 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    out = {r["bucket"]: r for r in purchase_by_depth(df).collect()}
+    b0 = out[0]
+    assert (b0["n_convs"], b0["n_with_purchase"]) == (2, 1)
+    assert b0["purchase_share"] == 0.5
+    assert (out[1]["n_convs"], out[1]["purchase_share"]) == (1, 1.0)
+
+
+def test_error_rate_by_hour(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import error_rate_by_hour
+
+    rows = [
+        ("a", 0, "error", "2024-01-01 10:00:00"),
+        ("a", 1, "view", "2024-01-01 10:30:00"),
+        ("a", 2, "view", "2024-01-02 10:15:00"),  # same hod, other day
+        ("a", 3, "view", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["hod"]: r for r in error_rate_by_hour(df).collect()}
+    h10 = out[10]
+    assert (h10["n_turns"], h10["n_errors"]) == (3, 1)
+    assert h10["error_share"] == round(1 / 3, 6)
+    assert out[11]["error_share"] == 0.0

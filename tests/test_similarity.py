@@ -255,3 +255,24 @@ def test_norm_profile_fixed_point(spark):
     assert l0["mean_sq_fx"] == 75_000_000.0
     # label 1: 0.00006*1e4 = 0.6 -> floor(0.6+0.5)=1 -> sq 1
     assert out[1]["sum_sq_fx"] == 1
+
+
+def test_dim_profile_fixed_point(spark):
+    from aroma_spark.operators.similarity import dim_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.5], 0),
+            (2, [0.25, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["dim"]: r for r in dim_profile(df).collect()}
+    d1 = out[1]
+    # fx: 5000 and 2500
+    assert (d1["n_vecs"], d1["sum_fx"], d1["min_fx"], d1["max_fx"]) == (
+        2, 7500, 2500, 5000)
+    assert d1["mean_fx"] == 3750.0
+    d2 = out[2]
+    assert (d2["sum_fx"], d2["min_fx"], d2["max_fx"]) == (
+        5000, -5000, 10000)

@@ -524,3 +524,57 @@ def test_orders_month_mix(spark):
     assert (jan["n_orders"], jan["sum_total_c"]) == (2, 300)
     assert jan["order_share"] == round(2 / 3, 6)
     assert out[3]["sum_total_c"] == 400
+
+
+def test_ship_delay_by_nation(spark):
+    from aroma_spark.operators.tpch import ship_delay_by_nation
+
+    orders = _orders(spark, [(1, 10, "1996-01-01 00:00:00")])
+    li = _lineitem(spark, [
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-06 00:00:00"),
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-11 00:00:00"),
+    ]).withColumn("l_suppkey", F.lit(100))
+    supplier = spark.createDataFrame(
+        [(100, "s", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    nation = spark.createDataFrame(
+        [(0, "CHINA", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    r = ship_delay_by_nation(li, orders, supplier, nation).collect()[0]
+    assert (r["supp_nation"], r["n_lines"], r["sum_days"], r["min_days"],
+            r["max_days"]) == ("CHINA", 2, 15, 5, 10)
+    assert r["mean_days"] == 7.5
+
+
+def test_order_value_by_priority(spark):
+    from aroma_spark.operators.tpch import order_value_by_priority
+
+    orders = spark.createDataFrame(
+        [("1-URGENT", 1.00), ("1-URGENT", 3.00), ("5-LOW", 10.00)],
+        "o_orderpriority string, o_totalprice double")
+    out = {r["o_orderpriority"]: r
+           for r in order_value_by_priority(orders).collect()}
+    u = out["1-URGENT"]
+    assert (u["n_orders"], u["sum_total_c"], u["min_total_c"],
+            u["max_total_c"]) == (2, 400, 100, 300)
+    assert u["mean_total_c"] == 200.0
+
+
+def test_top_order_monthly(spark):
+    from aroma_spark.operators.tpch import top_order_monthly
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1996-01-05 00:00:00", 1.00),
+            (2, "1996-01-20 00:00:00", 3.00),
+            (3, "1996-02-01 00:00:00", 2.00),
+            # tie with order 5 -> lower orderkey wins
+            (5, "1996-02-10 00:00:00", 2.00),
+        ],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["month_ts"].month: r for r in top_order_monthly(orders).collect()}
+    jan = out[1]
+    assert (jan["o_orderkey"], jan["top_total_c"], jan["n_orders"],
+            jan["month_total_c"]) == (2, 300, 2, 400)
+    assert jan["top_share"] == 0.75
+    assert out[2]["o_orderkey"] == 3  # tie -> lower key
