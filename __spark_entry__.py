@@ -6,8 +6,16 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 242 registered queries, ALL 242 with hash-compared DuckDB
-oracles — including the round-7e..7i batch (``ship_delay_nation``
+Round 5: 252 registered queries, ALL 252 with hash-compared DuckDB
+oracles — including the round-7j..7n batch (``lattice_parity`` the
+runnable hour→day re-aggregation invariant (n_mismatch must be 0),
+``text_len_cdf`` fixed-threshold length CDF, ``doc_prefix_dup``
+prefix-duplication pressure, ``order_gap_hist`` reorder cadence,
+``latency_spread_1d`` daily dispersion, ``role_mix_drift_1w`` weekly
+mix drift, ``supplier_bal_nation`` signed-cents balances,
+``weekend_mix`` the calendar split, ``source_lang_entropy`` termwise
+Shannon entropy, ``top_term_lang`` the per-language argmax token),
+the round-7e..7i batch (``ship_delay_nation``
 supplier-nation shipping delay, ``signup_purchase_lag`` the
 signup-to-purchase funnel latency, ``revenue_new_ret`` the
 new-vs-returning money split, ``tool_diversity`` the tool-repertoire
@@ -2653,6 +2661,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dim_profile(load_table(spark, sf, "embeddings"))
 
     q["emb_dim_profile"] = emb_dim_profile
+
+    def lattice_parity_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import lattice_parity
+
+        return lattice_parity(_signals(spark, sf))
+
+    q["lattice_parity"] = lattice_parity_q
+
+    def text_len_cdf_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import text_len_cdf
+
+        return text_len_cdf(_signals(spark, sf))
+
+    q["text_len_cdf"] = text_len_cdf_q
+
+    def doc_prefix_dup(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import prefix_dup_by_source
+
+        return prefix_dup_by_source(load_table(spark, sf, "documents"))
+
+    q["doc_prefix_dup"] = doc_prefix_dup
+
+    def order_gap_hist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_interarrival_hist
+
+        return order_interarrival_hist(load_table(spark, sf, "orders"))
+
+    q["order_gap_hist"] = order_gap_hist
+
+    def latency_spread_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import latency_spread_daily
+
+        return latency_spread_daily(_signals(spark, sf))
+
+    q["latency_spread_1d"] = latency_spread_1d
+
+    def role_mix_drift_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import role_mix_drift_weekly
+
+        return role_mix_drift_weekly(transcripts_from_events(spark, sf))
+
+    q["role_mix_drift_1w"] = role_mix_drift_1w
+
+    def supplier_bal_nation(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import supplier_balance_by_nation
+
+        return supplier_balance_by_nation(
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        )
+
+    q["supplier_bal_nation"] = supplier_bal_nation
+
+    def weekend_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import weekend_mix
+
+        return weekend_mix(_signals(spark, sf))
+
+    q["weekend_mix"] = weekend_mix_q
+
+    def source_lang_entropy_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import source_lang_entropy
+
+        return source_lang_entropy(load_table(spark, sf, "documents"))
+
+    q["source_lang_entropy"] = source_lang_entropy_q
+
+    def top_term_lang(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import top_term_per_lang
+
+        return top_term_per_lang(load_table(spark, sf, "documents"))
+
+    q["top_term_lang"] = top_term_lang
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -7175,4 +7256,222 @@ SELECT dim, n_vecs, sum_fx, min_fx, max_fx,
        round(CAST(sum_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
          AS mean_fx
 FROM ag"""
+
+    # round-7j..7n batch: lattice invariant, CDFs, prefix dup, order
+    # cadence, dispersion, drift, balances, calendar mix, entropy and
+    # the per-language top term.
+    _tier_cols = """CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us,
+         CAST(min(inter_time_us) AS BIGINT) AS min_latency_us,
+         CAST(max(inter_time_us) AS BIGINT) AS max_latency_us,
+         CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+         CAST(sum(tool_call) AS BIGINT) AS sum_tool_calls,
+         min(ts) AS first_ts, max(ts) AS last_ts"""
+    o["lattice_parity"] = f"""{SIG_SQL},
+direct AS (SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+             {_tier_cols}
+           FROM sig GROUP BY conv_id, date_trunc('day', ts)),
+hourly AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+             {_tier_cols}
+           FROM sig GROUP BY conv_id, date_trunc('hour', ts)),
+via AS (SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+          CAST(sum(n_points) AS BIGINT) AS n_points,
+          CAST(sum(sum_latency_us) AS BIGINT) AS sum_latency_us,
+          CAST(min(min_latency_us) AS BIGINT) AS min_latency_us,
+          CAST(max(max_latency_us) AS BIGINT) AS max_latency_us,
+          CAST(sum(sum_text_len) AS BIGINT) AS sum_text_len,
+          CAST(sum(sum_tool_calls) AS BIGINT) AS sum_tool_calls,
+          min(first_ts) AS first_ts, max(last_ts) AS last_ts
+        FROM hourly GROUP BY conv_id, date_trunc('day', bucket_ts)),
+j AS (SELECT d.conv_id AS d_conv, v.conv_id AS v_conv,
+        (d.conv_id IS NOT NULL AND v.conv_id IS NOT NULL
+         AND d.n_points = v.n_points
+         AND d.sum_latency_us = v.sum_latency_us
+         AND d.min_latency_us = v.min_latency_us
+         AND d.max_latency_us = v.max_latency_us
+         AND d.sum_text_len = v.sum_text_len
+         AND d.sum_tool_calls = v.sum_tool_calls
+         AND d.first_ts = v.first_ts
+         AND d.last_ts = v.last_ts) AS eq
+      FROM direct d
+      FULL OUTER JOIN via v
+        ON d.conv_id = v.conv_id AND d.bucket_ts = v.bucket_ts)
+SELECT CAST(sum(CASE WHEN d_conv IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_direct,
+       CAST(sum(CASE WHEN v_conv IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_via_hour,
+       CAST(sum(CASE WHEN d_conv IS NOT NULL AND v_conv IS NOT NULL
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_joined,
+       CAST(sum(CASE WHEN eq THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       CAST(sum(CASE WHEN d_conv IS NOT NULL AND v_conv IS NOT NULL
+         AND NOT eq THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(sum(CASE WHEN d_conv IS NOT NULL AND v_conv IS NULL
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_only_direct,
+       CAST(sum(CASE WHEN v_conv IS NOT NULL AND d_conv IS NULL
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_only_via
+FROM j"""
+
+    _cdf_counts = ",\n         ".join(
+        f"CAST(sum(CASE WHEN text_len <= {t} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_le_{t}"
+        for t in (16, 64, 256, 1024)
+    )
+    _cdf_shares = ",\n       ".join(
+        f"round(CAST(n_le_{t} AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)"
+        f" AS share_le_{t}"
+        for t in (16, 64, 256, 1024)
+    )
+    o["text_len_cdf"] = f"""{SIG_SQL},
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_turns,
+         {_cdf_counts}
+       FROM sig)
+SELECT n_turns, n_le_16, n_le_64, n_le_256, n_le_1024,
+       {_cdf_shares}
+FROM ag"""
+
+    o["doc_prefix_dup"] = """WITH pp AS (
+  SELECT source, substr(COALESCE(text, ''), 1, 32) AS p,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, p),
+ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_prefixes
+       FROM pp GROUP BY source)
+SELECT source, n_docs, n_prefixes,
+       CAST(n_docs - n_prefixes AS BIGINT) AS n_prefix_dupes,
+       round(CAST(n_docs - n_prefixes AS DOUBLE)
+         / CAST(n_docs AS DOUBLE), 6) AS prefix_dup_share
+FROM ag"""
+
+    o["order_gap_hist"] = """WITH g AS (
+  SELECT CAST(date_diff('day',
+           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+  FROM orders),
+bk AS (SELECT CAST(length(bin(gap_days + 1)) - 1 AS INTEGER)
+         AS bucket, gap_days
+       FROM g WHERE gap_days IS NOT NULL),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_days) AS BIGINT) AS sum_gap_days
+         FROM bk GROUP BY bucket),
+tot AS (SELECT hist.*, CAST(sum(n_gaps) OVER () AS BIGINT)
+          AS total_gaps FROM hist)
+SELECT bucket, CAST((1 << bucket) - 1 AS BIGINT) AS lo_gap_days,
+       n_gaps, sum_gap_days,
+       round(CAST(n_gaps AS DOUBLE) / CAST(total_gaps AS DOUBLE), 6)
+         AS share
+FROM tot"""
+
+    o["latency_spread_1d"] = f"""{SIG_SQL},
+ag AS (SELECT date_trunc('day', ts) AS day_ts,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(min(inter_time_us) AS BIGINT) AS min_us,
+         CAST(max(inter_time_us) AS BIGINT) AS max_us,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_us
+       FROM sig GROUP BY day_ts)
+SELECT day_ts, n_turns, min_us, max_us,
+       CAST(max_us - min_us AS BIGINT) AS range_us,
+       CAST(sum_us // n_turns AS BIGINT) AS mean_us,
+       CASE WHEN sum_us > 0 THEN round(CAST(max_us - min_us AS DOUBLE)
+         * CAST(n_turns AS DOUBLE) / CAST(sum_us AS DOUBLE), 6) END
+         AS spread_ratio
+FROM ag"""
+
+    o["role_mix_drift_1w"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+cell AS (SELECT date_trunc('week', ts) AS week_ts, role,
+           CAST(count(*) AS BIGINT) AS n_turns
+         FROM t GROUP BY 1, 2),
+m AS (SELECT cell.*, CAST(sum(n_turns) OVER (PARTITION BY week_ts)
+        AS BIGINT) AS week_turns FROM cell),
+lg AS (SELECT week_ts, role, n_turns, week_turns,
+         CAST(CASE WHEN lag(week_ts) OVER w
+           = week_ts - INTERVAL 7 DAYS
+           THEN lag(n_turns) OVER w END AS BIGINT) AS prev_n,
+         CAST(CASE WHEN lag(week_ts) OVER w
+           = week_ts - INTERVAL 7 DAYS
+           THEN lag(week_turns) OVER w END AS BIGINT)
+           AS prev_week_turns
+       FROM m WINDOW w AS (PARTITION BY role ORDER BY week_ts))
+SELECT week_ts, role, n_turns, week_turns, prev_n, prev_week_turns,
+       round(CAST(n_turns AS DOUBLE) / CAST(week_turns AS DOUBLE), 6)
+         AS share,
+       CASE WHEN prev_week_turns > 0 THEN
+         round(CAST(n_turns AS DOUBLE) / CAST(week_turns AS DOUBLE)
+           - CAST(prev_n AS DOUBLE) / CAST(prev_week_turns AS DOUBLE),
+           6) END AS drift
+FROM lg"""
+
+    o["supplier_bal_nation"] = """WITH base AS (
+  SELECT n.n_name,
+         CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+ag AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+         CAST(max(bal_c) AS BIGINT) AS max_bal_c,
+         CAST(sum(CASE WHEN bal_c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+       FROM base GROUP BY n_name)
+SELECT n_name, n_suppliers, sum_bal_c, min_bal_c, max_bal_c,
+       n_negative,
+       round(CAST(sum_bal_c AS DOUBLE) / CAST(n_suppliers AS DOUBLE), 6)
+         AS mean_bal_c
+FROM ag"""
+
+    o["weekend_mix"] = f"""{SIG_SQL},
+ag AS (SELECT (dayofweek(ts) + 1) IN (1, 7) AS is_weekend,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+       FROM sig GROUP BY 1),
+tot AS (SELECT ag.*, CAST(sum(n_turns) OVER () AS BIGINT)
+          AS total_turns FROM ag)
+SELECT is_weekend, n_turns, sum_text_len, sum_latency_us,
+       CAST(sum_latency_us // n_turns AS BIGINT) AS mean_latency_us,
+       round(CAST(n_turns AS DOUBLE) / CAST(total_turns AS DOUBLE), 6)
+         AS turn_share
+FROM tot"""
+
+    from aroma_spark.functions.text import ENTROPY_LANGS
+
+    _lcols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{lg}"
+        for lg in ENTROPY_LANGS
+    )
+    _lknown = " + ".join(f"n_{lg}" for lg in ENTROPY_LANGS)
+    _lterms = " + ".join(
+        f"CASE WHEN n_{lg} > 0 THEN CAST(n_{lg} AS DOUBLE)"
+        f" * ln(CAST(n_{lg} AS DOUBLE)) ELSE 0.0 END"
+        for lg in (*ENTROPY_LANGS, "other")
+    )
+    o["source_lang_entropy"] = f"""WITH a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           {_lcols}
+  FROM documents GROUP BY source),
+b AS (SELECT a.*, CAST(n_docs - ({_lknown}) AS BIGINT) AS n_other
+      FROM a)
+SELECT source, n_docs, {', '.join('n_' + lg for lg in ENTROPY_LANGS)},
+       n_other,
+       round(ln(CAST(n_docs AS DOUBLE)) - ({_lterms})
+         / CAST(n_docs AS DOUBLE), 6) AS entropy
+FROM b"""
+
+    o["top_term_lang"] = """WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                      '\\s+')) AS term
+  FROM documents),
+tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n_term
+       FROM tok WHERE term <> '' GROUP BY lang, term),
+rk AS (SELECT lang, term, n_term,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_term DESC, term ASC) AS rn,
+         CAST(sum(n_term) OVER (PARTITION BY lang) AS BIGINT)
+           AS lang_tokens
+       FROM tc)
+SELECT lang, term AS top_term, n_term, lang_tokens,
+       round(CAST(n_term AS DOUBLE) / CAST(lang_tokens AS DOUBLE), 6)
+         AS term_share
+FROM rk WHERE rn = 1"""
     return o

@@ -1169,3 +1169,141 @@ def charclass_by_lang(documents: DataFrame) -> DataFrame:
         F.expr(share.format(num="n_digits")).alias("digit_share"),
         F.expr(share.format(num="n_spaces")).alias("space_share"),
     )
+
+
+def prefix_dup_by_source(
+    documents: DataFrame, prefix_len: int = 32
+) -> DataFrame:
+    """Prefix-duplication pressure per source: how many documents
+    share their first ``prefix_len`` characters with another doc
+    from the same source? Catches templated boilerplate ("Breaking
+    news:...") that exact dedup misses because the tails differ —
+    the cheap first rung below MinHash.
+
+    Two map-side combinable aggregations on one (source, prefix)
+    exchange — the prefix projection means only ``prefix_len`` chars
+    per doc ever shuffle. Counts exact int64; the share is one
+    shared float.
+
+    Emits ``source, n_docs, n_prefixes, n_prefix_dupes,
+    prefix_dup_share``.
+    """
+    per_prefix = documents.select(
+        "source",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, prefix_len)
+        .alias("p"),
+    ).groupBy("source", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = per_prefix.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_prefixes",
+        (F.col("n_docs") - F.col("n_prefixes"))
+        .cast("long")
+        .alias("n_prefix_dupes"),
+        F.expr(
+            "round(CAST(n_docs - n_prefixes AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("prefix_dup_share"),
+    )
+
+
+# fixed column order for the per-source language entropy — the float
+# entropy sum is written out termwise in THIS order in both engines
+ENTROPY_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_entropy(documents: DataFrame) -> DataFrame:
+    """Language diversity per source as Shannon entropy over the
+    FIXED language list (``ENTROPY_LANGS`` + other) — 0 nats is a
+    monolingual feed, ln(6) the uniform mix. The
+    ``role_entropy_1h`` discipline: the entropy is ln(n) - Σ
+    n_l·ln(n_l)/n with the sum SPELLED OUT termwise in a fixed
+    literal order, so Spark and DuckDB evaluate the identical
+    float expression.
+
+    ONE map-side combinable aggregate into |sources| rows; counts
+    exact int64; entropy is the one shared float.
+
+    Emits ``source, n_docs, n_de, n_en, n_es, n_fr, n_zh, n_other,
+    entropy``.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for lang in ENTROPY_LANGS:
+        aggs.append(
+            F.sum(F.when(F.col("lang") == lang, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{lang}")
+        )
+    agg = documents.groupBy("source").agg(*aggs)
+    known = " + ".join(f"n_{lang}" for lang in ENTROPY_LANGS)
+    agg = agg.withColumn(
+        "n_other", (F.col("n_docs") - F.expr(known)).cast("long")
+    )
+    terms = " + ".join(
+        f"CASE WHEN n_{lang} > 0 THEN CAST(n_{lang} AS DOUBLE)"
+        f" * ln(CAST(n_{lang} AS DOUBLE)) ELSE 0.0 END"
+        for lang in (*ENTROPY_LANGS, "other")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        *[f"n_{lang}" for lang in ENTROPY_LANGS],
+        "n_other",
+        F.expr(
+            f"round(ln(CAST(n_docs AS DOUBLE)) - ({terms})"
+            " / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("entropy"),
+    )
+
+
+def top_term_per_lang(documents: DataFrame) -> DataFrame:
+    """The most frequent token of each language (corpus-standard
+    whitespace tokenizer, deterministic tie to the LEXICALLY
+    SMALLEST term) and its share of the language's tokens — the
+    one-line stop-word sanity check per language slice.
+
+    Term counts collapse map-side on the (lang, term) exchange; the
+    argmax and the language token total are window functions over
+    the counted terms (no second corpus pass). Counts exact int64;
+    the share is one shared float.
+
+    Emits ``lang, top_term, n_term, lang_tokens, term_share``.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col("text"), F.lit(""))
+    tc = (
+        documents.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_term"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_term").desc(), F.col("term").asc()
+    )
+    wl = Window.partitionBy("lang")
+    ranked = tc.select(
+        "lang",
+        "term",
+        "n_term",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_term").over(wl).cast("long").alias("lang_tokens"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "lang",
+        F.col("term").alias("top_term"),
+        "n_term",
+        "lang_tokens",
+        F.expr(
+            "round(CAST(n_term AS DOUBLE) / CAST(lang_tokens AS DOUBLE), 6)"
+        ).alias("term_share"),
+    )

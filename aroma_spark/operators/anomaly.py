@@ -602,3 +602,41 @@ def peak_hour_by_dow(signals: DataFrame) -> DataFrame:
             "round(CAST(n_turns AS DOUBLE) / CAST(day_turns AS DOUBLE), 6)"
         ).alias("peak_share"),
     )
+
+
+def latency_spread_daily(signals: DataFrame) -> DataFrame:
+    """Daily latency spread: min / max / range of the inter-turn gap
+    with the integer-quotient mean and the range-to-mean ratio — the
+    one-line dispersion row the variance-family operators
+    (mad_outliers_daily, gmd) drill into.
+
+    ONE map-side combinable aggregate into |days| rows. Exact int64
+    µs; integer-quotient mean (1e11 magnitudes; under the canonical
+    (ts, event_id) ordering inter_time_us >= 0, so truncation IS
+    floor — the signal_corr precondition); the ratio is one shared
+    float over exact ints, guarded for zero-sum days.
+
+    Emits ``day_ts, n_turns, min_us, max_us, range_us, mean_us,
+    spread_ratio``.
+    """
+    agg = signals.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("inter_time_us").cast("long").alias("min_us"),
+        F.max("inter_time_us").cast("long").alias("max_us"),
+        F.sum("inter_time_us").cast("long").alias("sum_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_turns",
+        "min_us",
+        "max_us",
+        (F.col("max_us") - F.col("min_us")).cast("long").alias("range_us"),
+        F.expr("CAST(sum_us div n_turns AS BIGINT)").alias("mean_us"),
+        F.expr(
+            "CASE WHEN sum_us > 0 THEN round(CAST(max_us - min_us"
+            " AS DOUBLE) * CAST(n_turns AS DOUBLE)"
+            " / CAST(sum_us AS DOUBLE), 6) END"
+        ).alias("spread_ratio"),
+    )

@@ -189,3 +189,81 @@ def tiered_read(
         .withColumn("tier", F.lit(coarse))
     )
     return recent.unionByName(history)
+
+
+def lattice_parity(signals: DataFrame) -> DataFrame:
+    """The continuous-aggregate LATTICE INVARIANT as a runnable audit:
+    a day tier re-aggregated from the hour tier must equal the day
+    tier rolled up directly from raw — partial sums/mins/maxes are
+    associative, so any daylight between the two paths is a bug in
+    the rollup discipline (or non-associative state that must not be
+    in a tier). Run after every tier rebuild; the report is one row.
+
+    Both paths ride the same (conv_id, bucket) exchanges the lattice
+    itself uses; the full-outer join on (conv_id, day) catches
+    buckets missing from either side, and every comparison is exact
+    int64 (the timestamps compare as values). ``n_mismatch`` MUST be
+    0 — the operator is the proof, not just the claim.
+
+    Emits ``n_direct, n_via_hour, n_joined, n_equal, n_mismatch,
+    n_only_direct, n_only_via``.
+    """
+    from aroma_spark.operators.tiers import reaggregate, rollup_tier
+
+    direct = rollup_tier(signals, "day")
+    via = reaggregate(rollup_tier(signals, "hour"), "day")
+    cols = [
+        "n_points",
+        "sum_latency_us",
+        "min_latency_us",
+        "max_latency_us",
+        "sum_text_len",
+        "sum_tool_calls",
+        "first_ts",
+        "last_ts",
+    ]
+    d = direct.select(
+        F.col("conv_id").alias("d_conv"),
+        F.col("bucket_ts").alias("d_bucket"),
+        *[F.col(c).alias(f"d_{c}") for c in cols],
+    )
+    v = via.select(
+        F.col("conv_id").alias("v_conv"),
+        F.col("bucket_ts").alias("v_bucket"),
+        *[F.col(c).alias(f"v_{c}") for c in cols],
+    )
+    j = d.join(
+        v,
+        (F.col("d_conv") == F.col("v_conv"))
+        & (F.col("d_bucket") == F.col("v_bucket")),
+        "full_outer",
+    )
+    both = F.col("d_conv").isNotNull() & F.col("v_conv").isNotNull()
+    eq = both
+    for c in cols:
+        eq = eq & (F.col(f"d_{c}") == F.col(f"v_{c}"))
+    return j.agg(
+        F.sum(F.when(F.col("d_conv").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_direct"),
+        F.sum(F.when(F.col("v_conv").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_via_hour"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_joined"),
+        F.sum(F.when(eq, 1).otherwise(0)).cast("long").alias("n_equal"),
+        F.sum(F.when(both & ~eq, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.sum(
+            F.when(F.col("d_conv").isNotNull() & F.col("v_conv").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_direct"),
+        F.sum(
+            F.when(F.col("v_conv").isNotNull() & F.col("d_conv").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_via"),
+    )

@@ -812,3 +812,104 @@ def error_rate_by_hour(transcripts: DataFrame) -> DataFrame:
             "round(CAST(n_errors AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)"
         ).alias("error_share"),
     )
+
+
+def role_mix_drift_weekly(transcripts: DataFrame) -> DataFrame:
+    """Weekly role-mix drift: each (week, role)'s share of the
+    week's turns next to the same role's share the PREVIOUS calendar
+    week (gap weeks break the chain, the dod_growth discipline) —
+    the distribution-shift tripwire for the event mix.
+
+    ONE map-side combinable (week, role) aggregate; week totals and
+    the lag both run over that small result (a |weeks| x |roles|
+    frame). Counts exact int64; share and drift are shared floats
+    over exact counts — the drift re-derives both shares inside one
+    expression rather than subtracting two pre-rounded floats.
+
+    Emits ``week_ts, role, n_turns, week_turns, share, drift``.
+    """
+    cell = transcripts.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week_ts"), "role"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    cell = cell.withColumn(
+        "week_turns",
+        F.sum("n_turns")
+        .over(Window.partitionBy("week_ts"))
+        .cast("long"),
+    )
+    w = Window.partitionBy("role").orderBy("week_ts")
+    chain = F.lag("week_ts").over(w) == F.col("week_ts") - F.expr(
+        "INTERVAL 7 DAYS"
+    )
+    cell = cell.select(
+        "week_ts",
+        "role",
+        "n_turns",
+        "week_turns",
+        F.when(chain, F.lag("n_turns").over(w))
+        .cast("long")
+        .alias("prev_n"),
+        F.when(chain, F.lag("week_turns").over(w))
+        .cast("long")
+        .alias("prev_week_turns"),
+    )
+    return cell.select(
+        "week_ts",
+        "role",
+        "n_turns",
+        "week_turns",
+        "prev_n",
+        "prev_week_turns",
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE) / CAST(week_turns AS DOUBLE), 6)"
+        ).alias("share"),
+        F.expr(
+            "CASE WHEN prev_week_turns > 0 THEN"
+            " round(CAST(n_turns AS DOUBLE) / CAST(week_turns AS DOUBLE)"
+            " - CAST(prev_n AS DOUBLE) / CAST(prev_week_turns AS DOUBLE),"
+            " 6) END"
+        ).alias("drift"),
+    )
+
+
+def weekend_mix(signals: DataFrame) -> DataFrame:
+    """Weekend vs weekday activity contrast in one two-row report:
+    turn counts, text volume and latency sums with each side's share
+    of turns — the coarse calendar split above peak_hour_dow's
+    argmax.
+
+    ONE map-side combinable aggregate into 2 rows; the share is a
+    global window over them. ``is_weekend`` uses Spark's dayofweek
+    (1=Sunday, 7=Saturday). Exact int64 sums; integer-quotient mean
+    latency.
+
+    Emits ``is_weekend, n_turns, sum_text_len, sum_latency_us,
+    mean_latency_us, turn_share``.
+    """
+    agg = signals.groupBy(
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("text_len").cast("long").alias("sum_text_len"),
+        F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+    )
+    agg = agg.withColumn(
+        "total_turns",
+        F.sum("n_turns").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "is_weekend",
+        "n_turns",
+        "sum_text_len",
+        "sum_latency_us",
+        F.expr(
+            "CASE WHEN sum_latency_us >= 0 THEN"
+            " CAST(sum_latency_us div n_turns AS BIGINT)"
+            " ELSE CAST((sum_latency_us div n_turns)"
+            " - (CASE WHEN sum_latency_us % n_turns <> 0 THEN 1"
+            " ELSE 0 END) AS BIGINT) END"
+        ).alias("mean_latency_us"),
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE) / CAST(total_turns AS DOUBLE), 6)"
+        ).alias("turn_share"),
+    )

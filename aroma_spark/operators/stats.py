@@ -426,3 +426,39 @@ def dod_growth(signals: DataFrame) -> DataFrame:
             " / CAST(prev_n_turns AS DOUBLE), 6) END"
         ).alias("dod_growth"),
     )
+
+
+CDF_THRESHOLDS = (16, 64, 256, 1024)
+
+
+def text_len_cdf(signals: DataFrame) -> DataFrame:
+    """Text-length CDF at fixed thresholds: the share of turns at or
+    under 16 / 64 / 256 / 1024 characters — the four numbers a
+    packing or truncation policy is tuned against, without shipping
+    a full histogram.
+
+    ONE map-side combinable corpus aggregate (a single row out);
+    counts exact int64, each share one shared float.
+
+    Emits ``n_turns, n_le_16, n_le_64, n_le_256, n_le_1024,
+    share_le_16, share_le_64, share_le_256, share_le_1024``.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_turns")]
+    for t in CDF_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("text_len") <= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_le_{t}")
+        )
+    agg = signals.agg(*aggs)
+    share = (
+        "round(CAST(n_le_{t} AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)"
+    )
+    return agg.select(
+        "n_turns",
+        *[f"n_le_{t}" for t in CDF_THRESHOLDS],
+        *[
+            F.expr(share.format(t=t)).alias(f"share_le_{t}")
+            for t in CDF_THRESHOLDS
+        ],
+    )

@@ -1241,3 +1241,99 @@ def top_order_monthly(orders: DataFrame) -> DataFrame:
             " AS DOUBLE) / CAST(month_total_c AS DOUBLE), 6) END"
         ).alias("top_share"),
     )
+
+
+def order_interarrival_hist(orders: DataFrame) -> DataFrame:
+    """Reorder-cadence histogram: day gaps between each customer's
+    consecutive orders, bucketed power-of-two on ``gap + 1`` (so the
+    same-day gap of 0 lands in bucket 0 whose floor is 0 days) —
+    how often do repeat customers actually come back?
+
+    One lag window on the custkey exchange over the 3-column order
+    projection, then a ~15-row histogram with its share from a
+    global window. Gaps exact int64 days.
+
+    Emits ``bucket, lo_gap_days, n_gaps, sum_gap_days, share``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        )
+        .cast("long")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    bucketed = gaps.select(
+        (F.length(F.conv(F.col("gap_days") + 1, 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "gap_days",
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_days").cast("long").alias("sum_gap_days"),
+    )
+    hist = hist.withColumn(
+        "total_gaps",
+        F.sum("n_gaps").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "bucket",
+        (F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)") - F.lit(1))
+        .cast("long")
+        .alias("lo_gap_days"),
+        "n_gaps",
+        "sum_gap_days",
+        F.expr(
+            "round(CAST(n_gaps AS DOUBLE) / CAST(total_gaps AS DOUBLE), 6)"
+        ).alias("share"),
+    )
+
+
+def supplier_balance_by_nation(
+    supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Supplier account-balance profile per nation in exact signed
+    cents (round-half-up via the floor rule, negatives included) —
+    the supply-side credit-exposure report.
+
+    Nation broadcasts into the supplier scan; ONE |nations|-row
+    aggregate; the mean is one shared float at cent magnitudes.
+
+    Emits ``n_name, n_suppliers, sum_bal_c, min_bal_c, max_bal_c,
+    n_negative, mean_bal_c``.
+    """
+    base = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "n_name",
+        F.expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "bal_c"
+        ),
+    )
+    agg = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("bal_c").cast("long").alias("sum_bal_c"),
+        F.min("bal_c").cast("long").alias("min_bal_c"),
+        F.max("bal_c").cast("long").alias("max_bal_c"),
+        F.sum(F.when(F.col("bal_c") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        "sum_bal_c",
+        "min_bal_c",
+        "max_bal_c",
+        "n_negative",
+        F.expr(
+            "round(CAST(sum_bal_c AS DOUBLE)"
+            " / CAST(n_suppliers AS DOUBLE), 6)"
+        ).alias("mean_bal_c"),
+    )

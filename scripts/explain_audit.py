@@ -256,6 +256,17 @@ AUDITED = (
     "top_order_1mo",
     "error_rate_hod",
     "emb_dim_profile",
+    # round-7j..7n batch
+    "lattice_parity",
+    "text_len_cdf",
+    "doc_prefix_dup",
+    "order_gap_hist",
+    "latency_spread_1d",
+    "role_mix_drift_1w",
+    "supplier_bal_nation",
+    "weekend_mix",
+    "source_lang_entropy",
+    "top_term_lang",
 )
 
 

@@ -115,3 +115,24 @@ def test_peak_hour_by_dow(spark):
         10, 3, 4)
     assert mon["peak_share"] == 0.75
     assert out[3]["peak_hod"] == 9  # tie -> earlier hour
+
+
+def test_latency_spread_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.anomaly import latency_spread_daily
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 0),
+        ("a", "2024-01-01 10:00:10", 10_000_000),
+        ("a", "2024-01-01 10:00:40", 30_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = latency_spread_daily(df).collect()[0]
+    assert (r["n_turns"], r["min_us"], r["max_us"], r["range_us"]) == (
+        3, 0, 30_000_000, 30_000_000)
+    # mean = 40e6 // 3
+    assert r["mean_us"] == 13_333_333
+    assert r["spread_ratio"] == round(30_000_000 * 3 / 40_000_000, 6)

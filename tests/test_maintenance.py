@@ -107,3 +107,25 @@ def test_tiered_read_splices_at_day_cutoff(spark, tiny_transcripts):
     # the coarse row carries 1d-tier partials (whole day folded)
     a = [r for r in out if r["tier"] == "1d"][0]
     assert a["n_points"] == 4 and a["sum_tool_calls"] == 1
+
+
+def test_lattice_parity_all_equal(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.maintenance import lattice_parity
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 0, 5, 1),
+        ("a", "2024-01-01 11:30:00", 5_400_000_000, 7, 0),
+        ("a", "2024-01-02 09:00:00", 77_400_000_000, 3, 1),
+        ("b", "2024-01-01 10:30:00", 0, 2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long,"
+        " text_len long, tool_call long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = lattice_parity(df).collect()[0]
+    # (a, Jan1), (a, Jan2), (b, Jan1) -> 3 buckets, all paths agree
+    assert (r["n_direct"], r["n_via_hour"], r["n_joined"]) == (3, 3, 3)
+    assert (r["n_equal"], r["n_mismatch"]) == (3, 0)
+    assert (r["n_only_direct"], r["n_only_via"]) == (0, 0)

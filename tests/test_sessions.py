@@ -350,3 +350,58 @@ def test_error_rate_by_hour(spark):
     assert (h10["n_turns"], h10["n_errors"]) == (3, 1)
     assert h10["error_share"] == round(1 / 3, 6)
     assert out[11]["error_share"] == 0.0
+
+
+def test_role_mix_drift_weekly(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import role_mix_drift_weekly
+
+    rows = [
+        # week of Mon Jan 1: 2 views, 2 clicks
+        ("a", 0, "view", "2024-01-02 10:00:00"),
+        ("a", 1, "view", "2024-01-02 11:00:00"),
+        ("a", 2, "click", "2024-01-03 10:00:00"),
+        ("a", 3, "click", "2024-01-03 11:00:00"),
+        # next week: 3 views, 1 click
+        ("a", 4, "view", "2024-01-09 10:00:00"),
+        ("a", 5, "view", "2024-01-09 11:00:00"),
+        ("a", 6, "view", "2024-01-09 12:00:00"),
+        ("a", 7, "click", "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["week_ts"])[:10], r["role"]): r
+           for r in role_mix_drift_weekly(df).collect()}
+    w1v = out[("2024-01-01", "view")]
+    assert (w1v["share"], w1v["drift"]) == (0.5, None)
+    w2v = out[("2024-01-08", "view")]
+    assert w2v["share"] == 0.75
+    assert w2v["drift"] == 0.25
+    w2c = out[("2024-01-08", "click")]
+    assert w2c["drift"] == -0.25
+
+
+def test_weekend_mix(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import weekend_mix
+
+    rows = [
+        # Sat 2024-01-06 and Sun 2024-01-07 -> weekend
+        ("a", "2024-01-06 10:00:00", 0, 5),
+        ("a", "2024-01-07 10:00:00", 86_400_000_000, 7),
+        # Mon
+        ("b", "2024-01-08 10:00:00", 0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long,"
+        " text_len long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["is_weekend"]: r for r in weekend_mix(df).collect()}
+    we = out[True]
+    assert (we["n_turns"], we["sum_text_len"]) == (2, 12)
+    assert we["mean_latency_us"] == 43_200_000_000
+    assert we["turn_share"] == round(2 / 3, 6)
+    assert out[False]["n_turns"] == 1

@@ -299,3 +299,19 @@ def test_dod_growth_hand_computed(spark):
     # Jan 4 follows a gap day -> chain broken
     d4 = out["2024-01-04"]
     assert (d4["prev_n_turns"], d4["dod_growth"]) == (None, None)
+
+
+def test_text_len_cdf(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.stats import text_len_cdf
+
+    rows = [("a", i, ln) for i, ln in enumerate([10, 16, 17, 100, 2000])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text_len long")
+    r = text_len_cdf(df).collect()[0]
+    assert r["n_turns"] == 5
+    assert (r["n_le_16"], r["n_le_64"], r["n_le_256"],
+            r["n_le_1024"]) == (2, 3, 4, 4)
+    assert r["share_le_16"] == 0.4
+    assert r["share_le_1024"] == 0.8

@@ -311,3 +311,66 @@ def test_charclass_by_lang(spark):
     assert en["letter_share"] == round(5 / 8, 6)
     fr = out["fr"]
     assert (fr["digit_share"], fr["letter_share"]) == (1.0, 0.0)
+
+
+def test_prefix_dup_by_source(spark):
+    from aroma_spark.functions.text import prefix_dup_by_source
+
+    rows = [
+        (1, "AAAA tail one", "en", "web", 1),
+        (2, "AAAA tail two", "en", "web", 1),   # same 4-char prefix
+        (3, "BBBB other", "en", "web", 1),
+        (4, "AAAA elsewhere", "en", "feed", 1),  # other source
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["source"]: r
+           for r in prefix_dup_by_source(df, prefix_len=4).collect()}
+    web = out["web"]
+    assert (web["n_docs"], web["n_prefixes"], web["n_prefix_dupes"]) == (
+        3, 2, 1)
+    assert web["prefix_dup_share"] == round(1 / 3, 6)
+    assert out["feed"]["n_prefix_dupes"] == 0
+
+
+def test_source_lang_entropy(spark):
+    import math
+
+    from aroma_spark.functions.text import source_lang_entropy
+
+    rows = [
+        (1, "x", "en", "web", 1), (2, "x", "en", "web", 1),
+        (3, "x", "fr", "web", 1), (4, "x", "fr", "web", 1),
+        (5, "x", "en", "feed", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["source"]: r for r in source_lang_entropy(df).collect()}
+    web = out["web"]
+    assert (web["n_docs"], web["n_en"], web["n_fr"], web["n_other"]) == (
+        4, 2, 2, 0)
+    # 50/50 split -> ln 2
+    assert web["entropy"] == round(math.log(2), 6)
+    assert out["feed"]["entropy"] == 0.0
+
+
+def test_top_term_per_lang(spark):
+    from aroma_spark.functions.text import top_term_per_lang
+
+    rows = [
+        (1, "cat cat dog", "en", "web", 1),
+        (2, "cat", "en", "web", 1),
+        # fr: tie between 'le' and 'la' -> lexically smaller wins
+        (3, "le la", "fr", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["lang"]: r for r in top_term_per_lang(df).collect()}
+    en = out["en"]
+    assert (en["top_term"], en["n_term"], en["lang_tokens"]) == (
+        "cat", 3, 4)
+    assert en["term_share"] == 0.75
+    assert out["fr"]["top_term"] == "la"

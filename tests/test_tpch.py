@@ -578,3 +578,42 @@ def test_top_order_monthly(spark):
             jan["month_total_c"]) == (2, 300, 2, 400)
     assert jan["top_share"] == 0.75
     assert out[2]["o_orderkey"] == 3  # tie -> lower key
+
+
+def test_order_interarrival_hist(spark):
+    from aroma_spark.operators.tpch import order_interarrival_hist
+
+    orders = _orders(spark, [
+        # cust 1: gaps 0 (same day) and 3 days
+        (1, 1, "1996-01-01 00:00:00"),
+        (2, 1, "1996-01-01 00:00:00"),
+        (3, 1, "1996-01-04 00:00:00"),
+        # cust 2: single order -> no gap
+        (4, 2, "1996-06-01 00:00:00"),
+    ])
+    out = {r["bucket"]: r
+           for r in order_interarrival_hist(orders).collect()}
+    # gap 0 -> bin(1) len 1 -> bucket 0 (lo 0); gap 3 -> bin(4) -> bucket 2 (lo 3)
+    assert (out[0]["lo_gap_days"], out[0]["n_gaps"],
+            out[0]["sum_gap_days"]) == (0, 1, 0)
+    assert (out[2]["lo_gap_days"], out[2]["n_gaps"],
+            out[2]["sum_gap_days"]) == (3, 1, 3)
+    assert out[0]["share"] == 0.5
+
+
+def test_supplier_balance_by_nation(spark):
+    from aroma_spark.operators.tpch import supplier_balance_by_nation
+
+    supplier = spark.createDataFrame(
+        [(1, "a", 0, 10.00), (2, "b", 0, -2.50), (3, "c", 1, 5.00)],
+        "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double")
+    nation = spark.createDataFrame(
+        [(0, "CHINA", 0), (1, "FRANCE", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    out = {r["n_name"]: r
+           for r in supplier_balance_by_nation(supplier, nation).collect()}
+    cn = out["CHINA"]
+    assert (cn["n_suppliers"], cn["sum_bal_c"], cn["min_bal_c"],
+            cn["n_negative"]) == (2, 750, -250, 1)
+    assert cn["mean_bal_c"] == 375.0
