@@ -6,8 +6,13 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 252 registered queries, ALL 252 with hash-compared DuckDB
-oracles — including the round-7j..7n batch (``lattice_parity`` the
+Round 5: 256 registered queries, ALL 256 with hash-compared DuckDB
+oracles — including the round-7o batch (``asof_join_1h_near`` the
+nearest-direction as-of join completing the backward/forward/
+tolerance family, ``null_census`` the per-(table, column) null
+report, ``freshness_audit`` min/max event-time spans,
+``priority_segment_mix`` the segment x priority lift cross-tab),
+the round-7j..7n batch (``lattice_parity`` the
 runnable hour→day re-aggregation invariant (n_mismatch must be 0),
 ``text_len_cdf`` fixed-threshold length CDF, ``doc_prefix_dup``
 prefix-duplication pressure, ``order_gap_hist`` reorder cadence,
@@ -1293,6 +1298,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["asof_join_1h_tol"] = asof_join_1h_tol
+
+    # nearest: whichever completed-hour rollup is closer in absolute
+    # µs (equidistant resolves backward, merge_asof convention)
+    def asof_join_1h_near(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import asof_join
+
+        t, tier = _asof_inputs(spark, sf)
+        return asof_join(
+            t, tier, by="conv_id", left_ts="ts", right_ts="closed_ts",
+            value_cols=["n_points", "sum_latency_us"], direction="nearest",
+        )
+
+    q["asof_join_1h_near"] = asof_join_1h_near
 
     def session_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.asof import interval_join
@@ -2735,6 +2753,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_term_lang"] = top_term_lang
 
+    def null_census_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import null_census
+
+        return null_census(
+            [
+                ("events", "props", load_table(spark, sf, "events")),
+                ("events", "value", load_table(spark, sf, "events")),
+                ("orders", "o_totalprice", load_table(spark, sf, "orders")),
+                (
+                    "customer",
+                    "c_acctbal",
+                    load_table(spark, sf, "customer"),
+                ),
+                ("documents", "text", load_table(spark, sf, "documents")),
+                (
+                    "lineitem",
+                    "l_shipdate",
+                    load_table(spark, sf, "lineitem"),
+                ),
+            ]
+        )
+
+    q["null_census"] = null_census_q
+
+    def freshness_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import freshness_audit
+
+        return freshness_audit(
+            [
+                ("events", "ts", load_table(spark, sf, "events")),
+                ("orders", "o_orderdate", load_table(spark, sf, "orders")),
+                (
+                    "lineitem",
+                    "l_shipdate",
+                    load_table(spark, sf, "lineitem"),
+                ),
+            ]
+        )
+
+    q["freshness_audit"] = freshness_audit_q
+
+    def priority_segment_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import priority_segment_mix
+
+        return priority_segment_mix(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+        )
+
+    q["priority_segment_mix"] = priority_segment_mix_q
+
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
     # 3 / ADVICE medium): the driver's correctness harness records only
@@ -4082,6 +4151,41 @@ SELECT s.conv_id, s.turn_idx, s.ts,
        r.closed_ts AS matched_ts, r.n_points, r.sum_latency_us
 FROM sig s ASOF LEFT JOIN tier r
   ON s.conv_id = r.conv_id AND s.ts <= r.closed_ts"""
+
+    o["asof_join_1h_near"] = f"""{SIG_SQL},
+tier AS (
+  SELECT conv_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS closed_ts,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+  FROM sig GROUP BY 1, 2
+),
+b AS (SELECT s.conv_id, s.turn_idx, s.ts,
+        r.closed_ts, r.n_points, r.sum_latency_us
+      FROM sig s ASOF LEFT JOIN tier r
+        ON s.conv_id = r.conv_id AND s.ts >= r.closed_ts),
+f AS (SELECT s.conv_id, s.turn_idx,
+        r.closed_ts, r.n_points, r.sum_latency_us
+      FROM sig s ASOF LEFT JOIN tier r
+        ON s.conv_id = r.conv_id AND s.ts <= r.closed_ts),
+pick AS (SELECT b.conv_id, b.turn_idx, b.ts,
+           CASE WHEN b.closed_ts IS NULL THEN FALSE
+                WHEN f.closed_ts IS NULL THEN TRUE
+                WHEN epoch_us(b.ts) - epoch_us(b.closed_ts)
+                  <= epoch_us(f.closed_ts) - epoch_us(b.ts) THEN TRUE
+                ELSE FALSE END AS use_b,
+           b.closed_ts AS b_ts, b.n_points AS b_n,
+           b.sum_latency_us AS b_s,
+           f.closed_ts AS f_ts, f.n_points AS f_n,
+           f.sum_latency_us AS f_s
+         FROM b JOIN f
+           ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx)
+SELECT conv_id, turn_idx, ts,
+       CASE WHEN use_b THEN b_ts ELSE f_ts END AS matched_ts,
+       CAST(CASE WHEN use_b THEN b_n ELSE f_n END AS BIGINT)
+         AS n_points,
+       CAST(CASE WHEN use_b THEN b_s ELSE f_s END AS BIGINT)
+         AS sum_latency_us
+FROM pick"""
 
     o["asof_join_1h_tol"] = f"""{SIG_SQL},
 tier AS (
@@ -7474,4 +7578,60 @@ SELECT lang, term AS top_term, n_term, lang_tokens,
        round(CAST(n_term AS DOUBLE) / CAST(lang_tokens AS DOUBLE), 6)
          AS term_share
 FROM rk WHERE rn = 1"""
+
+    # round-7o batch: nearest as-of, warehouse null census, freshness
+    # audit and the segment x priority lift cross-tab.
+    _nc = "CAST(count(*) AS BIGINT) AS n_rows,\n" \
+        "    CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)" \
+        " AS BIGINT) AS n_null"
+    _ncs = "CASE WHEN n_rows > 0 THEN round(CAST(n_null AS DOUBLE)" \
+        " / CAST(n_rows AS DOUBLE), 6) END AS null_share"
+    _nc_parts = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name, n_rows,"
+        f" n_null, {_ncs} FROM (SELECT {_nc.format(col=c)} FROM {t})"
+        for t, c in (
+            ("events", "props"),
+            ("events", "value"),
+            ("orders", "o_totalprice"),
+            ("customer", "c_acctbal"),
+            ("documents", "text"),
+            ("lineitem", "l_shipdate"),
+        )
+    )
+    o["null_census"] = _nc_parts
+
+    _fr_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, n_rows, min_ts, max_ts,
+       CAST(date_diff('day', CAST(date_trunc('day', min_ts) AS DATE),
+         CAST(date_trunc('day', max_ts) AS DATE)) AS BIGINT)
+         AS span_days
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        min({c}) AS min_ts, max({c}) AS max_ts FROM {t})"""
+        for t, c in (
+            ("events", "ts"),
+            ("orders", "o_orderdate"),
+            ("lineitem", "l_shipdate"),
+        )
+    )
+    o["freshness_audit"] = _fr_parts
+
+    o["priority_segment_mix"] = """WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+cell AS (SELECT c_mktsegment, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM j GROUP BY 1, 2),
+m AS (SELECT cell.*,
+        CAST(sum(n_orders) OVER (PARTITION BY c_mktsegment)
+          AS BIGINT) AS seg_total,
+        CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority)
+          AS BIGINT) AS pri_total,
+        CAST(sum(n_orders) OVER () AS BIGINT) AS corpus_total
+      FROM cell)
+SELECT c_mktsegment, o_orderpriority, n_orders, seg_total, pri_total,
+       corpus_total,
+       round(CAST(n_orders AS DOUBLE) * CAST(corpus_total AS DOUBLE)
+         / (CAST(seg_total AS DOUBLE) * CAST(pri_total AS DOUBLE)), 6)
+         AS lift
+FROM m"""
     return o

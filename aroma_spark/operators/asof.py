@@ -47,9 +47,12 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: each left row gets the right row with the
     greatest ``right_ts`` <= ``left_ts`` (direction='backward'; ties at
-    equal ts match) or the smallest ``right_ts`` >= ``left_ts``
-    ('forward'), within the same ``by`` keys. Unmatched left rows keep
-    NULL values (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
+    equal ts match), the smallest ``right_ts`` >= ``left_ts``
+    ('forward'), or whichever of the two is closer in absolute µs
+    ('nearest'; equidistant resolves backward, the pandas
+    ``merge_asof`` convention), within the same ``by`` keys.
+    Unmatched left rows keep NULL values (left-outer semantics, like
+    DuckDB ``ASOF LEFT JOIN``).
 
     ``right`` must be unique per ``(by, right_ts)`` — true of every
     rollup tier (one row per (conv_id, bucket_ts)); a duplicate would
@@ -98,6 +101,31 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         matched = F.first(_P, ignorenulls=True).over(w)
+    elif direction == "nearest":
+        # both candidate sides ride the SAME union and the same
+        # (by, ts) sort — two frames over one exchange, then the
+        # closer side wins (ties -> backward, pandas merge_asof)
+        wb = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(_T).asc(), F.col(_R).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(_T).asc(), F.col(_R).asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        back = F.last(_P, ignorenulls=True).over(wb)
+        fwd = F.first(_P, ignorenulls=True).over(wf)
+        t_us = F.unix_micros(F.col(_T))
+        gap_b = t_us - F.unix_micros(back[matched_ts_col])
+        gap_f = F.unix_micros(fwd[matched_ts_col]) - t_us
+        matched = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gap_b <= gap_f, back)
+            .otherwise(fwd)
+        )
     else:
         raise ValueError(f"unknown direction: {direction!r}")
 

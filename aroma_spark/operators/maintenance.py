@@ -267,3 +267,84 @@ def lattice_parity(signals: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_only_via"),
     )
+
+
+def null_census(
+    frames: "list[tuple[str, str, DataFrame]]",
+) -> DataFrame:
+    """Null census across the warehouse: for each audited (table,
+    column), the row count, null count and null share — the
+    data-quality report every ingestion run should publish before
+    analysts touch the tables.
+
+    Each table contributes ONE map-side combinable single-row
+    aggregate over a one-column pruned scan (ReadSchema shows just
+    the audited column); the rows union into a |columns|-row report.
+    Counts exact int64; the share is one shared float.
+
+    Emits ``table_name, column_name, n_rows, n_null, null_share``.
+    """
+    parts = []
+    for table_name, column_name, df in frames:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col(column_name).isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_null"),
+            ).select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(column_name).alias("column_name"),
+                "n_rows",
+                "n_null",
+                F.expr(
+                    "CASE WHEN n_rows > 0 THEN round(CAST(n_null"
+                    " AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) END"
+                ).alias("null_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def freshness_audit(
+    frames: "list[tuple[str, str, DataFrame]]",
+) -> DataFrame:
+    """Freshness audit: per time-bearing table, the min/max event
+    time, row count and covered span in whole days — the "is
+    yesterday's load actually in?" report.
+
+    One single-row min/max aggregate per table over the pruned
+    timestamp column, unioned into a |tables|-row report. All exact
+    (timestamps compare as values; the span is an integer datediff).
+
+    Emits ``table_name, n_rows, min_ts, max_ts, span_days``.
+    """
+    parts = []
+    for table_name, ts_col, df in frames:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(ts_col).alias("min_ts"),
+                F.max(ts_col).alias("max_ts"),
+            ).select(
+                F.lit(table_name).alias("table_name"),
+                "n_rows",
+                "min_ts",
+                "max_ts",
+                F.datediff(
+                    F.date_trunc("day", F.col("max_ts")),
+                    F.date_trunc("day", F.col("min_ts")),
+                )
+                .cast("long")
+                .alias("span_days"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1337,3 +1337,62 @@ def supplier_balance_by_nation(
             " / CAST(n_suppliers AS DOUBLE), 6)"
         ).alias("mean_bal_c"),
     )
+
+
+def priority_segment_mix(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """The (market segment, order priority) cross-tab with the
+    independence lift — do BUILDING customers really file more
+    URGENT orders, or is that the base rate? The relational sibling
+    of the (lang, source) matrix.
+
+    Customer broadcasts into orders (pruned to 2 columns each), ONE
+    map-side combinable aggregate into |segments| x |priorities|
+    rows, the three marginals as window sums over that tiny
+    cross-tab. Counts exact int64; the lift is one shared float over
+    four exact ints.
+
+    Emits ``c_mktsegment, o_orderpriority, n_orders, seg_total,
+    pri_total, corpus_total, lift``.
+    """
+    from pyspark.sql import Window
+
+    j = orders.select("o_custkey", "o_orderpriority").join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cell = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    cell = cell.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_orders",
+        F.sum("n_orders")
+        .over(Window.partitionBy("c_mktsegment"))
+        .cast("long")
+        .alias("seg_total"),
+        F.sum("n_orders")
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("pri_total"),
+        F.sum("n_orders")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("corpus_total"),
+    )
+    return cell.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_orders",
+        "seg_total",
+        "pri_total",
+        "corpus_total",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " * CAST(corpus_total AS DOUBLE)"
+            " / (CAST(seg_total AS DOUBLE)"
+            " * CAST(pri_total AS DOUBLE)), 6)"
+        ).alias("lift"),
+    )

@@ -256,6 +256,11 @@ AUDITED = (
     "top_order_1mo",
     "error_rate_hod",
     "emb_dim_profile",
+    # round-7o batch
+    "asof_join_1h_near",
+    "null_census",
+    "freshness_audit",
+    "priority_segment_mix",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

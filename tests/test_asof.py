@@ -212,3 +212,32 @@ def test_interval_join_auto_band(spark):
         for r in interval_join(ev, ivl, by="conv_id", ts_col="ts", band="auto").collect()
     )
     assert got == [0]
+
+
+def test_asof_nearest_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, "2024-01-01 10:00:10"),  # closer to 10:00:00
+            ("a", 2, "2024-01-01 10:00:50"),  # closer to 10:01:00
+            ("a", 3, "2024-01-01 10:00:30"),  # equidistant -> backward
+            ("b", 9, "2024-01-01 09:00:00"),  # no right rows -> NULL
+        ],
+        "conv_id string, turn_idx int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 100),
+            ("a", "2024-01-01 10:01:00", 200),
+        ],
+        "conv_id string, ts string, v int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["conv_id"], r["turn_idx"]): r for r in asof_join(
+        left, right, direction="nearest").collect()}
+    assert out[("a", 1)]["v"] == 100
+    assert out[("a", 2)]["v"] == 200
+    assert out[("a", 3)]["v"] == 100  # tie resolves backward
+    assert out[("b", 9)]["v"] is None

@@ -129,3 +129,30 @@ def test_lattice_parity_all_equal(spark):
     assert (r["n_direct"], r["n_via_hour"], r["n_joined"]) == (3, 3, 3)
     assert (r["n_equal"], r["n_mismatch"]) == (3, 0)
     assert (r["n_only_direct"], r["n_only_via"]) == (0, 0)
+
+
+def test_null_census(spark):
+    from aroma_spark.operators.maintenance import null_census
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "id long, v string")
+    b = spark.createDataFrame([(1.0,)], "w double")
+    out = {(r["table_name"], r["column_name"]): r
+           for r in null_census([("ta", "v", a), ("tb", "w", b)]).collect()}
+    ta = out[("ta", "v")]
+    assert (ta["n_rows"], ta["n_null"]) == (3, 2)
+    assert ta["null_share"] == round(2 / 3, 6)
+    assert out[("tb", "w")]["n_null"] == 0
+
+
+def test_freshness_audit(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.maintenance import freshness_audit
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-04 09:00:00",)], "ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = freshness_audit([("ev", "ts", df)]).collect()[0]
+    assert (r["table_name"], r["n_rows"], r["span_days"]) == ("ev", 2, 3)
+    assert str(r["min_ts"]).startswith("2024-01-01")

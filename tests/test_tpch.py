@@ -617,3 +617,24 @@ def test_supplier_balance_by_nation(spark):
     assert (cn["n_suppliers"], cn["sum_bal_c"], cn["min_bal_c"],
             cn["n_negative"]) == (2, 750, -250, 1)
     assert cn["mean_bal_c"] == 375.0
+
+
+def test_priority_segment_mix(spark):
+    from aroma_spark.operators.tpch import priority_segment_mix
+
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTO")],
+        "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT"), (11, 1, "1-URGENT"), (12, 1, "5-LOW"),
+            (13, 2, "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string")
+    out = {(r["c_mktsegment"], r["o_orderpriority"]): r
+           for r in priority_segment_mix(orders, customer).collect()}
+    bu = out[("BUILDING", "1-URGENT")]
+    assert (bu["n_orders"], bu["seg_total"], bu["pri_total"],
+            bu["corpus_total"]) == (2, 3, 2, 4)
+    assert bu["lift"] == round(2 * 4 / (3 * 2), 6)
+    assert out[("AUTO", "5-LOW")]["lift"] == round(1 * 4 / (1 * 2), 6)
