@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 256 registered queries, ALL 256 with hash-compared DuckDB
-oracles — including the round-7o batch (``asof_join_1h_near`` the
+Round 5: 260 registered queries, ALL 260 with hash-compared DuckDB
+oracles — including the round-7p batch (``doc_quality_gate``
+integer-exact curation pass rates, ``lines_per_order`` the orderkey
+skew audit, ``last_role_mix_1d`` the closing-role mix,
+``gap_dominance_1d`` the biggest-stall share), the round-7o batch
+(``asof_join_1h_near`` the
 nearest-direction as-of join completing the backward/forward/
 tolerance family, ``null_census`` the per-(table, column) null
 report, ``freshness_audit`` min/max event-time spans,
@@ -2803,6 +2807,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["priority_segment_mix"] = priority_segment_mix_q
+
+    def doc_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import quality_gate_by_lang
+
+        return quality_gate_by_lang(load_table(spark, sf, "documents"))
+
+    q["doc_quality_gate"] = doc_quality_gate
+
+    def lines_per_order(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import lines_per_order_hist
+
+        return lines_per_order_hist(load_table(spark, sf, "lineitem"))
+
+    q["lines_per_order"] = lines_per_order
+
+    def last_role_mix_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import last_role_mix_daily
+
+        return last_role_mix_daily(transcripts_from_events(spark, sf))
+
+    q["last_role_mix_1d"] = last_role_mix_1d
+
+    def gap_dominance_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import gap_dominance_daily
+
+        return gap_dominance_daily(_signals(spark, sf))
+
+    q["gap_dominance_1d"] = gap_dominance_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -7634,4 +7666,81 @@ SELECT c_mktsegment, o_orderpriority, n_orders, seg_total, pri_total,
          / (CAST(seg_total AS DOUBLE) * CAST(pri_total AS DOUBLE)), 6)
          AS lift
 FROM m"""
+
+    # round-7p batch: the curation quality gate, the orderkey skew
+    # audit, the closing-role mix and the gap-dominance profile.
+    o["doc_quality_gate"] = """WITH base AS (
+  SELECT lang, COALESCE(text, '') AS c FROM documents),
+st AS (SELECT lang,
+         CASE WHEN trim(c) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(c), '\\s+')) END
+           AS n_tokens,
+         length(c) - length(regexp_replace(c, '[A-Za-z]', '', 'g'))
+           AS n_alpha,
+         length(c) AS n_chars
+       FROM base),
+ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+         CAST(sum(CASE WHEN 2 * n_alpha >= n_chars THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_pass_alpha,
+         CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+           AND 2 * n_alpha >= n_chars THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_all
+       FROM st GROUP BY lang)
+SELECT lang, n_docs, n_pass_len, n_pass_alpha, n_pass_all,
+       round(CAST(n_pass_len AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS pass_len_share,
+       round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS pass_all_share
+FROM ag"""
+
+    o["lines_per_order"] = """WITH po AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey),
+bk AS (SELECT CAST(length(bin(n_lines)) - 1 AS INTEGER) AS bucket,
+         n_lines
+       FROM po),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+           CAST(max(n_lines) AS BIGINT) AS bucket_max
+         FROM bk GROUP BY bucket),
+m AS (SELECT hist.*, CAST(max(bucket_max) OVER () AS BIGINT)
+        AS max_lines,
+        CAST(sum(sum_lines) OVER () AS BIGINT) AS total_lines
+      FROM hist)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_lines, n_orders,
+       sum_lines, max_lines,
+       round(CAST(max_lines AS DOUBLE) / CAST(total_lines AS DOUBLE), 6)
+         AS top_key_share
+FROM m"""
+
+    o["last_role_mix_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, date_trunc('day', max(ts)) AS day_ts,
+         max_by(role, turn_idx) AS last_role
+       FROM t GROUP BY conv_id),
+counts AS (SELECT day_ts, last_role,
+             CAST(count(*) AS BIGINT) AS n_convs
+           FROM pc GROUP BY day_ts, last_role),
+m AS (SELECT counts.*, CAST(sum(n_convs) OVER (PARTITION BY day_ts)
+        AS BIGINT) AS day_convs FROM counts)
+SELECT day_ts, last_role, n_convs, day_convs,
+       round(CAST(n_convs AS DOUBLE) / CAST(day_convs AS DOUBLE), 6)
+         AS share
+FROM m"""
+
+    o["gap_dominance_1d"] = f"""{SIG_SQL},
+pc AS (SELECT conv_id, date_trunc('day', min(ts)) AS day_ts,
+         CAST(max(inter_time_us) AS BIGINT) AS max_gap_us,
+         CAST(sum(inter_time_us) AS BIGINT) AS span_us
+       FROM sig GROUP BY conv_id),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(max_gap_us) AS BIGINT) AS sum_max_gap_us,
+         CAST(sum(span_us) AS BIGINT) AS sum_span_us
+       FROM pc GROUP BY day_ts)
+SELECT day_ts, n_convs, sum_max_gap_us, sum_span_us,
+       CASE WHEN sum_span_us > 0 THEN round(CAST(sum_max_gap_us
+         AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END
+         AS dominance
+FROM ag"""
     return o

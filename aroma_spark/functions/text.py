@@ -1307,3 +1307,54 @@ def top_term_per_lang(documents: DataFrame) -> DataFrame:
             "round(CAST(n_term AS DOUBLE) / CAST(lang_tokens AS DOUBLE), 6)"
         ).alias("term_share"),
     )
+
+
+def quality_gate_by_lang(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Curation-gate pass rates per language: how many documents
+    clear the token-count gate, the alphabetic-majority gate, and
+    both — the pre-filter yield report a cleaning run publishes
+    before dropping anything.
+
+    Every gate decides on EXACT integers (the alpha-majority test is
+    the cross-multiplication ``2 * n_alpha >= n_chars`` — no float
+    ratio threshold to disagree on); ONE map-side combinable
+    aggregate into |langs| rows; shares are shared floats.
+
+    Emits ``lang, n_docs, n_pass_len, n_pass_alpha, n_pass_all,
+    pass_len_share, pass_all_share``.
+    """
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = token_count(c)
+    n_alpha = alpha_chars(c)
+    n_chars = F.length(c)
+    pass_len = (toks >= min_tokens) & (toks <= max_tokens)
+    pass_alpha = (F.lit(2) * n_alpha) >= n_chars
+    agg = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(pass_len, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_len"),
+        F.sum(F.when(pass_alpha, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_alpha"),
+        F.sum(F.when(pass_len & pass_alpha, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_pass_len",
+        "n_pass_alpha",
+        "n_pass_all",
+        F.expr(
+            "round(CAST(n_pass_len AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("pass_len_share"),
+        F.expr(
+            "round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("pass_all_share"),
+    )

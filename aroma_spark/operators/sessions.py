@@ -913,3 +913,76 @@ def weekend_mix(signals: DataFrame) -> DataFrame:
             "round(CAST(n_turns AS DOUBLE) / CAST(total_turns AS DOUBLE), 6)"
         ).alias("turn_share"),
     )
+
+
+def last_role_mix_daily(transcripts: DataFrame) -> DataFrame:
+    """How do each day's ENDING conversations close? Counts of the
+    last role per END-day (the day of the conversation's final turn)
+    with the within-day share — the outcome mix over time, the
+    closing sibling of :func:`first_role_mix_daily`.
+
+    ONE max-struct aggregation per conversation on the conv_id
+    exchange, a map-side combinable (day, role) rollup, the day
+    total as a window sum over the small result. Counts exact int64.
+
+    Emits ``day_ts, last_role, n_convs, day_convs, share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.max("ts")).alias("day_ts"),
+        F.max(F.struct("turn_idx", "role"))["role"].alias("last_role"),
+    )
+    counts = per_conv.groupBy("day_ts", "last_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    counts = counts.withColumn(
+        "day_convs",
+        F.sum("n_convs")
+        .over(Window.partitionBy("day_ts"))
+        .cast("long"),
+    )
+    return counts.select(
+        "day_ts",
+        "last_role",
+        "n_convs",
+        "day_convs",
+        F.expr(
+            "round(CAST(n_convs AS DOUBLE) / CAST(day_convs AS DOUBLE), 6)"
+        ).alias("share"),
+    )
+
+
+def gap_dominance_daily(signals: DataFrame) -> DataFrame:
+    """Is conversation wall-clock one big stall or steady progress?
+    Per start-day cohort: each conversation's LARGEST single gap
+    summed against its total span — dominance near 1.0 means the
+    span is one dominant pause (an abandoned-and-resumed session);
+    near 1/n means uniform pacing.
+
+    ONE per-conversation aggregate (max + sum of inter_time_us on
+    the conv_id exchange), then a map-side combinable per-day
+    rollup; the corpus-level dominance ratio is one shared float
+    over two exact sums, guarded for zero-span days.
+
+    Emits ``day_ts, n_convs, sum_max_gap_us, sum_span_us,
+    dominance``.
+    """
+    per_conv = signals.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day_ts"),
+        F.max("inter_time_us").cast("long").alias("max_gap_us"),
+        F.sum("inter_time_us").cast("long").alias("span_us"),
+    )
+    agg = per_conv.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("max_gap_us").cast("long").alias("sum_max_gap_us"),
+        F.sum("span_us").cast("long").alias("sum_span_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_convs",
+        "sum_max_gap_us",
+        "sum_span_us",
+        F.expr(
+            "CASE WHEN sum_span_us > 0 THEN round(CAST(sum_max_gap_us"
+            " AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END"
+        ).alias("dominance"),
+    )

@@ -1396,3 +1396,49 @@ def priority_segment_mix(
             " * CAST(pri_total AS DOUBLE)), 6)"
         ).alias("lift"),
     )
+
+
+def lines_per_order_hist(lineitem: DataFrame) -> DataFrame:
+    """Join-skew audit for the orderkey exchange: the power-of-two
+    histogram of lineitem fan-out per order, plus the single heaviest
+    key's share — the number that says whether the big lineitem ⋈
+    orders join needs salting (a hot orderkey is exactly what AQE's
+    skew split watches for).
+
+    One map-side combinable per-order count, a ~10-row histogram,
+    and the global max/total as window sums over it. Exact int64.
+
+    Emits ``bucket, lo_lines, n_orders, sum_lines, max_lines,
+    top_key_share``.
+    """
+    from pyspark.sql import Window
+
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    bucketed = per_order.select(
+        (F.length(F.conv(F.col("n_lines"), 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "n_lines",
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("sum_lines"),
+        F.max("n_lines").cast("long").alias("bucket_max"),
+    )
+    w = Window.partitionBy()
+    hist = hist.withColumn(
+        "max_lines", F.max("bucket_max").over(w).cast("long")
+    ).withColumn("total_lines", F.sum("sum_lines").over(w).cast("long"))
+    return hist.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias("lo_lines"),
+        "n_orders",
+        "sum_lines",
+        "max_lines",
+        F.expr(
+            "round(CAST(max_lines AS DOUBLE)"
+            " / CAST(total_lines AS DOUBLE), 6)"
+        ).alias("top_key_share"),
+    )

@@ -261,6 +261,11 @@ AUDITED = (
     "null_census",
     "freshness_audit",
     "priority_segment_mix",
+    # round-7p batch
+    "doc_quality_gate",
+    "lines_per_order",
+    "last_role_mix_1d",
+    "gap_dominance_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

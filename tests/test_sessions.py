@@ -405,3 +405,49 @@ def test_weekend_mix(spark):
     assert we["mean_latency_us"] == 43_200_000_000
     assert we["turn_share"] == round(2 / 3, 6)
     assert out[False]["n_turns"] == 1
+
+
+def test_last_role_mix_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import last_role_mix_daily
+
+    rows = [
+        # conv a ends Jan 2 with purchase
+        ("a", 0, "view", "2024-01-01 10:00:00"),
+        ("a", 1, "purchase", "2024-01-02 10:00:00"),
+        # conv b ends Jan 2 with error
+        ("b", 0, "error", "2024-01-02 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["day_ts"])[:10], r["last_role"]): r
+           for r in last_role_mix_daily(df).collect()}
+    p = out[("2024-01-02", "purchase")]
+    assert (p["n_convs"], p["day_convs"], p["share"]) == (1, 2, 0.5)
+    assert out[("2024-01-02", "error")]["share"] == 0.5
+    assert len(out) == 2
+
+
+def test_gap_dominance_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import gap_dominance_daily
+
+    rows = [
+        # conv a: gaps 0, 10s, 30s -> max 30s, span 40s
+        ("a", "2024-01-01 10:00:00", 0),
+        ("a", "2024-01-01 10:00:10", 10_000_000),
+        ("a", "2024-01-01 10:00:40", 30_000_000),
+        # conv b: gaps 0, 20s -> max 20s, span 20s
+        ("b", "2024-01-01 11:00:00", 0),
+        ("b", "2024-01-01 11:00:20", 20_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string, inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = gap_dominance_daily(df).collect()[0]
+    assert (r["n_convs"], r["sum_max_gap_us"], r["sum_span_us"]) == (
+        2, 50_000_000, 60_000_000)
+    assert r["dominance"] == round(50 / 60, 6)

@@ -374,3 +374,23 @@ def test_top_term_per_lang(spark):
         "cat", 3, 4)
     assert en["term_share"] == 0.75
     assert out["fr"]["top_term"] == "la"
+
+
+def test_quality_gate_by_lang(spark):
+    from aroma_spark.functions.text import quality_gate_by_lang
+
+    rows = [
+        # 5 tokens, all-alpha -> passes both
+        (1, "aa bb cc dd ee", "en", "web", 14),
+        # 2 tokens -> fails len; alpha-majority passes
+        (2, "aa bb", "en", "web", 5),
+        # 5 tokens but digit-heavy -> passes len, fails alpha
+        (3, "11 22 33 44 5a", "en", "web", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    r = quality_gate_by_lang(df).collect()[0]
+    assert (r["n_docs"], r["n_pass_len"], r["n_pass_alpha"],
+            r["n_pass_all"]) == (3, 2, 2, 1)
+    assert r["pass_all_share"] == round(1 / 3, 6)

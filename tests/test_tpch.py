@@ -638,3 +638,22 @@ def test_priority_segment_mix(spark):
             bu["corpus_total"]) == (2, 3, 2, 4)
     assert bu["lift"] == round(2 * 4 / (3 * 2), 6)
     assert out[("AUTO", "5-LOW")]["lift"] == round(1 * 4 / (1 * 2), 6)
+
+
+def test_lines_per_order_hist(spark):
+    from aroma_spark.operators.tpch import lines_per_order_hist
+
+    # order 1: 1 line (bucket 0); order 2: 3 lines (bucket 1)
+    li = _lineitem(spark, [
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-02 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-03 00:00:00"),
+    ])
+    out = {r["bucket"]: r for r in lines_per_order_hist(li).collect()}
+    assert (out[0]["lo_lines"], out[0]["n_orders"],
+            out[0]["sum_lines"]) == (1, 1, 1)
+    assert (out[1]["n_orders"], out[1]["sum_lines"]) == (1, 3)
+    # heaviest key (3 lines) / total (4 lines)
+    assert out[0]["max_lines"] == 3
+    assert out[0]["top_key_share"] == 0.75
