@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 260 registered queries, ALL 260 with hash-compared DuckDB
-oracles — including the round-7p batch (``doc_quality_gate``
+Round 5: 265 registered queries, ALL 265 with hash-compared DuckDB
+oracles — including the round-7q batch (``burst_user_1d`` the
+rate-limit watch, ``top_buyer_1d`` the daily whale, ``emb_centroid_align``
+the integer-exact label-centroid alignment matrix, ``pk_audit`` the
+primary-key duplicate report, ``median_len_by_role`` exact per-role
+medians), the round-7p batch (``doc_quality_gate``
 integer-exact curation pass rates, ``lines_per_order`` the orderkey
 skew audit, ``last_role_mix_1d`` the closing-role mix,
 ``gap_dominance_1d`` the biggest-stall share), the round-7o batch
@@ -2835,6 +2839,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gap_dominance_daily(_signals(spark, sf))
 
     q["gap_dominance_1d"] = gap_dominance_1d
+
+    def burst_user_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import burst_user_daily
+
+        return burst_user_daily(load_table(spark, sf, "events"))
+
+    q["burst_user_1d"] = burst_user_1d
+
+    def top_buyer_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import top_buyer_daily
+
+        return top_buyer_daily(load_table(spark, sf, "events"))
+
+    q["top_buyer_1d"] = top_buyer_1d
+
+    def emb_centroid_align(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import centroid_alignment
+
+        return centroid_alignment(load_table(spark, sf, "embeddings"))
+
+    q["emb_centroid_align"] = emb_centroid_align
+
+    def pk_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import pk_audit
+
+        return pk_audit(
+            [
+                ("events", ["event_id"], load_table(spark, sf, "events")),
+                ("orders", ["o_orderkey"], load_table(spark, sf, "orders")),
+                (
+                    "lineitem",
+                    ["l_orderkey", "l_linenumber"],
+                    load_table(spark, sf, "lineitem"),
+                ),
+                (
+                    "customer",
+                    ["c_custkey"],
+                    load_table(spark, sf, "customer"),
+                ),
+            ]
+        )
+
+    q["pk_audit"] = pk_audit_q
+
+    def median_len_by_role(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.distribution import (
+            median_text_len_by_role,
+        )
+
+        return median_text_len_by_role(_signals(spark, sf))
+
+    q["median_len_by_role"] = median_len_by_role
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -7743,4 +7799,93 @@ SELECT day_ts, n_convs, sum_max_gap_us, sum_span_us,
          AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END
          AS dominance
 FROM ag"""
+
+    # round-7q batch: burst-user watch, daily top buyer, exact
+    # centroid alignment, PK audit and per-role median length.
+    o["burst_user_1d"] = """WITH cell AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+d AS (SELECT cell.*, date_trunc('day', hour_ts) AS day_ts FROM cell),
+rk AS (SELECT day_ts, user_id, hour_ts, n_events,
+         row_number() OVER (PARTITION BY day_ts
+           ORDER BY n_events DESC, user_id ASC, hour_ts ASC) AS rn,
+         CAST(sum(n_events) OVER (PARTITION BY day_ts) AS BIGINT)
+           AS day_events
+       FROM d)
+SELECT day_ts, user_id AS burst_user_id, hour_ts AS burst_hour_ts,
+       n_events AS burst_events, day_events,
+       round(CAST(n_events AS DOUBLE) / CAST(day_events AS DOUBLE), 6)
+         AS burst_share
+FROM rk WHERE rn = 1"""
+
+    o["top_buyer_1d"] = """WITH cell AS (
+  SELECT date_trunc('day', ts) AS day_ts, user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(count(*) AS BIGINT) AS n_user_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+rk AS (SELECT cell.*,
+         row_number() OVER (PARTITION BY day_ts
+           ORDER BY cents DESC, user_id ASC) AS rn,
+         CAST(sum(cents) OVER (PARTITION BY day_ts) AS BIGINT)
+           AS day_cents
+       FROM cell)
+SELECT day_ts, user_id AS top_user_id, cents AS top_cents,
+       n_user_purchases, day_cents,
+       CASE WHEN day_cents > 0 THEN round(CAST(cents AS DOUBLE)
+         / CAST(day_cents AS DOUBLE), 6) END AS top_share
+FROM rk WHERE rn = 1"""
+
+    o["emb_centroid_align"] = """WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label, t.i AS pos,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000 + 0.5)
+           AS BIGINT) AS fx
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+pd AS (SELECT label, pos, CAST(sum(fx) AS BIGINT) AS sum_fx
+       FROM ex GROUP BY label, pos),
+cnt AS (SELECT CAST(label AS BIGINT) AS label,
+          CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY 1),
+dots AS (SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(a.sum_fx * b.sum_fx) AS BIGINT) AS dot_fx2
+         FROM pd a JOIN pd b
+           ON a.pos = b.pos AND a.label < b.label
+         GROUP BY a.label, b.label)
+SELECT d.label_a, d.label_b, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+       d.dot_fx2,
+       round(CAST(d.dot_fx2 AS DOUBLE)
+         / (CAST(ca.n_vecs AS DOUBLE) * CAST(cb.n_vecs AS DOUBLE)), 6)
+         AS mean_align
+FROM dots d
+JOIN cnt ca ON d.label_a = ca.label
+JOIN cnt cb ON d.label_b = cb.label"""
+
+    _pk_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{','.join(ks)}' AS key_cols,
+       n_rows, n_keys, CAST(n_rows - n_keys AS BIGINT) AS n_dupes,
+       CASE WHEN n_rows > 0 THEN round(CAST(n_rows - n_keys AS DOUBLE)
+         / CAST(n_rows AS DOUBLE), 6) END AS dup_share
+FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_keys
+      FROM (SELECT {', '.join(ks)}, CAST(count(*) AS BIGINT) AS c
+            FROM {t} GROUP BY {', '.join(ks)}))"""
+        for t, ks in (
+            ("events", ["event_id"]),
+            ("orders", ["o_orderkey"]),
+            ("lineitem", ["l_orderkey", "l_linenumber"]),
+            ("customer", ["c_custkey"]),
+        )
+    )
+    o["pk_audit"] = _pk_parts
+
+    o["median_len_by_role"] = f"""{SIG_SQL},
+ranked AS (SELECT role, CAST(text_len AS BIGINT) AS text_len,
+             row_number() OVER (PARTITION BY role
+               ORDER BY text_len, conv_id, turn_idx) AS rk,
+             CAST(count(*) OVER (PARTITION BY role) AS BIGINT)
+               AS n_turns
+           FROM sig)
+SELECT role, n_turns, text_len AS median_text_len
+FROM ranked WHERE rk = (n_turns + 1) // 2"""
     return o

@@ -640,3 +640,52 @@ def latency_spread_daily(signals: DataFrame) -> DataFrame:
             " / CAST(sum_us AS DOUBLE), 6) END"
         ).alias("spread_ratio"),
     )
+
+
+def burst_user_daily(events: DataFrame) -> DataFrame:
+    """Rate-limit / abuse watch: for each day, the single heaviest
+    (user, hour) burst — who fired the most events in one hour, how
+    many, and what share of the day that burst was. Deterministic
+    argmax (count DESC, user ASC, hour ASC).
+
+    ONE map-side combinable (user, hour) aggregate — 10^12 events
+    collapse before any wide operation — then the per-day argmax and
+    total as window functions over that (much smaller) frame. Exact
+    int64.
+
+    Emits ``day_ts, burst_user_id, burst_hour_ts, burst_events,
+    day_events, burst_share``.
+    """
+    from pyspark.sql import Window
+
+    cell = events.groupBy(
+        F.col("user_id"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    cell = cell.withColumn(
+        "day_ts", F.date_trunc("day", F.col("hour_ts"))
+    )
+    w = Window.partitionBy("day_ts").orderBy(
+        F.col("n_events").desc(),
+        F.col("user_id").asc(),
+        F.col("hour_ts").asc(),
+    )
+    wd = Window.partitionBy("day_ts")
+    ranked = cell.select(
+        "day_ts",
+        "user_id",
+        "hour_ts",
+        "n_events",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_events").over(wd).cast("long").alias("day_events"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "day_ts",
+        F.col("user_id").alias("burst_user_id"),
+        F.col("hour_ts").alias("burst_hour_ts"),
+        F.col("n_events").alias("burst_events"),
+        "day_events",
+        F.expr(
+            "round(CAST(n_events AS DOUBLE) / CAST(day_events AS DOUBLE), 6)"
+        ).alias("burst_share"),
+    )

@@ -502,3 +502,53 @@ def revenue_new_vs_returning(events: DataFrame) -> DataFrame:
             " AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) END"
         ).alias("new_share"),
     )
+
+
+def top_buyer_daily(events: DataFrame) -> DataFrame:
+    """The day's biggest spender: per day, the user with the highest
+    purchase cents (deterministic tie to the lower user id) and
+    their share of the day's revenue — the daily drill-down of the
+    corpus-level Pareto report.
+
+    ONE map-side combinable (day, user) cents aggregate over the
+    pruned purchase scan, then the argmax and day total as window
+    functions over that frame. Exact int64 cents.
+
+    Emits ``day_ts, top_user_id, top_cents, n_user_purchases,
+    day_cents, top_share``.
+    """
+    from pyspark.sql import Window
+
+    cell = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day_ts"), "user_id"
+        )
+        .agg(
+            F.sum(F.expr(CENTS)).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_user_purchases"),
+        )
+    )
+    w = Window.partitionBy("day_ts").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc()
+    )
+    wd = Window.partitionBy("day_ts")
+    ranked = cell.select(
+        "day_ts",
+        "user_id",
+        "cents",
+        "n_user_purchases",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(wd).cast("long").alias("day_cents"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "day_ts",
+        F.col("user_id").alias("top_user_id"),
+        F.col("cents").alias("top_cents"),
+        "n_user_purchases",
+        "day_cents",
+        F.expr(
+            "CASE WHEN day_cents > 0 THEN round(CAST(cents AS DOUBLE)"
+            " / CAST(day_cents AS DOUBLE), 6) END"
+        ).alias("top_share"),
+    )

@@ -325,3 +325,34 @@ def doc_len_quartiles_by_lang(documents: DataFrame) -> DataFrame:
             .alias(f"{name}_chars")
         )
     return ranked.groupBy("lang").agg(*aggs)
+
+
+def median_text_len_by_role(signals: DataFrame) -> DataFrame:
+    """Exact median text length per role (type-1 rank under the
+    deterministic (text_len, conv_id, turn_idx) order) with the role
+    counts — are tool-call turns structurally shorter than views?
+
+    One hash exchange on role for the rank window, |roles| output
+    rows. All int64.
+
+    Emits ``role, n_turns, median_text_len``.
+    """
+    w = Window.partitionBy("role").orderBy(
+        "text_len", "conv_id", "turn_idx"
+    )
+    ranked = signals.select(
+        "role",
+        F.col("text_len").cast("long").alias("text_len"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("role"))
+        .cast("long")
+        .alias("n_turns"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_turns + 1) div 2")
+    ).select(
+        "role",
+        "n_turns",
+        F.col("text_len").alias("median_text_len"),
+    )

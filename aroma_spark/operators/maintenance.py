@@ -348,3 +348,47 @@ def freshness_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pk_audit(
+    frames: "list[tuple[str, list[str], DataFrame]]",
+) -> DataFrame:
+    """Primary-key audit: for each (table, key columns), the row
+    count, distinct-key count and duplicate count — the referential
+    sanity check that catches double-loaded partitions before any
+    join silently fans out.
+
+    One map-side combinable distinct per table on the pruned key
+    projection, unioned into a |tables|-row report. Exact int64.
+
+    Emits ``table_name, key_cols, n_rows, n_keys, n_dupes,
+    dup_share``.
+    """
+    parts = []
+    for table_name, key_cols, df in frames:
+        per_key = df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        parts.append(
+            per_key.agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+            ).select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(",".join(key_cols)).alias("key_cols"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys"))
+                .cast("long")
+                .alias("n_dupes"),
+                F.expr(
+                    "CASE WHEN n_rows > 0 THEN round(CAST(n_rows"
+                    " - n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+                    " END"
+                ).alias("dup_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

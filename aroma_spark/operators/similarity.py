@@ -775,3 +775,86 @@ def dim_profile(embeddings: DataFrame, scale: int = 10_000) -> DataFrame:
             "round(CAST(sum_fx AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)"
         ).alias("mean_fx"),
     )
+
+
+def centroid_alignment(
+    embeddings: DataFrame, scale: int = 10_000
+) -> DataFrame:
+    """Exact label-centroid alignment matrix: for every unordered
+    label pair, the dot product of the SUMMED fixed-point vectors —
+    an integer-exact proxy for centroid similarity (the normalized
+    centroid dot is sum_dot / (n_a * n_b) up to the fixed-point
+    scale, emitted as the one shared float). High alignment between
+    two labels says their embedding clusters point the same way —
+    the label-confusion early warning.
+
+    Pipeline: posexplode to (label, dim, fx), ONE map-side
+    combinable sum into |labels| x dim rows, a self-join ON dim over
+    that tiny frame (the corpus is touched once; the join input is
+    hundreds of rows at ANY corpus size), one |labels|^2/2-row
+    aggregate. Headroom: |sum_fx| <= n*scale ~ 1e13 at 1e9
+    vectors/label, so each product term stays under 2^63 for
+    corpora to ~3e4 vectors/label at scale 1e4 — raise with care or
+    drop to scale 1e3 (the docstring contract of norm_profile).
+
+    Emits ``label_a, label_b, n_a, n_b, dot_fx2, mean_align``.
+    """
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    per_dim = (
+        embeddings.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select("label", "pos", q.alias("fx"))
+        .groupBy("label", "pos")
+        .agg(F.sum("fx").cast("long").alias("sum_fx"))
+    )
+    counts = embeddings.groupBy(
+        F.col("label").cast("long").alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    a = per_dim.select(
+        F.col("label").alias("label_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("sum_fx").alias("sfx_a"),
+    )
+    b = per_dim.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("sum_fx").alias("sfx_b"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("pos_a") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sfx_a") * F.col("sfx_b"))
+            .cast("long")
+            .alias("dot_fx2")
+        )
+    )
+    ca = counts.select(
+        F.col("label").alias("la"), F.col("n_vecs").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("label").alias("lb"), F.col("n_vecs").alias("n_b")
+    )
+    out = (
+        dots.join(F.broadcast(ca), F.col("label_a") == F.col("la"))
+        .join(F.broadcast(cb), F.col("label_b") == F.col("lb"))
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        "dot_fx2",
+        F.expr(
+            "round(CAST(dot_fx2 AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+        ).alias("mean_align"),
+    )

@@ -266,6 +266,12 @@ AUDITED = (
     "lines_per_order",
     "last_role_mix_1d",
     "gap_dominance_1d",
+    # round-7q batch
+    "burst_user_1d",
+    "top_buyer_1d",
+    "emb_centroid_align",
+    "pk_audit",
+    "median_len_by_role",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -136,3 +136,29 @@ def test_latency_spread_daily(spark):
     # mean = 40e6 // 3
     assert r["mean_us"] == 13_333_333
     assert r["spread_ratio"] == round(30_000_000 * 3 / 40_000_000, 6)
+
+
+def test_burst_user_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.anomaly import burst_user_daily
+
+    rows = [
+        # user 1: 3 events in hour 10
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:10:00", 1, "view", 0.0),
+        (3, "2024-01-01 10:20:00", 1, "view", 0.0),
+        # user 2: 2 events in hour 11
+        (4, "2024-01-01 11:00:00", 2, "view", 0.0),
+        (5, "2024-01-01 11:30:00", 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = burst_user_daily(df).collect()[0]
+    assert (r["burst_user_id"], r["burst_events"], r["day_events"]) == (
+        1, 3, 5)
+    assert str(r["burst_hour_ts"]).startswith("2024-01-01 10")
+    assert r["burst_share"] == 0.6

@@ -286,3 +286,24 @@ def test_revenue_new_vs_returning(spark):
     assert (d2["new_cents"], d2["returning_cents"],
             d2["total_cents"]) == (500, 300, 800)
     assert d2["new_share"] == 0.625
+
+
+def test_top_buyer_daily(spark):
+    from aroma_spark.operators.business import top_buyer_daily
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 2.00),
+        (3, "2024-01-01 12:00:00", 2, "purchase", 2.50),
+        (4, "2024-01-01 13:00:00", 2, "view", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = top_buyer_daily(df).collect()[0]
+    # user 1: 300c over 2 purchases; user 2: 250c
+    assert (r["top_user_id"], r["top_cents"], r["n_user_purchases"]) == (
+        1, 300, 2)
+    assert (r["day_cents"], r["top_share"]) == (550, round(300/550, 6))

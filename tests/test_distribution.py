@@ -114,3 +114,18 @@ def test_doc_len_quartiles_hand_computed(spark):
     fr = out["fr"]
     # n=1: every quantile is the single value
     assert (fr["n_docs"], fr["p25_chars"], fr["p95_chars"]) == (1, 7, 7)
+
+
+def test_median_text_len_by_role(spark):
+    from aroma_spark.operators.distribution import median_text_len_by_role
+
+    rows = [
+        ("a", 0, "view", 10), ("a", 1, "view", 30), ("a", 2, "view", 20),
+        ("a", 3, "click", 5), ("a", 4, "click", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text_len long")
+    out = {r["role"]: r for r in median_text_len_by_role(df).collect()}
+    assert (out["view"]["n_turns"], out["view"]["median_text_len"]) == (
+        3, 20)
+    assert out["click"]["median_text_len"] == 5

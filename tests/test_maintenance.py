@@ -156,3 +156,19 @@ def test_freshness_audit(spark):
     r = freshness_audit([("ev", "ts", df)]).collect()[0]
     assert (r["table_name"], r["n_rows"], r["span_days"]) == ("ev", 2, 3)
     assert str(r["min_ts"]).startswith("2024-01-01")
+
+
+def test_pk_audit(spark):
+    from aroma_spark.operators.maintenance import pk_audit
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "id long, v string")
+    b = spark.createDataFrame(
+        [(1, 1), (1, 2)], "k long, ln int")
+    out = {r["table_name"]: r for r in pk_audit(
+        [("ta", ["id"], a), ("tb", ["k", "ln"], b)]).collect()}
+    ta = out["ta"]
+    assert (ta["key_cols"], ta["n_rows"], ta["n_keys"],
+            ta["n_dupes"]) == ("id", 3, 2, 1)
+    assert ta["dup_share"] == round(1 / 3, 6)
+    assert out["tb"]["n_dupes"] == 0

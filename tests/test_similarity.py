@@ -276,3 +276,23 @@ def test_dim_profile_fixed_point(spark):
     d2 = out[2]
     assert (d2["sum_fx"], d2["min_fx"], d2["max_fx"]) == (
         5000, -5000, 10000)
+
+
+def test_centroid_alignment_exact(spark):
+    from aroma_spark.operators.similarity import centroid_alignment
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = centroid_alignment(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # label0 sum = (20000, 0); label1 sum = (5000, 5000)
+    assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
+    assert r["dot_fx2"] == 20000 * 5000
+    assert r["mean_align"] == round(20000 * 5000 / 2, 6)
