@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 265 registered queries, ALL 265 with hash-compared DuckDB
-oracles — including the round-7q batch (``burst_user_1d`` the
+Round 5: 269 registered queries, ALL 269 with hash-compared DuckDB
+oracles — including the round-7r batch (``conv_phase_profile``
+early/mid/late pacing thirds, ``conversion_by_entry`` entry-role
+conversion, ``revenue_outliers`` median-anchored outlier days with
+exact integer flags, ``value_quality`` the zero/negative/null value
+audit), the round-7q batch (``burst_user_1d`` the
 rate-limit watch, ``top_buyer_1d`` the daily whale, ``emb_centroid_align``
 the integer-exact label-centroid alignment matrix, ``pk_audit`` the
 primary-key duplicate report, ``median_len_by_role`` exact per-role
@@ -2891,6 +2895,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return median_text_len_by_role(_signals(spark, sf))
 
     q["median_len_by_role"] = median_len_by_role
+
+    def conv_phase_profile_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import conv_phase_profile
+
+        return conv_phase_profile(_signals(spark, sf))
+
+    q["conv_phase_profile"] = conv_phase_profile_q
+
+    def conversion_by_entry_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import conversion_by_entry
+
+        return conversion_by_entry(transcripts_from_events(spark, sf))
+
+    q["conversion_by_entry"] = conversion_by_entry_q
+
+    def revenue_outliers(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import revenue_outlier_days
+
+        return revenue_outlier_days(load_table(spark, sf, "events"))
+
+    q["revenue_outliers"] = revenue_outliers
+
+    def value_quality(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import value_quality_audit
+
+        return value_quality_audit(load_table(spark, sf, "events"))
+
+    q["value_quality"] = value_quality
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -7888,4 +7920,70 @@ ranked AS (SELECT role, CAST(text_len AS BIGINT) AS text_len,
            FROM sig)
 SELECT role, n_turns, text_len AS median_text_len
 FROM ranked WHERE rk = (n_turns + 1) // 2"""
+
+    # round-7r batch: conversation phase pacing, entry-role
+    # conversion, revenue outlier days and the value-quality audit.
+    o["conv_phase_profile"] = f"""{SIG_SQL},
+ph AS (SELECT least((CAST(turn_idx AS BIGINT) * 3)
+           // CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT), 2)
+           AS phase,
+         inter_time_us, tool_call
+       FROM sig),
+ag AS (SELECT CAST(phase AS INTEGER) AS phase,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us,
+         CAST(sum(tool_call) AS BIGINT) AS sum_tool_calls
+       FROM ph GROUP BY 1)
+SELECT phase, n_turns, sum_latency_us,
+       CAST(sum_latency_us // n_turns AS BIGINT) AS mean_latency_us,
+       sum_tool_calls,
+       round(CAST(sum_tool_calls AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)
+         AS tool_rate
+FROM ag"""
+
+    o["conversion_by_entry"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, min_by(role, turn_idx) AS first_role,
+         CAST(max(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS has_purchase
+       FROM t GROUP BY conv_id),
+ag AS (SELECT first_role, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(has_purchase) AS BIGINT) AS n_purchase
+       FROM pc GROUP BY first_role)
+SELECT first_role, n_convs, n_purchase,
+       round(CAST(n_purchase AS DOUBLE) / CAST(n_convs AS DOUBLE), 6)
+         AS purchase_share
+FROM ag"""
+
+    o["revenue_outliers"] = """WITH daily AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+ranked AS (SELECT day_ts, day_cents,
+             row_number() OVER (ORDER BY day_cents, day_ts) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM daily),
+med AS (SELECT day_cents AS median_cents FROM ranked
+        WHERE rk = (n + 1) // 2)
+SELECT d.day_ts, d.day_cents, med.median_cents,
+       CASE WHEN med.median_cents > 0 THEN round(CAST(d.day_cents
+         AS DOUBLE) / CAST(med.median_cents AS DOUBLE), 6) END
+         AS rev_ratio,
+       d.day_cents > 2 * med.median_cents AS is_high,
+       2 * d.day_cents < med.median_cents AS is_low
+FROM daily d, med"""
+
+    o["value_quality"] = """WITH ag AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null,
+         CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+           = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+           < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+  FROM events GROUP BY event_type)
+SELECT event_type, n_events, n_null, n_zero, n_negative,
+       round(CAST(n_zero AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS zero_share
+FROM ag"""
     return o

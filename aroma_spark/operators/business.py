@@ -552,3 +552,88 @@ def top_buyer_daily(events: DataFrame) -> DataFrame:
             " / CAST(day_cents AS DOUBLE), 6) END"
         ).alias("top_share"),
     )
+
+
+def revenue_outlier_days(events: DataFrame) -> DataFrame:
+    """Days whose purchase revenue is an outlier against the corpus
+    median daily revenue — flagged by the EXACT integer comparison
+    ``rev > 2 * median`` / ``2 * rev < median`` (no float threshold),
+    with the ratio as the one shared float for reading.
+
+    Daily cents first (map-side combinable), the median of the
+    |days|-row series by rank window over it, the flags pure int64
+    comparisons. The whole post-aggregate stage runs over |days|
+    rows.
+
+    Emits ``day_ts, day_cents, median_cents, rev_ratio, is_high,
+    is_low``.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(F.sum(F.expr(CENTS)).cast("long").alias("day_cents"))
+    )
+    w = Window.orderBy("day_cents", "day_ts")
+    ranked = daily.select(
+        "day_ts",
+        "day_cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med = ranked.where(
+        F.col("rk") == F.expr("(n + 1) div 2")
+    ).select(F.col("day_cents").alias("median_cents"))
+    out = daily.crossJoin(F.broadcast(med))
+    return out.select(
+        "day_ts",
+        "day_cents",
+        "median_cents",
+        F.expr(
+            "CASE WHEN median_cents > 0 THEN round(CAST(day_cents"
+            " AS DOUBLE) / CAST(median_cents AS DOUBLE), 6) END"
+        ).alias("rev_ratio"),
+        (F.col("day_cents") > F.lit(2) * F.col("median_cents")).alias(
+            "is_high"
+        ),
+        (F.lit(2) * F.col("day_cents") < F.col("median_cents")).alias(
+            "is_low"
+        ),
+    )
+
+
+def value_quality_audit(events: DataFrame) -> DataFrame:
+    """Monetary-value data-quality audit per event type: zero,
+    negative and null value counts — a purchase with value 0 is a
+    broken tracking call, and this report is where it shows.
+
+    ONE map-side combinable aggregate into |types| rows. Exact
+    int64; shares are shared floats.
+
+    Emits ``event_type, n_events, n_null, n_zero, n_negative,
+    zero_share``.
+    """
+    c = F.expr(CENTS)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(c == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(c < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_null",
+        "n_zero",
+        "n_negative",
+        F.expr(
+            "round(CAST(n_zero AS DOUBLE) / CAST(n_events AS DOUBLE), 6)"
+        ).alias("zero_share"),
+    )

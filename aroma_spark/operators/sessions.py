@@ -986,3 +986,87 @@ def gap_dominance_daily(signals: DataFrame) -> DataFrame:
             " AS DOUBLE) / CAST(sum_span_us AS DOUBLE), 6) END"
         ).alias("dominance"),
     )
+
+
+def conv_phase_profile(signals: DataFrame) -> DataFrame:
+    """Within-conversation pacing: each turn assigned to an
+    early/mid/late phase third by its relative position
+    (``(turn_idx * 3) div n_turns``, clamped to 2), then latency and
+    tool usage aggregated per phase — do conversations start fast
+    and stall late, and does tool use migrate?
+
+    The per-conversation length rides a window count on the one
+    conv_id exchange; the phase is pure integer arithmetic (no float
+    position); the final aggregate is 3 rows. Exact int64 sums;
+    integer-quotient mean latency (gaps nonnegative under canonical
+    ordering); the tool rate is one shared float.
+
+    Emits ``phase, n_turns, sum_latency_us, mean_latency_us,
+    sum_tool_calls, tool_rate``.
+    """
+    w = Window.partitionBy("conv_id")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    # integer division keeps the phase exact in both engines; the
+    # clamp covers turn_idx == n_turns - 1 landing exactly on 3n/3
+    phased = signals.select(
+        n.alias("n_turns_conv"),
+        F.col("turn_idx").cast("long").alias("ti"),
+        "inter_time_us",
+        "tool_call",
+    ).select(
+        F.least(
+            F.expr("(ti * 3) div n_turns_conv").cast("int"), F.lit(2)
+        ).alias("phase"),
+        "inter_time_us",
+        "tool_call",
+    )
+    agg = phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+        F.sum("tool_call").cast("long").alias("sum_tool_calls"),
+    )
+    return agg.select(
+        "phase",
+        "n_turns",
+        "sum_latency_us",
+        F.expr("CAST(sum_latency_us div n_turns AS BIGINT)").alias(
+            "mean_latency_us"
+        ),
+        "sum_tool_calls",
+        F.expr(
+            "round(CAST(sum_tool_calls AS DOUBLE)"
+            " / CAST(n_turns AS DOUBLE), 6)"
+        ).alias("tool_rate"),
+    )
+
+
+def conversion_by_entry(transcripts: DataFrame) -> DataFrame:
+    """Conversion rate by conversation ENTRY role: of the
+    conversations that open with role X, how many eventually
+    purchase? The acquisition-channel quality read on top of
+    :func:`first_role_mix_daily`'s volume mix.
+
+    ONE per-conversation aggregate (min-struct first role + purchase
+    flag) on the conv_id exchange, then a |roles|-row rollup. Exact
+    counts; the share is one shared float.
+
+    Emits ``first_role, n_convs, n_purchase, purchase_share``.
+    """
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.min(F.struct("turn_idx", "role"))["role"].alias("first_role"),
+        F.max(F.when(F.col("role") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("has_purchase"),
+    )
+    agg = per_conv.groupBy("first_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("has_purchase").cast("long").alias("n_purchase"),
+    )
+    return agg.select(
+        "first_role",
+        "n_convs",
+        "n_purchase",
+        F.expr(
+            "round(CAST(n_purchase AS DOUBLE) / CAST(n_convs AS DOUBLE), 6)"
+        ).alias("purchase_share"),
+    )

@@ -272,6 +272,11 @@ AUDITED = (
     "emb_centroid_align",
     "pk_audit",
     "median_len_by_role",
+    # round-7r batch
+    "conv_phase_profile",
+    "conversion_by_entry",
+    "revenue_outliers",
+    "value_quality",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -307,3 +307,49 @@ def test_top_buyer_daily(spark):
     assert (r["top_user_id"], r["top_cents"], r["n_user_purchases"]) == (
         1, 300, 2)
     assert (r["day_cents"], r["top_share"]) == (550, round(300/550, 6))
+
+
+def test_revenue_outlier_days(spark):
+    from aroma_spark.operators.business import revenue_outlier_days
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-02 10:00:00", 1, "purchase", 1.10),
+        (3, "2024-01-03 10:00:00", 1, "purchase", 5.00),   # high
+        (4, "2024-01-04 10:00:00", 1, "purchase", 0.40),   # low
+        (5, "2024-01-05 10:00:00", 1, "purchase", 1.20),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in revenue_outlier_days(df).collect()}
+    # daily cents sorted: 40,100,110,120,500 -> median 110
+    assert out["2024-01-01"]["median_cents"] == 110
+    assert (out["2024-01-03"]["is_high"], out["2024-01-03"]["is_low"]) == (
+        True, False)
+    assert (out["2024-01-04"]["is_high"], out["2024-01-04"]["is_low"]) == (
+        False, True)
+    assert out["2024-01-02"]["is_high"] is False
+
+
+def test_value_quality_audit(spark):
+    from aroma_spark.operators.business import value_quality_audit
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 0.00),
+        (3, "2024-01-01 12:00:00", 1, "purchase", -2.00),
+        (4, "2024-01-01 13:00:00", 1, "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = value_quality_audit(df).collect()[0]
+    assert (r["n_events"], r["n_null"], r["n_zero"], r["n_negative"]) == (
+        4, 1, 1, 1)
+    assert r["zero_share"] == 0.25

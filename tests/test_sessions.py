@@ -451,3 +451,38 @@ def test_gap_dominance_daily(spark):
     assert (r["n_convs"], r["sum_max_gap_us"], r["sum_span_us"]) == (
         2, 50_000_000, 60_000_000)
     assert r["dominance"] == round(50 / 60, 6)
+
+
+def test_conv_phase_profile(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import conv_phase_profile
+
+    # 6-turn conv: turns 0,1 -> phase 0; 2,3 -> 1; 4,5 -> 2
+    rows = [("a", i, 1_000_000 * i, i % 2) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, inter_time_us long,"
+        " tool_call long")
+    out = {r["phase"]: r for r in conv_phase_profile(df).collect()}
+    assert (out[0]["n_turns"], out[0]["sum_latency_us"]) == (2, 1_000_000)
+    assert (out[1]["n_turns"], out[1]["sum_latency_us"]) == (2, 5_000_000)
+    assert (out[2]["n_turns"], out[2]["sum_latency_us"]) == (2, 9_000_000)
+    assert out[2]["mean_latency_us"] == 4_500_000
+    assert out[0]["tool_rate"] == 0.5
+
+
+def test_conversion_by_entry(spark):
+    from aroma_spark.operators.sessions import conversion_by_entry
+
+    rows = [
+        ("a", 0, "view"), ("a", 1, "purchase"),
+        ("b", 0, "view"), ("b", 1, "click"),
+        ("c", 0, "signup"), ("c", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    out = {r["first_role"]: r for r in conversion_by_entry(df).collect()}
+    v = out["view"]
+    assert (v["n_convs"], v["n_purchase"], v["purchase_share"]) == (
+        2, 1, 0.5)
+    assert out["signup"]["purchase_share"] == 1.0
