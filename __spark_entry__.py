@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 269 registered queries, ALL 269 with hash-compared DuckDB
-oracles — including the round-7r batch (``conv_phase_profile``
+Round 5: 273 registered queries, ALL 273 with hash-compared DuckDB
+oracles — including the round-7s batch (``cohort_retention_1w`` the
+weekly retention grid, ``error_convs_1w`` the weekly error-conv
+share, ``doc_word_len_hist`` the capped word-length histogram,
+``hour_coverage_1d`` daily hour coverage), the round-7r batch
+(``conv_phase_profile``
 early/mid/late pacing thirds, ``conversion_by_entry`` entry-role
 conversion, ``revenue_outliers`` median-anchored outlier days with
 exact integer flags, ``value_quality`` the zero/negative/null value
@@ -2923,6 +2927,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return value_quality_audit(load_table(spark, sf, "events"))
 
     q["value_quality"] = value_quality
+
+    def cohort_retention_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import cohort_retention_weekly
+
+        return cohort_retention_weekly(transcripts_from_events(spark, sf))
+
+    q["cohort_retention_1w"] = cohort_retention_1w
+
+    def error_convs_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import error_convs_weekly
+
+        return error_convs_weekly(transcripts_from_events(spark, sf))
+
+    q["error_convs_1w"] = error_convs_1w
+
+    def doc_word_len_hist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import word_len_hist
+
+        return word_len_hist(load_table(spark, sf, "documents"))
+
+    q["doc_word_len_hist"] = doc_word_len_hist
+
+    def hour_coverage_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import hour_coverage_daily
+
+        return hour_coverage_daily(_signals(spark, sf))
+
+    q["hour_coverage_1d"] = hour_coverage_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -7985,5 +8017,58 @@ FROM daily d, med"""
 SELECT event_type, n_events, n_null, n_zero, n_negative,
        round(CAST(n_zero AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
          AS zero_share
+FROM ag"""
+
+    # round-7s batch: weekly retention grid, weekly error share, the
+    # word-length histogram and daily hour coverage.
+    o["cohort_retention_1w"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+fw AS (SELECT conv_id, min(date_trunc('week', ts)) AS cohort_week
+       FROM t GROUP BY conv_id),
+act AS (SELECT DISTINCT conv_id, date_trunc('week', ts)
+          AS active_week FROM t),
+j AS (SELECT a.conv_id, fw.cohort_week, a.active_week
+      FROM act a JOIN fw ON a.conv_id = fw.conv_id)
+SELECT cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE),
+         CAST(active_week AS DATE)) / 7 AS INTEGER) AS offset_week,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM j GROUP BY 1, 2"""
+
+    o["error_convs_1w"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+per AS (SELECT conv_id, date_trunc('week', ts) AS week_ts,
+          CAST(max(CASE WHEN role = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS had_error
+        FROM t GROUP BY conv_id, date_trunc('week', ts)),
+ag AS (SELECT week_ts, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(had_error) AS BIGINT) AS n_with_error
+       FROM per GROUP BY week_ts)
+SELECT week_ts, n_convs, n_with_error,
+       round(CAST(n_with_error AS DOUBLE) / CAST(n_convs AS DOUBLE), 6)
+         AS error_share
+FROM ag"""
+
+    o["doc_word_len_hist"] = """WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                      '\\s+')) AS term
+  FROM documents),
+wl AS (SELECT CAST(least(length(term), 15) AS INTEGER) AS word_len
+       FROM tok WHERE term <> ''),
+hist AS (SELECT word_len, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM wl GROUP BY word_len),
+tot AS (SELECT hist.*, CAST(sum(n_tokens) OVER () AS BIGINT)
+          AS total_tokens FROM hist)
+SELECT word_len, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS share
+FROM tot"""
+
+    o["hour_coverage_1d"] = f"""{SIG_SQL},
+h AS (SELECT DISTINCT date_trunc('day', ts) AS day_ts,
+        CAST(hour(ts) AS INTEGER) AS hod
+      FROM sig),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_active_hours
+       FROM h GROUP BY day_ts)
+SELECT day_ts, n_active_hours,
+       round(CAST(n_active_hours AS DOUBLE) / 24.0, 6) AS coverage
 FROM ag"""
     return o

@@ -1358,3 +1358,47 @@ def quality_gate_by_lang(
             "round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
         ).alias("pass_all_share"),
     )
+
+
+def word_len_hist(documents: DataFrame, cap: int = 15) -> DataFrame:
+    """Corpus word-length histogram: token counts by exact character
+    length, capped at ``cap`` (the tail pools) — natural prose peaks
+    at 3-5 characters; a histogram peaking at 1-2 or piling into the
+    cap is IDs, base64 or code masquerading as text.
+
+    Tokens collapse map-side into a ``cap``-row histogram (the
+    explode's fan-out is the token count, but the aggregate key is
+    the tiny capped length); the share comes from a global window
+    over the histogram. Exact int64.
+
+    Emits ``word_len, n_tokens, share``.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = (
+        documents.select(
+            F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .select(
+            F.least(F.length("term"), F.lit(cap)).cast("int").alias(
+                "word_len"
+            )
+        )
+    )
+    hist = toks.groupBy("word_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hist = hist.withColumn(
+        "total_tokens",
+        F.sum("n_tokens").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "word_len",
+        "n_tokens",
+        F.expr(
+            "round(CAST(n_tokens AS DOUBLE)"
+            " / CAST(total_tokens AS DOUBLE), 6)"
+        ).alias("share"),
+    )

@@ -864,3 +864,69 @@ def signup_purchase_lag_daily(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_signups AS DOUBLE), 6)"
         ).alias("conversion_share"),
     )
+
+
+def cohort_retention_weekly(transcripts: DataFrame) -> DataFrame:
+    """The weekly cohort-retention grid: (cohort week, offset weeks)
+    -> active conversations — :func:`cohort_retention` at the grain
+    retention curves are actually read at (daily grids are too noisy
+    past the first week). Offset = whole weeks between the activity
+    week and the cohort week (exact integer day-diff // 7 on
+    week-truncated stamps).
+
+    Same scale shape as the daily grid: per-conversation first-week
+    min, (conv, week) distinct, a co-partitioned conv_id join, ONE
+    map-side combinable aggregate of |weeks|^2/2 rows.
+
+    Emits ``cohort_week, offset_week, n_convs``.
+    """
+    week = F.date_trunc("week", F.col("ts"))
+    first_week = transcripts.groupBy("conv_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = transcripts.select(
+        "conv_id", week.alias("active_week")
+    ).distinct()
+    joined = activity.join(first_week, "conv_id")
+    return joined.groupBy(
+        "cohort_week",
+        (
+            F.datediff(F.col("active_week"), F.col("cohort_week"))
+            / F.lit(7)
+        )
+        .cast("int")
+        .alias("offset_week"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+
+
+def error_convs_weekly(transcripts: DataFrame) -> DataFrame:
+    """Reliability trend: per week, the share of ACTIVE conversations
+    that hit at least one error — the user-facing failure rate at
+    the grain the on-call review reads.
+
+    Dedup to (conv, week, had-error) via one map-side combinable
+    aggregate (max flag per (conv, week)), then a |weeks|-row
+    rollup. Exact counts; the share is one shared float.
+
+    Emits ``week_ts, n_convs, n_with_error, error_share``.
+    """
+    per = transcripts.groupBy(
+        "conv_id", F.date_trunc("week", F.col("ts")).alias("week_ts")
+    ).agg(
+        F.max(F.when(F.col("role") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("had_error")
+    )
+    agg = per.groupBy("week_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("had_error").cast("long").alias("n_with_error"),
+    )
+    return agg.select(
+        "week_ts",
+        "n_convs",
+        "n_with_error",
+        F.expr(
+            "round(CAST(n_with_error AS DOUBLE)"
+            " / CAST(n_convs AS DOUBLE), 6)"
+        ).alias("error_share"),
+    )

@@ -321,3 +321,31 @@ def value_area_daily(transcripts: DataFrame, pct_x10: int = 7) -> DataFrame:
             "round(CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE), 6)"
         ).alias("top_share"),
     )
+
+
+def hour_coverage_daily(signals: DataFrame) -> DataFrame:
+    """Temporal coverage per day: how many of the 24 hours saw any
+    turn at all — a day with 6 covered hours is a batch dump, not
+    organic traffic; the load-shape smoke test before any hourly
+    model is fit.
+
+    One exact distinct over (day, hour) — map-side combinable, at
+    most 24 rows per day survive the shuffle — then a |days|-row
+    count. The share is one shared float over exact ints.
+
+    Emits ``day_ts, n_active_hours, coverage``.
+    """
+    hours = signals.select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).distinct()
+    agg = hours.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_hours")
+    )
+    return agg.select(
+        "day_ts",
+        "n_active_hours",
+        F.expr(
+            "round(CAST(n_active_hours AS DOUBLE) / 24.0, 6)"
+        ).alias("coverage"),
+    )

@@ -277,6 +277,11 @@ AUDITED = (
     "conversion_by_entry",
     "revenue_outliers",
     "value_quality",
+    # round-7s batch
+    "cohort_retention_1w",
+    "error_convs_1w",
+    "doc_word_len_hist",
+    "hour_coverage_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -422,3 +422,39 @@ def test_signup_purchase_lag(spark):
     assert (r["n_signups"], r["n_converted"]) == (2, 1)
     assert (r["sum_lag_us"], r["mean_lag_us"]) == (90_000_000, 90_000_000)
     assert r["conversion_share"] == 0.5
+
+
+def test_cohort_retention_weekly(spark):
+    from aroma_spark.operators.cohorts import cohort_retention_weekly
+
+    df = _t(
+        spark,
+        [
+            # a starts week of Jan 1, active again 2 weeks later
+            ("a", 0, "user", "x", None, "2024-01-02 10:00:00"),
+            ("a", 1, "user", "x", None, "2024-01-16 10:00:00"),
+            # b active only in its first week
+            ("b", 0, "user", "x", None, "2024-01-03 10:00:00"),
+        ],
+    )
+    out = {(str(r["cohort_week"])[:10], r["offset_week"]): r["n_convs"]
+           for r in cohort_retention_weekly(df).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 2)] == 1
+    assert ("2024-01-01", 1) not in out
+
+
+def test_error_convs_weekly(spark):
+    from aroma_spark.operators.cohorts import error_convs_weekly
+
+    df = _t(
+        spark,
+        [
+            ("a", 0, "view", "x", None, "2024-01-02 10:00:00"),
+            ("a", 1, "error", "x", None, "2024-01-02 11:00:00"),
+            ("b", 0, "view", "x", None, "2024-01-03 10:00:00"),
+        ],
+    )
+    r = error_convs_weekly(df).collect()[0]
+    assert (r["n_convs"], r["n_with_error"]) == (2, 1)
+    assert r["error_share"] == 0.5

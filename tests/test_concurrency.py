@@ -152,3 +152,24 @@ def test_utilization_matches_concurrency_active_set(spark, tiny_transcripts):
         for r in hourly_concurrency(tiny_transcripts).collect()
     }
     assert util == conc
+
+
+def test_hour_coverage_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.concurrency import hour_coverage_daily
+
+    rows = [
+        ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:30:00"),
+        ("a", "2024-01-01 14:00:00"),
+        ("b", "2024-01-02 03:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day_ts"])[:10]: r
+           for r in hour_coverage_daily(df).collect()}
+    d1 = out["2024-01-01"]
+    assert d1["n_active_hours"] == 2
+    assert d1["coverage"] == round(2 / 24, 6)
+    assert out["2024-01-02"]["n_active_hours"] == 1

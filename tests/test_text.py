@@ -394,3 +394,21 @@ def test_quality_gate_by_lang(spark):
     assert (r["n_docs"], r["n_pass_len"], r["n_pass_alpha"],
             r["n_pass_all"]) == (3, 2, 2, 1)
     assert r["pass_all_share"] == round(1 / 3, 6)
+
+
+def test_word_len_hist(spark):
+    from aroma_spark.functions.text import word_len_hist
+
+    rows = [
+        (1, "a bb ccc " + "x" * 20, "en", "web", 30),
+        (2, "bb", "en", "web", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["word_len"]: r for r in word_len_hist(df).collect()}
+    assert out[1]["n_tokens"] == 1
+    assert out[2]["n_tokens"] == 2   # two 'bb's
+    assert out[3]["n_tokens"] == 1
+    assert out[15]["n_tokens"] == 1  # 20-char token pools at the cap
+    assert out[2]["share"] == 0.4
