@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 273 registered queries, ALL 273 with hash-compared DuckDB
-oracles — including the round-7s batch (``cohort_retention_1w`` the
+Round 5: 276 registered queries, ALL 276 with hash-compared DuckDB
+oracles — including the round-7t batch (``spend_deciles`` the
+monetization-vs-engagement curve, ``emb_sparsity`` fixed-point
+zero-component shares, ``doc_cross_source_dup`` syndication
+pressure), the round-7s batch (``cohort_retention_1w`` the
 weekly retention grid, ``error_convs_1w`` the weekly error-conv
 share, ``doc_word_len_hist`` the capped word-length histogram,
 ``hour_coverage_1d`` daily hour coverage), the round-7r batch
@@ -2955,6 +2958,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hour_coverage_daily(_signals(spark, sf))
 
     q["hour_coverage_1d"] = hour_coverage_1d
+
+    def spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import spend_activity_deciles
+
+        return spend_activity_deciles(load_table(spark, sf, "events"))
+
+    q["spend_deciles"] = spend_deciles
+
+    def emb_sparsity(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import sparsity_by_label
+
+        return sparsity_by_label(load_table(spark, sf, "embeddings"))
+
+    q["emb_sparsity"] = emb_sparsity
+
+    def doc_cross_source_dup(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import cross_source_dup
+
+        return cross_source_dup(load_table(spark, sf, "documents"))
+
+    q["doc_cross_source_dup"] = doc_cross_source_dup
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8070,5 +8094,67 @@ ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_active_hours
        FROM h GROUP BY day_ts)
 SELECT day_ts, n_active_hours,
        round(CAST(n_active_hours AS DOUBLE) / 24.0, 6) AS coverage
+FROM ag"""
+
+    # round-7t batch: spend-vs-activity deciles, embedding sparsity
+    # and cross-source duplication.
+    o["spend_deciles"] = """WITH spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+days AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+         FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+               FROM events) GROUP BY user_id),
+j AS (SELECT s.user_id, s.cents, d.active_days
+      FROM spend s JOIN days d ON s.user_id = d.user_id),
+ranked AS (SELECT cents, active_days,
+             row_number() OVER (ORDER BY cents ASC, user_id ASC)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM j),
+bk AS (SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS decile,
+         cents, active_days
+       FROM ranked),
+ag AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(sum(active_days) AS BIGINT) AS sum_active_days
+       FROM bk GROUP BY decile)
+SELECT decile, n_users, sum_cents, sum_active_days,
+       round(CAST(sum_active_days AS DOUBLE)
+         / CAST(n_users AS DOUBLE), 6) AS mean_active_days
+FROM ag"""
+
+    o["emb_sparsity"] = """WITH pv AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(list_sum(list_transform(embedding,
+           x -> CASE WHEN CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+             AS BIGINT) = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero
+  FROM embeddings),
+ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(dim) AS BIGINT) AS n_components,
+         CAST(sum(n_zero) AS BIGINT) AS n_zero
+       FROM pv GROUP BY label)
+SELECT label, n_vecs, n_components, n_zero,
+       round(CAST(n_zero AS DOUBLE) / CAST(n_components AS DOUBLE), 6)
+         AS sparsity
+FROM ag"""
+
+    o["doc_cross_source_dup"] = """WITH st AS (
+  SELECT source, COALESCE(text, '') AS t FROM documents),
+per AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM st GROUP BY source, t),
+ns AS (SELECT t, CAST(count(*) AS BIGINT) AS n_sources
+       FROM per GROUP BY t),
+j AS (SELECT per.source, per.c, ns.n_sources
+      FROM per JOIN ns ON per.t = ns.t),
+ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_sources > 1 THEN c ELSE 0 END)
+           AS BIGINT) AS n_cross_docs
+       FROM j GROUP BY source)
+SELECT source, n_docs, n_cross_docs,
+       round(CAST(n_cross_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS cross_share
 FROM ag"""
     return o

@@ -1402,3 +1402,45 @@ def word_len_hist(documents: DataFrame, cap: int = 15) -> DataFrame:
             " / CAST(total_tokens AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def cross_source_dup(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication: per source, how many of its
+    documents carry a text that ALSO appears in at least one OTHER
+    source? Catches syndication/mirroring that within-source dedup
+    never sees — the provenance-contamination report.
+
+    Per-text distinct-source counts collapse map-side on one text
+    exchange; the flag joins back onto the (source, text) counts —
+    both joins ride the SAME text key, and only (text -> n_sources)
+    rows move. Grouping on raw text for oracle parity (the at-scale
+    xxhash64 narrowing note of dup_rate_by_lang applies). Exact
+    counts; the share is one shared float.
+
+    Emits ``source, n_docs, n_cross_docs, cross_share``.
+    """
+    st = documents.select(
+        "source", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    per = st.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nsrc = per.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    j = per.join(nsrc, "t")
+    agg = j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_sources") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_cross_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_cross_docs",
+        F.expr(
+            "round(CAST(n_cross_docs AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("cross_share"),
+    )

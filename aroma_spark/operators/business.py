@@ -637,3 +637,66 @@ def value_quality_audit(events: DataFrame) -> DataFrame:
             "round(CAST(n_zero AS DOUBLE) / CAST(n_events AS DOUBLE), 6)"
         ).alias("zero_share"),
     )
+
+
+def spend_activity_deciles(events: DataFrame) -> DataFrame:
+    """Do bigger spenders show up more? Users ranked into spend
+    deciles (exact row_number rank over total purchase cents, ties
+    to the lower user id; non-buyers excluded), each decile reporting
+    its exact revenue and active-day mass — the monetization-vs-
+    engagement curve in ten rows.
+
+    Per-user totals ride ONE user_id exchange (cents from the pruned
+    purchase slice, active days as an exact (user, day) dedup); the
+    decile is integer arithmetic over the rank ((rk-1)*10 div n);
+    the final aggregate is 10 rows. Exact int64; the mean is one
+    shared float.
+
+    Emits ``decile, n_users, sum_cents, sum_active_days,
+    mean_active_days``.
+    """
+    from pyspark.sql import Window
+
+    spend = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr(CENTS)).cast("long").alias("cents"))
+    )
+    days = (
+        events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_days"))
+    )
+    j = spend.join(days, "user_id")
+    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
+    ranked = j.select(
+        "cents",
+        "active_days",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n"
+        ),
+    )
+    bucketed = ranked.select(
+        F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
+        "cents",
+        "active_days",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("active_days").cast("long").alias("sum_active_days"),
+    )
+    return agg.select(
+        "decile",
+        "n_users",
+        "sum_cents",
+        "sum_active_days",
+        F.expr(
+            "round(CAST(sum_active_days AS DOUBLE)"
+            " / CAST(n_users AS DOUBLE), 6)"
+        ).alias("mean_active_days"),
+    )

@@ -858,3 +858,51 @@ def centroid_alignment(
             " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
         ).alias("mean_align"),
     )
+
+
+def sparsity_by_label(
+    embeddings: DataFrame, scale: int = 10_000
+) -> DataFrame:
+    """Embedding sparsity per label: the share of components that
+    quantize to EXACT zero at the fixed-point scale (|x| < 0.5e-4 at
+    scale 1e4) — a label whose vectors suddenly go 40% zero is a
+    truncated or dead encoder.
+
+    Same Catalyst transform+fold as :func:`norm_profile` (JVM-side,
+    no Python, no explode): per vector the zero-component count is
+    an integer fold, then ONE |labels|-row aggregate. The share is
+    one shared float over exact ints.
+
+    Emits ``label, n_vecs, n_components, n_zero, sparsity``.
+    """
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    zeros = F.aggregate(
+        q,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.when(v == 0, 1).otherwise(0),
+    )
+    per_vec = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("dim"),
+        zeros.alias("n_zero"),
+    )
+    agg = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dim").cast("long").alias("n_components"),
+        F.sum("n_zero").cast("long").alias("n_zero"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "n_components",
+        "n_zero",
+        F.expr(
+            "round(CAST(n_zero AS DOUBLE)"
+            " / CAST(n_components AS DOUBLE), 6)"
+        ).alias("sparsity"),
+    )

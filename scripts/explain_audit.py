@@ -282,6 +282,10 @@ AUDITED = (
     "error_convs_1w",
     "doc_word_len_hist",
     "hour_coverage_1d",
+    # round-7t batch
+    "spend_deciles",
+    "emb_sparsity",
+    "doc_cross_source_dup",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

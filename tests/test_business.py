@@ -353,3 +353,30 @@ def test_value_quality_audit(spark):
     assert (r["n_events"], r["n_null"], r["n_zero"], r["n_negative"]) == (
         4, 1, 1, 1)
     assert r["zero_share"] == 0.25
+
+
+def test_spend_activity_deciles(spark):
+    from aroma_spark.operators.business import spend_activity_deciles
+
+    rows = []
+    # 10 users with increasing spend; user i purchases on i days
+    eid = 0
+    for u in range(1, 11):
+        for d in range(1, u + 1):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{d:02d} 10:00:00", u, "purchase",
+                 float(u)))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["decile"]: r for r in spend_activity_deciles(df).collect()}
+    assert len(out) == 10
+    # user spend = u purchases * u dollars = u^2*100 cents, increasing
+    # in u, so decile d holds exactly user d+1
+    assert (out[0]["n_users"], out[0]["sum_cents"],
+            out[0]["sum_active_days"]) == (1, 100, 1)
+    assert (out[9]["sum_cents"], out[9]["mean_active_days"]) == (
+        10 * 10 * 100, 10.0)

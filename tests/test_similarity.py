@@ -296,3 +296,21 @@ def test_centroid_alignment_exact(spark):
     assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
     assert r["dot_fx2"] == 20000 * 5000
     assert r["mean_align"] == round(20000 * 5000 / 2, 6)
+
+
+def test_sparsity_by_label(spark):
+    from aroma_spark.operators.similarity import sparsity_by_label
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.5, 0.00004], 0),   # 2 zeros at 1e4 scale
+            (2, [1.0, 1.0, 1.0], 0),
+            (3, [0.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in sparsity_by_label(df).collect()}
+    l0 = out[0]
+    assert (l0["n_vecs"], l0["n_components"], l0["n_zero"]) == (2, 6, 2)
+    assert l0["sparsity"] == round(2 / 6, 6)
+    assert out[1]["sparsity"] == 1.0

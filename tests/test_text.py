@@ -412,3 +412,22 @@ def test_word_len_hist(spark):
     assert out[3]["n_tokens"] == 1
     assert out[15]["n_tokens"] == 1  # 20-char token pools at the cap
     assert out[2]["share"] == 0.4
+
+
+def test_cross_source_dup(spark):
+    from aroma_spark.functions.text import cross_source_dup
+
+    rows = [
+        (1, "shared", "en", "web", 6),
+        (2, "shared", "en", "feed", 6),   # same text, other source
+        (3, "web-only", "en", "web", 8),
+        (4, "shared", "en", "web", 6),    # second copy in web
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["source"]: r for r in cross_source_dup(df).collect()}
+    web = out["web"]
+    assert (web["n_docs"], web["n_cross_docs"]) == (3, 2)
+    assert web["cross_share"] == round(2 / 3, 6)
+    assert out["feed"]["cross_share"] == 1.0
