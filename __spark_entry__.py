@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 276 registered queries, ALL 276 with hash-compared DuckDB
-oracles — including the round-7t batch (``spend_deciles`` the
+Round 5: 279 registered queries, ALL 279 with hash-compared DuckDB
+oracles — including the round-7u batch (``retail_markup``
+street-to-list pricing per part class, ``orders_dow_mix`` the weekly
+business rhythm, ``id_density`` the surrogate-key density audit),
+the round-7t batch (``spend_deciles`` the
 monetization-vs-engagement curve, ``emb_sparsity`` fixed-point
 zero-component shares, ``doc_cross_source_dup`` syndication
 pressure), the round-7s batch (``cohort_retention_1w`` the
@@ -2979,6 +2982,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cross_source_dup(load_table(spark, sf, "documents"))
 
     q["doc_cross_source_dup"] = doc_cross_source_dup
+
+    def retail_markup(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import retail_markup_by_class
+
+        return retail_markup_by_class(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "part"),
+        )
+
+    q["retail_markup"] = retail_markup
+
+    def orders_dow_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import orders_dow_mix
+
+        return orders_dow_mix(load_table(spark, sf, "orders"))
+
+    q["orders_dow_mix"] = orders_dow_mix_q
+
+    def id_density(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import id_density_audit
+
+        return id_density_audit(
+            [
+                ("events", "event_id", load_table(spark, sf, "events")),
+                ("orders", "o_orderkey", load_table(spark, sf, "orders")),
+                (
+                    "customer",
+                    "c_custkey",
+                    load_table(spark, sf, "customer"),
+                ),
+                ("part", "p_partkey", load_table(spark, sf, "part")),
+            ]
+        )
+
+    q["id_density"] = id_density
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8157,4 +8195,52 @@ SELECT source, n_docs, n_cross_docs,
        round(CAST(n_cross_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          AS cross_share
 FROM ag"""
+
+    # round-7u batch: retail markup, weekday order mix and the
+    # surrogate-key density audit.
+    o["retail_markup"] = f"""WITH cls AS (
+  SELECT p_partkey, split_part(p_type, ' ', 1) AS part_class,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS retail_c
+  FROM part),
+j AS (SELECT c.part_class, {_pc} AS sold_c, c.retail_c
+      FROM lineitem li JOIN cls c ON li.l_partkey = c.p_partkey),
+ag AS (SELECT part_class, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(sold_c) AS BIGINT) AS sum_sold_c,
+         CAST(sum(retail_c) AS BIGINT) AS sum_retail_c
+       FROM j GROUP BY part_class)
+SELECT part_class, n_lines, sum_sold_c, sum_retail_c,
+       CASE WHEN sum_retail_c > 0 THEN round(CAST(sum_sold_c
+         AS DOUBLE) / CAST(sum_retail_c AS DOUBLE), 6) END
+         AS street_to_list
+FROM ag"""
+
+    o["orders_dow_mix"] = """WITH ag AS (
+  SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_total_c
+  FROM orders GROUP BY 1),
+tot AS (SELECT ag.*, CAST(sum(n_orders) OVER () AS BIGINT)
+          AS all_orders FROM ag)
+SELECT dow, n_orders, sum_total_c,
+       round(CAST(n_orders AS DOUBLE) / CAST(all_orders AS DOUBLE), 6)
+         AS order_share
+FROM tot"""
+
+    _id_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{c}' AS id_col, n_rows, min_id,
+       max_id,
+       CASE WHEN max_id >= min_id THEN round(CAST(n_rows AS DOUBLE)
+         / CAST(max_id - min_id + 1 AS DOUBLE), 6) END AS density
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min({c}) AS BIGINT) AS min_id,
+        CAST(max({c}) AS BIGINT) AS max_id FROM {t})"""
+        for t, c in (
+            ("events", "event_id"),
+            ("orders", "o_orderkey"),
+            ("customer", "c_custkey"),
+            ("part", "p_partkey"),
+        )
+    )
+    o["id_density"] = _id_parts
     return o

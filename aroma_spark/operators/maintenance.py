@@ -392,3 +392,40 @@ def pk_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def id_density_audit(
+    frames: "list[tuple[str, str, DataFrame]]",
+) -> DataFrame:
+    """Surrogate-key density audit: per (table, id column), the row
+    count against the occupied id RANGE — density near 1.0 means a
+    compact sequence; a sudden drop means deletes, load gaps or a
+    runaway generator. Pure min/max/count, so the whole report is
+    one tiny aggregate per table.
+
+    Emits ``table_name, id_col, n_rows, min_id, max_id, density``.
+    """
+    parts = []
+    for table_name, id_col, df in frames:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(id_col).cast("long").alias("min_id"),
+                F.max(id_col).cast("long").alias("max_id"),
+            ).select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(id_col).alias("id_col"),
+                "n_rows",
+                "min_id",
+                "max_id",
+                F.expr(
+                    "CASE WHEN max_id >= min_id THEN"
+                    " round(CAST(n_rows AS DOUBLE)"
+                    " / CAST(max_id - min_id + 1 AS DOUBLE), 6) END"
+                ).alias("density"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1442,3 +1442,82 @@ def lines_per_order_hist(lineitem: DataFrame) -> DataFrame:
             " / CAST(total_lines AS DOUBLE), 6)"
         ).alias("top_key_share"),
     )
+
+
+def retail_markup_by_class(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """List-vs-street price per part class: the catalog retail price
+    against what lineitems actually sold at (pre-discount), in exact
+    cents — is the LARGE class systematically discounted off list?
+
+    The part dimension carries both the class and the retail cents
+    and broadcasts into the lineitem scan; ONE |classes|-row
+    aggregate. The markup ratio is one shared float over two exact
+    sums (sold units weighted by lines, retail by its own line's
+    part — the same weighting, so the ratio is apples-to-apples).
+
+    Emits ``part_class, n_lines, sum_sold_c, sum_retail_c,
+    street_to_list``.
+    """
+    cls = part.select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("part_class"),
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "retail_c"
+        ),
+    )
+    li = lineitem.select("l_partkey", F.expr(PRICE_C).alias("sold_c"))
+    j = li.join(F.broadcast(cls), li["l_partkey"] == cls["p_partkey"])
+    agg = j.groupBy("part_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("sold_c").cast("long").alias("sum_sold_c"),
+        F.sum("retail_c").cast("long").alias("sum_retail_c"),
+    )
+    return agg.select(
+        "part_class",
+        "n_lines",
+        "sum_sold_c",
+        "sum_retail_c",
+        F.expr(
+            "CASE WHEN sum_retail_c > 0 THEN round(CAST(sum_sold_c"
+            " AS DOUBLE) / CAST(sum_retail_c AS DOUBLE), 6) END"
+        ).alias("street_to_list"),
+    )
+
+
+def orders_dow_mix(orders: DataFrame) -> DataFrame:
+    """Order volume and header value by day of week (Spark
+    ``dayofweek``: 1=Sunday..7=Saturday; the DuckDB twin maps
+    ``dayofweek+1``) — the weekly business rhythm in 7 rows.
+
+    ONE map-side combinable aggregate; the share from a global
+    window over the 7 rows. Exact cents.
+
+    Emits ``dow, n_orders, sum_total_c, order_share``.
+    """
+    from pyspark.sql import Window
+
+    agg = orders.groupBy(
+        F.dayofweek("o_orderdate").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sum_total_c"),
+    )
+    agg = agg.withColumn(
+        "all_orders",
+        F.sum("n_orders").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "dow",
+        "n_orders",
+        "sum_total_c",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(all_orders AS DOUBLE), 6)"
+        ).alias("order_share"),
+    )

@@ -286,6 +286,10 @@ AUDITED = (
     "spend_deciles",
     "emb_sparsity",
     "doc_cross_source_dup",
+    # round-7u batch
+    "retail_markup",
+    "orders_dow_mix",
+    "id_density",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -172,3 +172,13 @@ def test_pk_audit(spark):
             ta["n_dupes"]) == ("id", 3, 2, 1)
     assert ta["dup_share"] == round(1 / 3, 6)
     assert out["tb"]["n_dupes"] == 0
+
+
+def test_id_density_audit(spark):
+    from aroma_spark.operators.maintenance import id_density_audit
+
+    a = spark.createDataFrame([(1,), (2,), (5,)], "id long")
+    r = id_density_audit([("ta", "id", a)]).collect()[0]
+    assert (r["table_name"], r["n_rows"], r["min_id"], r["max_id"]) == (
+        "ta", 3, 1, 5)
+    assert r["density"] == 0.6

@@ -657,3 +657,40 @@ def test_lines_per_order_hist(spark):
     # heaviest key (3 lines) / total (4 lines)
     assert out[0]["max_lines"] == 3
     assert out[0]["top_key_share"] == 0.75
+
+
+def test_retail_markup_by_class(spark):
+    from aroma_spark.operators.tpch import retail_markup_by_class
+
+    part = spark.createDataFrame(
+        [(1, "PROMO X", 10.00), (2, "LARGE Y", 4.00)],
+        "p_partkey long, p_type string, p_retailprice double")
+    li = spark.createDataFrame(
+        [(1, 9.00), (1, 11.00), (2, 2.00)],
+        "l_partkey long, l_extendedprice double")
+    out = {r["part_class"]: r
+           for r in retail_markup_by_class(li, part).collect()}
+    p = out["PROMO"]
+    assert (p["n_lines"], p["sum_sold_c"], p["sum_retail_c"]) == (
+        2, 2000, 2000)
+    assert p["street_to_list"] == 1.0
+    assert out["LARGE"]["street_to_list"] == 0.5
+
+
+def test_orders_dow_mix(spark):
+    from aroma_spark.operators.tpch import orders_dow_mix
+
+    orders = spark.createDataFrame(
+        [
+            # 2024-01-01 is a Monday (Spark dow=2)
+            (1, "2024-01-01 00:00:00", 1.00),
+            (2, "2024-01-08 00:00:00", 2.00),
+            # Tuesday
+            (3, "2024-01-02 00:00:00", 4.00),
+        ],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["dow"]: r for r in orders_dow_mix(orders).collect()}
+    mon = out[2]
+    assert (mon["n_orders"], mon["sum_total_c"]) == (2, 300)
+    assert mon["order_share"] == round(2 / 3, 6)
