@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 279 registered queries, ALL 279 with hash-compared DuckDB
-oracles — including the round-7u batch (``retail_markup``
+Round 5: 281 registered queries, ALL 281 with hash-compared DuckDB
+oracles — including the round-7v pair (``tool_purchase_lift`` the
+conv-day tool/purchase association table, ``weekend_start_conv``
+the weekend conv-day contrast), the round-7u batch (``retail_markup``
 street-to-list pricing per part class, ``orders_dow_mix`` the weekly
 business rhythm, ``id_density`` the surrogate-key density audit),
 the round-7t batch (``spend_deciles`` the
@@ -3017,6 +3019,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["id_density"] = id_density
+
+    def tool_purchase_lift_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_purchase_lift
+
+        return tool_purchase_lift(transcripts_from_events(spark, sf))
+
+    q["tool_purchase_lift"] = tool_purchase_lift_q
+
+    def weekend_start_conv(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import weekend_start_conversion
+
+        return weekend_start_conversion(transcripts_from_events(spark, sf))
+
+    q["weekend_start_conv"] = weekend_start_conv
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8243,4 +8259,50 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
         )
     )
     o["id_density"] = _id_parts
+
+    # round-7v batch: the tool/purchase association table and the
+    # weekend-start behavior contrast.
+    o["tool_purchase_lift"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pc AS (SELECT conv_id, date_trunc('day', ts) AS day_ts,
+         max(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1
+           ELSE 0 END) AS used_tool_i,
+         max(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END)
+           AS purchased_i
+       FROM t GROUP BY conv_id, date_trunc('day', ts)),
+cell AS (SELECT used_tool_i = 1 AS used_tool,
+           purchased_i = 1 AS purchased,
+           CAST(count(*) AS BIGINT) AS n_conv_days
+         FROM pc GROUP BY 1, 2),
+m AS (SELECT cell.*,
+        CAST(sum(n_conv_days) OVER (PARTITION BY used_tool)
+          AS BIGINT) AS tool_total,
+        CAST(sum(n_conv_days) OVER (PARTITION BY purchased)
+          AS BIGINT) AS buy_total,
+        CAST(sum(n_conv_days) OVER () AS BIGINT) AS corpus_total
+      FROM cell)
+SELECT used_tool, purchased, n_conv_days, tool_total, buy_total,
+       corpus_total,
+       round(CAST(n_conv_days AS DOUBLE)
+         * CAST(corpus_total AS DOUBLE)
+         / (CAST(tool_total AS DOUBLE) * CAST(buy_total AS DOUBLE)), 6)
+         AS lift
+FROM m"""
+
+    o["weekend_start_conv"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+pd AS (SELECT conv_id, date_trunc('day', ts) AS day_ts,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(max(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS has_purchase
+       FROM t GROUP BY conv_id, date_trunc('day', ts)),
+ag AS (SELECT (dayofweek(day_ts) + 1) IN (1, 7) AS weekend,
+         CAST(count(*) AS BIGINT) AS n_conv_days,
+         CAST(sum(n_turns) AS BIGINT) AS sum_turns,
+         CAST(sum(has_purchase) AS BIGINT) AS n_purchase_days
+       FROM pd GROUP BY 1)
+SELECT weekend, n_conv_days, sum_turns, n_purchase_days,
+       round(CAST(sum_turns AS DOUBLE) / CAST(n_conv_days AS DOUBLE), 6)
+         AS mean_turns,
+       round(CAST(n_purchase_days AS DOUBLE)
+         / CAST(n_conv_days AS DOUBLE), 6) AS purchase_share
+FROM ag"""
     return o

@@ -1070,3 +1070,113 @@ def conversion_by_entry(transcripts: DataFrame) -> DataFrame:
             "round(CAST(n_purchase AS DOUBLE) / CAST(n_convs AS DOUBLE), 6)"
         ).alias("purchase_share"),
     )
+
+
+def tool_purchase_lift(transcripts: DataFrame) -> DataFrame:
+    """Does tool use travel with purchasing? The 2x2 (used a tool,
+    purchased) contingency table at CONVERSATION-DAY grain — "on
+    days an agent touched a tool, did it also buy?" — with the
+    independence lift per cell. Conversation grain would be vacuous
+    on long-lived conversations (every one eventually does both);
+    the active-day grain is where the association actually varies.
+
+    ONE per-(conv, day) aggregate (two max flags, map-side
+    combinable), a 4-row cell count, marginals as window sums over
+    those 4 rows. Counts exact int64; the lift is one shared float
+    over four exact ints.
+
+    Emits ``used_tool, purchased, n_conv_days, tool_total,
+    buy_total, corpus_total, lift``.
+    """
+    per_conv = transcripts.groupBy(
+        "conv_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.max(
+            F.when(
+                F.col("tool").isNotNull() & (F.col("tool") != ""), 1
+            ).otherwise(0)
+        ).alias("used_tool_i"),
+        F.max(
+            F.when(F.col("role") == "purchase", 1).otherwise(0)
+        ).alias("purchased_i"),
+    )
+    cell = per_conv.groupBy(
+        (F.col("used_tool_i") == 1).alias("used_tool"),
+        (F.col("purchased_i") == 1).alias("purchased"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_conv_days"))
+    cell = cell.select(
+        "used_tool",
+        "purchased",
+        "n_conv_days",
+        F.sum("n_conv_days")
+        .over(Window.partitionBy("used_tool"))
+        .cast("long")
+        .alias("tool_total"),
+        F.sum("n_conv_days")
+        .over(Window.partitionBy("purchased"))
+        .cast("long")
+        .alias("buy_total"),
+        F.sum("n_conv_days")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("corpus_total"),
+    )
+    return cell.select(
+        "used_tool",
+        "purchased",
+        "n_conv_days",
+        "tool_total",
+        "buy_total",
+        "corpus_total",
+        F.expr(
+            "round(CAST(n_conv_days AS DOUBLE)"
+            " * CAST(corpus_total AS DOUBLE)"
+            " / (CAST(tool_total AS DOUBLE)"
+            " * CAST(buy_total AS DOUBLE)), 6)"
+        ).alias("lift"),
+    )
+
+
+def weekend_start_conversion(transcripts: DataFrame) -> DataFrame:
+    """Weekend vs weekday behavior at CONVERSATION-DAY grain: on
+    days a conversation is active, does a weekend day run deeper or
+    convert better than a weekday? (Conversation grain would be
+    vacuous on month-spanning conversations — every one starts on
+    the corpus's first day.) ``weekend`` follows Spark's dayofweek
+    (1=Sunday, 7=Saturday).
+
+    ONE map-side combinable per-(conv, day) aggregate, then a 2-row
+    rollup. Exact counts; shares are shared floats.
+
+    Emits ``weekend, n_conv_days, sum_turns, n_purchase_days,
+    mean_turns, purchase_share``.
+    """
+    per_day = transcripts.groupBy(
+        "conv_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max(F.when(F.col("role") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("has_purchase"),
+    )
+    agg = per_day.groupBy(
+        F.dayofweek("day_ts").isin(1, 7).alias("weekend")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv_days"),
+        F.sum("n_turns").cast("long").alias("sum_turns"),
+        F.sum("has_purchase").cast("long").alias("n_purchase_days"),
+    )
+    return agg.select(
+        "weekend",
+        "n_conv_days",
+        "sum_turns",
+        "n_purchase_days",
+        F.expr(
+            "round(CAST(sum_turns AS DOUBLE)"
+            " / CAST(n_conv_days AS DOUBLE), 6)"
+        ).alias("mean_turns"),
+        F.expr(
+            "round(CAST(n_purchase_days AS DOUBLE)"
+            " / CAST(n_conv_days AS DOUBLE), 6)"
+        ).alias("purchase_share"),
+    )

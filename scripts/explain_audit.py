@@ -290,6 +290,9 @@ AUDITED = (
     "retail_markup",
     "orders_dow_mix",
     "id_density",
+    # round-7v batch
+    "tool_purchase_lift",
+    "weekend_start_conv",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

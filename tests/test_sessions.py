@@ -486,3 +486,59 @@ def test_conversion_by_entry(spark):
     assert (v["n_convs"], v["n_purchase"], v["purchase_share"]) == (
         2, 1, 0.5)
     assert out["signup"]["purchase_share"] == 1.0
+
+
+def test_tool_purchase_lift(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import tool_purchase_lift
+
+    rows = [
+        # conv a day 1: tool + purchase
+        ("a", 0, "click", "click", "2024-01-01 10:00:00"),
+        ("a", 1, "purchase", None, "2024-01-01 11:00:00"),
+        # conv a day 2: tool only
+        ("a", 2, "click", "click", "2024-01-02 10:00:00"),
+        # conv b day 1: neither
+        ("b", 0, "view", None, "2024-01-01 10:00:00"),
+        # conv b day 2: purchase only
+        ("b", 1, "purchase", None, "2024-01-02 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string,"
+        " ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["used_tool"], r["purchased"]): r
+           for r in tool_purchase_lift(df).collect()}
+    tp = out[(True, True)]
+    assert (tp["n_conv_days"], tp["tool_total"], tp["buy_total"],
+            tp["corpus_total"]) == (1, 2, 2, 4)
+    assert tp["lift"] == 1.0
+    assert out[(False, False)]["n_conv_days"] == 1
+    assert len(out) == 4
+
+
+def test_weekend_start_conversion(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import weekend_start_conversion
+
+    rows = [
+        # conv a active Sat (2 turns, purchase) and Mon (1 turn)
+        ("a", 0, "view", "2024-01-06 10:00:00"),
+        ("a", 1, "purchase", "2024-01-06 11:00:00"),
+        ("a", 2, "view", "2024-01-08 10:00:00"),
+        # conv b active Mon only
+        ("b", 0, "view", "2024-01-08 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["weekend"]: r
+           for r in weekend_start_conversion(df).collect()}
+    we = out[True]
+    assert (we["n_conv_days"], we["sum_turns"],
+            we["n_purchase_days"]) == (1, 2, 1)
+    assert (we["mean_turns"], we["purchase_share"]) == (2.0, 1.0)
+    wd = out[False]
+    assert (wd["n_conv_days"], wd["purchase_share"]) == (2, 0.0)
