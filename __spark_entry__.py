@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 281 registered queries, ALL 281 with hash-compared DuckDB
-oracles — including the round-7v pair (``tool_purchase_lift`` the
+Round 5: 283 registered queries, ALL 283 with hash-compared DuckDB
+oracles — including the round-7w pair (``value_speed_deciles`` the
+money-vs-fulfillment-speed cross, ``type_hour_lift`` the temporal
+targeting matrix), the round-7v pair (``tool_purchase_lift`` the
 conv-day tool/purchase association table, ``weekend_start_conv``
 the weekend conv-day contrast), the round-7u batch (``retail_markup``
 street-to-list pricing per part class, ``orders_dow_mix`` the weekly
@@ -3033,6 +3035,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weekend_start_conversion(transcripts_from_events(spark, sf))
 
     q["weekend_start_conv"] = weekend_start_conv
+
+    def value_speed_deciles(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import value_vs_speed_deciles
+
+        return value_vs_speed_deciles(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["value_speed_deciles"] = value_speed_deciles
+
+    def type_hour_lift_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import type_hour_lift
+
+        return type_hour_lift(load_table(spark, sf, "events"))
+
+    q["type_hour_lift"] = type_hour_lift_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8305,4 +8324,50 @@ SELECT weekend, n_conv_days, sum_turns, n_purchase_days,
        round(CAST(n_purchase_days AS DOUBLE)
          / CAST(n_conv_days AS DOUBLE), 6) AS purchase_share
 FROM ag"""
+
+    # round-7w pair: value-vs-speed deciles and the type x hour lift.
+    o["value_speed_deciles"] = """WITH ls AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_shipdate
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_orderkey,
+        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          CAST(ls.last_shipdate AS DATE)) AS BIGINT) AS days
+      FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+ranked AS (SELECT total_c, days,
+             row_number() OVER (ORDER BY total_c ASC, o_orderkey ASC)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM j),
+bk AS (SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS decile,
+         total_c, days
+       FROM ranked),
+ag AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(total_c) AS BIGINT) AS sum_total_c,
+         CAST(sum(days) AS BIGINT) AS sum_days,
+         CAST(min(days) AS BIGINT) AS min_days,
+         CAST(max(days) AS BIGINT) AS max_days
+       FROM bk GROUP BY decile)
+SELECT decile, n_orders, sum_total_c, sum_days, min_days, max_days,
+       round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS mean_days
+FROM ag"""
+
+    o["type_hour_lift"] = """WITH cell AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+m AS (SELECT cell.*,
+        CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+          AS type_total,
+        CAST(sum(n_events) OVER (PARTITION BY hod) AS BIGINT)
+          AS hour_total,
+        CAST(sum(n_events) OVER () AS BIGINT) AS corpus_total
+      FROM cell)
+SELECT event_type, hod, n_events, type_total, hour_total,
+       corpus_total,
+       round(CAST(n_events AS DOUBLE) * CAST(corpus_total AS DOUBLE)
+         / (CAST(type_total AS DOUBLE) * CAST(hour_total AS DOUBLE)),
+         6) AS lift
+FROM m"""
     return o

@@ -700,3 +700,55 @@ def spend_activity_deciles(events: DataFrame) -> DataFrame:
             " / CAST(n_users AS DOUBLE), 6)"
         ).alias("mean_active_days"),
     )
+
+
+def type_hour_lift(events: DataFrame) -> DataFrame:
+    """The (event type, hour-of-day) independence-lift matrix: do
+    purchases really skew to the evening, or is that just when
+    everything happens? lift > 1 marks the hours a type
+    over-indexes — the temporal-targeting read.
+
+    ONE map-side combinable aggregate into at most |types| x 24
+    rows; all three marginals as window sums over that tiny matrix.
+    Counts exact int64; the lift is one shared float over four exact
+    ints.
+
+    Emits ``event_type, hod, n_events, type_total, hour_total,
+    corpus_total, lift``.
+    """
+    from pyspark.sql import Window
+
+    cell = events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    cell = cell.select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.sum("n_events")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("type_total"),
+        F.sum("n_events")
+        .over(Window.partitionBy("hod"))
+        .cast("long")
+        .alias("hour_total"),
+        F.sum("n_events")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("corpus_total"),
+    )
+    return cell.select(
+        "event_type",
+        "hod",
+        "n_events",
+        "type_total",
+        "hour_total",
+        "corpus_total",
+        F.expr(
+            "round(CAST(n_events AS DOUBLE)"
+            " * CAST(corpus_total AS DOUBLE)"
+            " / (CAST(type_total AS DOUBLE)"
+            " * CAST(hour_total AS DOUBLE)), 6)"
+        ).alias("lift"),
+    )

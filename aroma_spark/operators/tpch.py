@@ -1521,3 +1521,75 @@ def orders_dow_mix(orders: DataFrame) -> DataFrame:
             " / CAST(all_orders AS DOUBLE), 6)"
         ).alias("order_share"),
     )
+
+
+def value_vs_speed_deciles(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Does money buy speed? Orders ranked into exact header-value
+    deciles, each decile reporting its fulfillment profile (days to
+    the LAST line shipped) — the cross of order_value_by_priority
+    and fulfillment_by_priority that neither shows alone.
+
+    Per-order last-ship collapses lineitem on the orderkey exchange
+    before the join; the decile is integer arithmetic over the
+    row_number rank ((rk-1)*10 div n, ties to the lower orderkey);
+    the final aggregate is 10 rows. Exact int64; the mean is one
+    shared float at day magnitudes.
+
+    Emits ``decile, n_orders, sum_total_c, sum_days, min_days,
+    max_days, mean_days``.
+    """
+    from pyspark.sql import Window
+
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_shipdate")
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    j = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        "o_orderkey",
+        "total_c",
+        F.datediff(F.col("last_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    w = Window.orderBy(F.col("total_c").asc(), F.col("o_orderkey").asc())
+    ranked = j.select(
+        "total_c",
+        "days",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n"
+        ),
+    )
+    bucketed = ranked.select(
+        F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
+        "total_c",
+        "days",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("total_c").cast("long").alias("sum_total_c"),
+        F.sum("days").cast("long").alias("sum_days"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    return agg.select(
+        "decile",
+        "n_orders",
+        "sum_total_c",
+        "sum_days",
+        "min_days",
+        "max_days",
+        F.expr(
+            "round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("mean_days"),
+    )

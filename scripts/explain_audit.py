@@ -293,6 +293,9 @@ AUDITED = (
     # round-7v batch
     "tool_purchase_lift",
     "weekend_start_conv",
+    # round-7w pair
+    "value_speed_deciles",
+    "type_hour_lift",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -380,3 +380,27 @@ def test_spend_activity_deciles(spark):
             out[0]["sum_active_days"]) == (1, 100, 1)
     assert (out[9]["sum_cents"], out[9]["mean_active_days"]) == (
         10 * 10 * 100, 10.0)
+
+
+def test_type_hour_lift(spark):
+    from aroma_spark.operators.business import type_hour_lift
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 1.0),
+        (3, "2024-01-01 20:00:00", 1, "purchase", 1.0),
+        (4, "2024-01-01 20:30:00", 1, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["event_type"], r["hod"]): r
+           for r in type_hour_lift(df).collect()}
+    p20 = out[("purchase", 20)]
+    assert (p20["n_events"], p20["type_total"], p20["hour_total"],
+            p20["corpus_total"]) == (2, 3, 2, 4)
+    assert p20["lift"] == round(2 * 4 / (3 * 2), 6)
+    v10 = out[("view", 10)]
+    assert v10["lift"] == 2.0

@@ -694,3 +694,23 @@ def test_orders_dow_mix(spark):
     mon = out[2]
     assert (mon["n_orders"], mon["sum_total_c"]) == (2, 300)
     assert mon["order_share"] == round(2 / 3, 6)
+
+
+def test_value_vs_speed_deciles(spark):
+    from aroma_spark.operators.tpch import value_vs_speed_deciles
+
+    # 10 orders with value = k dollars, fulfillment = k days
+    orders = spark.createDataFrame(
+        [(k, "1996-01-01 00:00:00", float(k)) for k in range(1, 11)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = _lineitem(spark, [
+        (k, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         f"1996-01-{k+1:02d} 00:00:00") for k in range(1, 11)
+    ])
+    out = {r["decile"]: r
+           for r in value_vs_speed_deciles(orders, li).collect()}
+    assert len(out) == 10
+    assert (out[0]["n_orders"], out[0]["sum_total_c"],
+            out[0]["sum_days"]) == (1, 100, 1)
+    assert (out[9]["sum_total_c"], out[9]["mean_days"]) == (1000, 10.0)
