@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 283 registered queries, ALL 283 with hash-compared DuckDB
-oracles — including the round-7w pair (``value_speed_deciles`` the
+Round 5: 286 registered queries, ALL 286 with hash-compared DuckDB
+oracles — including the round-7x batch (``repeat_buyers_1w`` weekly
+buyer retention, ``orders_per_cust_region`` regional ordering
+intensity, ``discount_hist`` the margin-leak histogram), the
+round-7w pair (``value_speed_deciles`` the
 money-vs-fulfillment-speed cross, ``type_hour_lift`` the temporal
 targeting matrix), the round-7v pair (``tool_purchase_lift`` the
 conv-day tool/purchase association table, ``weekend_start_conv``
@@ -3052,6 +3055,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return type_hour_lift(load_table(spark, sf, "events"))
 
     q["type_hour_lift"] = type_hour_lift_q
+
+    def repeat_buyers_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import repeat_buyers_weekly
+
+        return repeat_buyers_weekly(load_table(spark, sf, "events"))
+
+    q["repeat_buyers_1w"] = repeat_buyers_1w
+
+    def orders_per_cust_region(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import (
+            orders_per_customer_by_region,
+        )
+
+        return orders_per_customer_by_region(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+
+    q["orders_per_cust_region"] = orders_per_cust_region
+
+    def discount_hist_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import discount_hist
+
+        return discount_hist(load_table(spark, sf, "lineitem"))
+
+    q["discount_hist"] = discount_hist_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8370,4 +8401,54 @@ SELECT event_type, hod, n_events, type_total, hour_total,
          / (CAST(type_total AS DOUBLE) * CAST(hour_total AS DOUBLE)),
          6) AS lift
 FROM m"""
+
+    # round-7x batch: weekly repeat buyers, regional ordering
+    # intensity and the discount-level histogram.
+    o["repeat_buyers_1w"] = """WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts
+  FROM events WHERE event_type = 'purchase'),
+mk AS (SELECT week_ts,
+         lag(week_ts) OVER (PARTITION BY user_id ORDER BY week_ts)
+           = week_ts - INTERVAL 7 DAYS AS is_repeat
+       FROM uw),
+ag AS (SELECT week_ts, CAST(count(*) AS BIGINT) AS n_buyers,
+         CAST(sum(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat
+       FROM mk GROUP BY week_ts)
+SELECT week_ts, n_buyers, n_repeat,
+       round(CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE), 6)
+         AS repeat_share
+FROM ag"""
+
+    o["orders_per_cust_region"] = """WITH nat AS (
+  SELECT n.n_nationkey, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+cust AS (SELECT c.c_custkey, nat.r_name
+         FROM customer c JOIN nat ON c.c_nationkey = nat.n_nationkey),
+pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey),
+j AS (SELECT cust.r_name, pc.n_orders
+      FROM pc JOIN cust ON pc.o_custkey = cust.c_custkey),
+ag AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders
+       FROM j GROUP BY r_name)
+SELECT r_name, n_customers, n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS orders_per_customer
+FROM ag"""
+
+    o["discount_hist"] = f"""WITH base AS (
+  SELECT {_dh} AS disc_h, {_pc} AS price_c FROM lineitem),
+ag AS (SELECT disc_h, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(price_c) AS BIGINT) AS base_c,
+         CAST(sum(price_c * disc_h) AS BIGINT) AS discount_ch
+       FROM base GROUP BY disc_h),
+tot AS (SELECT ag.*, CAST(sum(discount_ch) OVER () AS BIGINT)
+          AS total_discount_ch FROM ag)
+SELECT disc_h, n_lines, base_c, discount_ch,
+       CASE WHEN total_discount_ch > 0 THEN
+         round(CAST(discount_ch AS DOUBLE)
+           / CAST(total_discount_ch AS DOUBLE), 6) END
+         AS discount_share
+FROM tot"""
     return o

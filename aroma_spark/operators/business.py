@@ -752,3 +752,49 @@ def type_hour_lift(events: DataFrame) -> DataFrame:
             " * CAST(hour_total AS DOUBLE)), 6)"
         ).alias("lift"),
     )
+
+
+def repeat_buyers_weekly(events: DataFrame) -> DataFrame:
+    """Buyer retention at weekly grain: of each week's purchasers,
+    how many also purchased the PREVIOUS calendar week? The money
+    sibling of growth accounting's activity decomposition — activity
+    can retain while buying churns.
+
+    Dedup to (user, week) purchase flags map-side, one lag window
+    per user over those |users| x |weeks| rows (calendar chain
+    check), ONE |weeks|-row rollup. Exact counts; the share is one
+    shared float.
+
+    Emits ``week_ts, n_buyers, n_repeat, repeat_share``.
+    """
+    from pyspark.sql import Window
+
+    uw = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week_ts")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week_ts")
+    marked = uw.select(
+        "week_ts",
+        (
+            F.lag("week_ts").over(w)
+            == F.col("week_ts") - F.expr("INTERVAL 7 DAYS")
+        ).alias("is_repeat"),
+    )
+    agg = marked.groupBy("week_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum(F.when(F.col("is_repeat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+    )
+    return agg.select(
+        "week_ts",
+        "n_buyers",
+        "n_repeat",
+        F.expr(
+            "round(CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE), 6)"
+        ).alias("repeat_share"),
+    )

@@ -1593,3 +1593,88 @@ def value_vs_speed_deciles(
             "round(CAST(sum_days AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
         ).alias("mean_days"),
     )
+
+
+def orders_per_customer_by_region(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Ordering intensity by customer region: how many orders does
+    the average ordering customer place, per region? The demand-side
+    companion to region_revenue_mix's supply-side money flow.
+
+    region -> nation collapse broadcasts into customer, customer
+    broadcasts into the per-customer order counts (ONE custkey
+    exchange); the final aggregate is |regions| rows. Exact int64;
+    the mean is one shared float.
+
+    Emits ``r_name, n_customers, n_orders, orders_per_customer``.
+    """
+    nat = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "r_name")
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "r_name")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    j = per_cust.join(
+        F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"]
+    )
+    agg = j.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    )
+    return agg.select(
+        "r_name",
+        "n_customers",
+        "n_orders",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(n_customers AS DOUBLE), 6)"
+        ).alias("orders_per_customer"),
+    )
+
+
+def discount_hist(lineitem: DataFrame) -> DataFrame:
+    """Revenue impact by discount level: for every discount
+    hundredth (0..~10), the line count, base revenue and the exact
+    cent-hundredths given away — where the margin actually leaks.
+
+    Quantize-first (house rule), ONE map-side combinable aggregate
+    into ~11 rows; the given-away share is one shared float.
+
+    Emits ``disc_h, n_lines, base_c, discount_ch, discount_share``.
+    """
+    from pyspark.sql import Window
+
+    base = lineitem.select(
+        F.expr(DISC_H).alias("disc_h"),
+        F.expr(PRICE_C).alias("price_c"),
+    )
+    agg = base.groupBy("disc_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("price_c").cast("long").alias("base_c"),
+        F.sum(F.col("price_c") * F.col("disc_h"))
+        .cast("long")
+        .alias("discount_ch"),
+    )
+    agg = agg.withColumn(
+        "total_discount_ch",
+        F.sum("discount_ch").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "disc_h",
+        "n_lines",
+        "base_c",
+        "discount_ch",
+        F.expr(
+            "CASE WHEN total_discount_ch > 0 THEN"
+            " round(CAST(discount_ch AS DOUBLE)"
+            " / CAST(total_discount_ch AS DOUBLE), 6) END"
+        ).alias("discount_share"),
+    )

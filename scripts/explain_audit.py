@@ -296,6 +296,10 @@ AUDITED = (
     # round-7w pair
     "value_speed_deciles",
     "type_hour_lift",
+    # round-7x batch
+    "repeat_buyers_1w",
+    "orders_per_cust_region",
+    "discount_hist",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -404,3 +404,29 @@ def test_type_hour_lift(spark):
     assert p20["lift"] == round(2 * 4 / (3 * 2), 6)
     v10 = out[("view", 10)]
     assert v10["lift"] == 2.0
+
+
+def test_repeat_buyers_weekly(spark):
+    from aroma_spark.operators.business import repeat_buyers_weekly
+
+    rows = [
+        # user 1 buys week of Jan 1 and week of Jan 8 -> repeat in w2
+        (1, "2024-01-02 10:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-09 10:00:00", 1, "purchase", 1.0),
+        # user 2 buys w1, skips w2, buys w3 -> NOT a repeat in w3
+        (3, "2024-01-03 10:00:00", 2, "purchase", 1.0),
+        (4, "2024-01-16 10:00:00", 2, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["week_ts"])[:10]: r
+           for r in repeat_buyers_weekly(df).collect()}
+    assert (out["2024-01-01"]["n_buyers"],
+            out["2024-01-01"]["n_repeat"]) == (2, 0)
+    w2 = out["2024-01-08"]
+    assert (w2["n_buyers"], w2["n_repeat"], w2["repeat_share"]) == (
+        1, 1, 1.0)
+    assert out["2024-01-15"]["n_repeat"] == 0

@@ -714,3 +714,43 @@ def test_value_vs_speed_deciles(spark):
     assert (out[0]["n_orders"], out[0]["sum_total_c"],
             out[0]["sum_days"]) == (1, 100, 1)
     assert (out[9]["sum_total_c"], out[9]["mean_days"]) == (1000, 10.0)
+
+
+def test_orders_per_customer_by_region(spark):
+    from aroma_spark.operators.tpch import orders_per_customer_by_region
+
+    region = spark.createDataFrame(
+        [(0, "ASIA")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "CHINA", 0)], "n_nationkey int, n_name string,"
+        " n_regionkey int")
+    customer = spark.createDataFrame(
+        [(1, "a", 10, 0.0, "AUTO"), (2, "b", 10, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string")
+    orders = _orders(spark, [
+        (10, 1, "1996-01-01 00:00:00"),
+        (11, 1, "1996-02-01 00:00:00"),
+        (12, 2, "1996-03-01 00:00:00"),
+    ])
+    r = orders_per_customer_by_region(
+        orders, customer, nation, region).collect()[0]
+    assert (r["r_name"], r["n_customers"], r["n_orders"]) == (
+        "ASIA", 2, 3)
+    assert r["orders_per_customer"] == 1.5
+
+
+def test_discount_hist(spark):
+    from aroma_spark.operators.tpch import discount_hist
+
+    li = _lineitem(spark, [
+        (1, 1.0, 10.00, 0.05, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (2, 1.0, 20.00, 0.05, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (3, 1.0, 10.00, 0.00, 0.0, "N", "O", "1996-01-01 00:00:00"),
+    ])
+    out = {r["disc_h"]: r for r in discount_hist(li).collect()}
+    d5 = out[5]
+    assert (d5["n_lines"], d5["base_c"], d5["discount_ch"]) == (
+        2, 3000, 15000)
+    assert d5["discount_share"] == 1.0
+    assert (out[0]["discount_ch"], out[0]["discount_share"]) == (0, 0.0)
