@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 286 registered queries, ALL 286 with hash-compared DuckDB
-oracles — including the round-7x batch (``repeat_buyers_1w`` weekly
+Round 5: 288 registered queries, ALL 288 with hash-compared DuckDB
+oracles — including the round-7y pair (``partition_balance`` the
+portable-md5 hash-partition balance proof, ``latency_by_len`` the
+text-size vs latency curve), the round-7x batch (``repeat_buyers_1w`` weekly
 buyer retention, ``orders_per_cust_region`` regional ordering
 intensity, ``discount_hist`` the margin-leak histogram), the
 round-7w pair (``value_speed_deciles`` the
@@ -3083,6 +3085,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return discount_hist(load_table(spark, sf, "lineitem"))
 
     q["discount_hist"] = discount_hist_q
+
+    def partition_balance(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.maintenance import (
+            partition_balance_audit,
+        )
+
+        return partition_balance_audit(transcripts_from_events(spark, sf))
+
+    q["partition_balance"] = partition_balance
+
+    def latency_by_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.anomaly import latency_by_len_bucket
+
+        return latency_by_len_bucket(_signals(spark, sf))
+
+    q["latency_by_len"] = latency_by_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8451,4 +8469,31 @@ SELECT disc_h, n_lines, base_c, discount_ch,
            / CAST(total_discount_ch AS DOUBLE), 6) END
          AS discount_share
 FROM tot"""
+
+    # round-7y pair: the md5 partition-balance proof and the
+    # text-length vs latency curve.
+    o["partition_balance"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+base AS (SELECT CAST(CAST('0x' || substr(md5('part:' || conv_id),
+           1, 4) AS INTEGER) % 16 AS INTEGER) AS bucket, conv_id
+         FROM t),
+ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+       FROM base GROUP BY bucket),
+tot AS (SELECT ag.*, CAST(sum(n_turns) OVER () AS BIGINT)
+          AS total_turns FROM ag)
+SELECT bucket, n_turns, n_convs,
+       round(CAST(n_turns AS DOUBLE) / CAST(total_turns AS DOUBLE), 6)
+         AS share
+FROM tot"""
+
+    o["latency_by_len"] = f"""{SIG_SQL},
+bk AS (SELECT CAST(least(text_len, 64) AS BIGINT) AS text_len,
+         inter_time_us
+       FROM sig),
+ag AS (SELECT text_len, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(inter_time_us) AS BIGINT) AS sum_latency_us
+       FROM bk GROUP BY text_len)
+SELECT text_len, n_turns, sum_latency_us,
+       CAST(sum_latency_us // n_turns AS BIGINT) AS mean_latency_us
+FROM ag"""
     return o

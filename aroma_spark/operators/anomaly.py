@@ -689,3 +689,38 @@ def burst_user_daily(events: DataFrame) -> DataFrame:
             "round(CAST(n_events AS DOUBLE) / CAST(day_events AS DOUBLE), 6)"
         ).alias("burst_share"),
     )
+
+
+def latency_by_len_bucket(signals: DataFrame, cap: int = 64) -> DataFrame:
+    """Does long text arrive slowly? Inter-turn latency profiled by
+    EXACT text length (capped at ``cap`` so the tail pools) — the
+    size-vs-latency curve that says whether generation length drives
+    wall-clock. Exact lengths rather than power-of-two buckets: this
+    corpus's text column is a narrow JSON payload whose lengths span
+    one power of two, so log buckets would collapse the whole curve
+    into a single row.
+
+    ONE map-side combinable aggregate into at most ``cap``+1 rows.
+    Exact int64; integer-quotient mean (nonnegative gaps under
+    canonical ordering).
+
+    Emits ``text_len, n_turns, sum_latency_us, mean_latency_us``.
+    """
+    bucketed = signals.select(
+        F.least(F.col("text_len"), F.lit(int(cap)))
+        .cast("long")
+        .alias("text_len"),
+        "inter_time_us",
+    )
+    agg = bucketed.groupBy("text_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
+    )
+    return agg.select(
+        "text_len",
+        "n_turns",
+        "sum_latency_us",
+        F.expr("CAST(sum_latency_us div n_turns AS BIGINT)").alias(
+            "mean_latency_us"
+        ),
+    )

@@ -429,3 +429,51 @@ def id_density_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def partition_balance_audit(
+    transcripts: DataFrame, n_buckets: int = 16
+) -> DataFrame:
+    """Hash-partition balance proof: rows per md5-derived conv_id
+    bucket (``conv(substr(md5('part:' || conv_id), 1, 4), 16, 10) %
+    n_buckets`` — engine-portable, unlike Spark's internal
+    Murmur3), with each bucket's share — the direct evidence that
+    the conv_id exchange every per-conversation operator rides
+    spreads evenly, and the number to watch when a hot key would
+    need salting (operators/tiers.py rollup_tier_salted is the
+    remedy this audit triggers).
+
+    ONE map-side combinable aggregate into ``n_buckets`` rows; the
+    share is a window over them. Exact int64.
+
+    Emits ``bucket, n_turns, n_convs, share``.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("part:"), F.col("conv_id"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = transcripts.select(
+        (h % F.lit(int(n_buckets))).cast("int").alias("bucket"),
+        "conv_id",
+    )
+    agg = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    agg = agg.withColumn(
+        "total_turns",
+        F.sum("n_turns").over(Window.partitionBy()).cast("long"),
+    )
+    return agg.select(
+        "bucket",
+        "n_turns",
+        "n_convs",
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE) / CAST(total_turns AS DOUBLE), 6)"
+        ).alias("share"),
+    )

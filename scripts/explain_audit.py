@@ -300,6 +300,9 @@ AUDITED = (
     "repeat_buyers_1w",
     "orders_per_cust_region",
     "discount_hist",
+    # round-7y pair
+    "partition_balance",
+    "latency_by_len",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

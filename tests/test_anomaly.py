@@ -162,3 +162,23 @@ def test_burst_user_daily(spark):
         1, 3, 5)
     assert str(r["burst_hour_ts"]).startswith("2024-01-01 10")
     assert r["burst_share"] == 0.6
+
+
+def test_latency_by_len_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.anomaly import latency_by_len_bucket
+
+    rows = [
+        ("a", 5, 10_000_000),
+        ("a", 5, 30_000_000),
+        ("a", 9, 60_000_000),
+        ("a", 999, 5_000_000),  # pools at the cap
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, text_len long, inter_time_us long")
+    out = {r["text_len"]: r for r in latency_by_len_bucket(df).collect()}
+    assert (out[5]["n_turns"], out[5]["mean_latency_us"]) == (
+        2, 20_000_000)
+    assert out[9]["mean_latency_us"] == 60_000_000
+    assert out[64]["n_turns"] == 1

@@ -182,3 +182,15 @@ def test_id_density_audit(spark):
     assert (r["table_name"], r["n_rows"], r["min_id"], r["max_id"]) == (
         "ta", 3, 1, 5)
     assert r["density"] == 0.6
+
+
+def test_partition_balance_audit(spark):
+    from aroma_spark.operators.maintenance import partition_balance_audit
+
+    rows = [(f"c{i}", j) for i in range(20) for j in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = partition_balance_audit(df).collect()
+    assert sum(r["n_turns"] for r in out) == 60
+    assert sum(r["n_convs"] for r in out) == 20
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    assert all(0 <= r["bucket"] < 16 for r in out)
