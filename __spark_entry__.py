@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 288 registered queries, ALL 288 with hash-compared DuckDB
-oracles — including the round-7y pair (``partition_balance`` the
+Round 5: 290 registered queries, ALL 290 with hash-compared DuckDB
+oracles — including the round-7z pair (``order_backlog_1d`` the
+O(|days|) sweep-line open-order count, ``turn_density_1d`` turns per
+active conversation-hour), the round-7y pair (``partition_balance`` the
 portable-md5 hash-partition balance proof, ``latency_by_len`` the
 text-size vs latency curve), the round-7x batch (``repeat_buyers_1w`` weekly
 buyer retention, ``orders_per_cust_region`` regional ordering
@@ -3101,6 +3103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return latency_by_len_bucket(_signals(spark, sf))
 
     q["latency_by_len"] = latency_by_len
+
+    def order_backlog_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_backlog_daily
+
+        return order_backlog_daily(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["order_backlog_1d"] = order_backlog_1d
+
+    def turn_density_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import turn_density_daily
+
+        return turn_density_daily(_signals(spark, sf))
+
+    q["turn_density_1d"] = turn_density_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8496,4 +8515,41 @@ ag AS (SELECT text_len, CAST(count(*) AS BIGINT) AS n_turns,
 SELECT text_len, n_turns, sum_latency_us,
        CAST(sum_latency_us // n_turns AS BIGINT) AS mean_latency_us
 FROM ag"""
+
+    # round-7z pair: the sweep-line order backlog and daily turn
+    # density.
+    o["order_backlog_1d"] = """WITH ls AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_shipdate
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_orderdate, ls.last_shipdate
+      FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+starts AS (SELECT date_trunc('day', o_orderdate) AS day_ts,
+             CAST(count(*) AS BIGINT) AS n_placed
+           FROM j GROUP BY 1),
+ends AS (SELECT date_trunc('day', last_shipdate) AS day_ts,
+           CAST(count(*) AS BIGINT) AS n_shipped
+         FROM j GROUP BY 1),
+m AS (SELECT COALESCE(s.day_ts, e.day_ts) AS day_ts,
+        CAST(COALESCE(s.n_placed, 0) AS BIGINT) AS n_placed,
+        CAST(COALESCE(e.n_shipped, 0) AS BIGINT) AS n_shipped
+      FROM starts s FULL OUTER JOIN ends e ON s.day_ts = e.day_ts)
+SELECT day_ts, n_placed, n_shipped,
+       CAST(sum(n_placed - n_shipped) OVER (ORDER BY day_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM m"""
+
+    o["turn_density_1d"] = f"""{SIG_SQL},
+turns AS (SELECT date_trunc('day', ts) AS day_ts,
+            CAST(count(*) AS BIGINT) AS n_turns
+          FROM sig GROUP BY 1),
+ch AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_conv_hours
+       FROM (SELECT DISTINCT date_trunc('day', ts) AS day_ts,
+               conv_id, CAST(hour(ts) AS INTEGER) AS hod
+             FROM sig)
+       GROUP BY day_ts)
+SELECT t.day_ts, t.n_turns, ch.n_conv_hours,
+       round(CAST(t.n_turns AS DOUBLE)
+         / CAST(ch.n_conv_hours AS DOUBLE), 6) AS density
+FROM turns t JOIN ch ON t.day_ts = ch.day_ts"""
     return o

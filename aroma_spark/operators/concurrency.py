@@ -349,3 +349,40 @@ def hour_coverage_daily(signals: DataFrame) -> DataFrame:
             "round(CAST(n_active_hours AS DOUBLE) / 24.0, 6)"
         ).alias("coverage"),
     )
+
+
+def turn_density_daily(signals: DataFrame) -> DataFrame:
+    """Activity density per day: turns per active conversation-hour
+    — high density is rapid-fire agents, low is sparse trickle; the
+    intensity number next to hour_coverage_daily's breadth.
+
+    Two map-side combinable aggregates over one scan shape: the
+    daily turn count, and the distinct (conv, hour) count collapsed
+    BEFORE its rollup. Exact int64; the density is one shared
+    float.
+
+    Emits ``day_ts, n_turns, n_conv_hours, density``.
+    """
+    turns = signals.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    ch = (
+        signals.select(
+            F.date_trunc("day", F.col("ts")).alias("day_ts"),
+            "conv_id",
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .distinct()
+        .groupBy("day_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv_hours"))
+    )
+    j = turns.join(ch, "day_ts")
+    return j.select(
+        "day_ts",
+        "n_turns",
+        "n_conv_hours",
+        F.expr(
+            "round(CAST(n_turns AS DOUBLE)"
+            " / CAST(n_conv_hours AS DOUBLE), 6)"
+        ).alias("density"),
+    )

@@ -1678,3 +1678,59 @@ def discount_hist(lineitem: DataFrame) -> DataFrame:
             " / CAST(total_discount_ch AS DOUBLE), 6) END"
         ).alias("discount_share"),
     )
+
+
+def order_backlog_daily(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Open-order backlog over time by EVENT SWEEP: +1 the day an
+    order is placed, -1 the day its last line ships, cumulative-sum
+    over days — the classic O(|days|) interval-count that never
+    explodes an order into its covered days (a month-long order
+    would otherwise fan out 30x; at 10^12 orders that is the
+    difference between a |days|-row window and a join the size of
+    the warehouse).
+
+    An order is counted in the backlog from its order day INCLUSIVE
+    to its ship day EXCLUSIVE. Per-order last-ship collapses
+    lineitem on the orderkey exchange; the +1/-1 deltas aggregate
+    map-side to |days| rows; ONE ordered window does the cumsum.
+    Exact int64 everywhere.
+
+    Emits ``day_ts, n_placed, n_shipped, backlog``.
+    """
+    from pyspark.sql import Window
+
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_shipdate")
+    )
+    o = orders.select("o_orderkey", "o_orderdate")
+    j = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"])
+    starts = j.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_placed"))
+    ends = j.groupBy(
+        F.date_trunc("day", F.col("last_shipdate")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+    merged = starts.join(ends, "day_ts", "full_outer").select(
+        "day_ts",
+        F.coalesce(F.col("n_placed"), F.lit(0))
+        .cast("long")
+        .alias("n_placed"),
+        F.coalesce(F.col("n_shipped"), F.lit(0))
+        .cast("long")
+        .alias("n_shipped"),
+    )
+    w = (
+        Window.orderBy("day_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        "day_ts",
+        "n_placed",
+        "n_shipped",
+        F.sum(F.col("n_placed") - F.col("n_shipped"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )

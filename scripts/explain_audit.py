@@ -303,6 +303,9 @@ AUDITED = (
     # round-7y pair
     "partition_balance",
     "latency_by_len",
+    # round-7z pair
+    "order_backlog_1d",
+    "turn_density_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -173,3 +173,22 @@ def test_hour_coverage_daily(spark):
     assert d1["n_active_hours"] == 2
     assert d1["coverage"] == round(2 / 24, 6)
     assert out["2024-01-02"]["n_active_hours"] == 1
+
+
+def test_turn_density_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.concurrency import turn_density_daily
+
+    rows = [
+        ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:30:00"),
+        ("a", "2024-01-01 11:00:00"),
+        ("b", "2024-01-01 10:15:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = turn_density_daily(df).collect()[0]
+    # conv-hours: (a,10), (a,11), (b,10) = 3; turns = 4
+    assert (r["n_turns"], r["n_conv_hours"]) == (4, 3)
+    assert r["density"] == round(4 / 3, 6)

@@ -754,3 +754,26 @@ def test_discount_hist(spark):
         2, 3000, 15000)
     assert d5["discount_share"] == 1.0
     assert (out[0]["discount_ch"], out[0]["discount_share"]) == (0, 0.0)
+
+
+def test_order_backlog_daily(spark):
+    from aroma_spark.operators.tpch import order_backlog_daily
+
+    orders = _orders(spark, [
+        (1, 1, "1996-01-01 00:00:00"),
+        (2, 1, "1996-01-02 00:00:00"),
+    ])
+    li = _lineitem(spark, [
+        # order 1 ships Jan 3; order 2 ships Jan 3
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-03 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-02 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-03 00:00:00"),
+    ])
+    out = {str(r["day_ts"])[:10]: r
+           for r in order_backlog_daily(orders, li).collect()}
+    assert (out["1996-01-01"]["n_placed"],
+            out["1996-01-01"]["backlog"]) == (1, 1)
+    assert (out["1996-01-02"]["n_placed"],
+            out["1996-01-02"]["backlog"]) == (1, 2)
+    d3 = out["1996-01-03"]
+    assert (d3["n_shipped"], d3["backlog"]) == (2, 0)
