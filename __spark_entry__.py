@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 290 registered queries, ALL 290 with hash-compared DuckDB
-oracles — including the round-7z pair (``order_backlog_1d`` the
+Round 5: 292 registered queries, ALL 292 with hash-compared DuckDB
+oracles — including the round-8a pair (``median_latency_by_role``
+exact per-role latency medians, ``conv_day_turns`` the
+conversation-day activity histogram), the round-7z pair (``order_backlog_1d`` the
 O(|days|) sweep-line open-order count, ``turn_density_1d`` turns per
 active conversation-hour), the round-7y pair (``partition_balance`` the
 portable-md5 hash-partition balance proof, ``latency_by_len`` the
@@ -3120,6 +3122,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return turn_density_daily(_signals(spark, sf))
 
     q["turn_density_1d"] = turn_density_1d
+
+    def median_latency_by_role_q(
+        spark: SparkSession, sf: str
+    ) -> DataFrame:
+        from aroma_spark.operators.distribution import (
+            median_latency_by_role,
+        )
+
+        return median_latency_by_role(_signals(spark, sf))
+
+    q["median_latency_by_role"] = median_latency_by_role_q
+
+    def conv_day_turns(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.concurrency import conv_day_turns_hist
+
+        return conv_day_turns_hist(transcripts_from_events(spark, sf))
+
+    q["conv_day_turns"] = conv_day_turns
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8552,4 +8572,35 @@ SELECT t.day_ts, t.n_turns, ch.n_conv_hours,
        round(CAST(t.n_turns AS DOUBLE)
          / CAST(ch.n_conv_hours AS DOUBLE), 6) AS density
 FROM turns t JOIN ch ON t.day_ts = ch.day_ts"""
+
+    # round-8a pair: per-role latency median and the conv-day turns
+    # histogram.
+    o["median_latency_by_role"] = f"""{SIG_SQL},
+ranked AS (SELECT role, CAST(inter_time_us AS BIGINT)
+             AS inter_time_us,
+             row_number() OVER (PARTITION BY role
+               ORDER BY inter_time_us, conv_id, turn_idx) AS rk,
+             CAST(count(*) OVER (PARTITION BY role) AS BIGINT)
+               AS n_turns
+           FROM sig)
+SELECT role, n_turns, inter_time_us AS median_latency_us
+FROM ranked WHERE rk = (n_turns + 1) // 2"""
+
+    o["conv_day_turns"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+per AS (SELECT conv_id, date_trunc('day', ts) AS day_ts,
+          CAST(count(*) AS BIGINT) AS n_turns
+        FROM t GROUP BY conv_id, date_trunc('day', ts)),
+bk AS (SELECT CAST(length(bin(n_turns)) - 1 AS INTEGER) AS bucket,
+         n_turns
+       FROM per),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_conv_days,
+           CAST(sum(n_turns) AS BIGINT) AS sum_turns
+         FROM bk GROUP BY bucket),
+tot AS (SELECT hist.*, CAST(sum(n_conv_days) OVER () AS BIGINT)
+          AS total FROM hist)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_turns, n_conv_days,
+       sum_turns,
+       round(CAST(n_conv_days AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS share
+FROM tot"""
     return o

@@ -386,3 +386,45 @@ def turn_density_daily(signals: DataFrame) -> DataFrame:
             " / CAST(n_conv_hours AS DOUBLE), 6)"
         ).alias("density"),
     )
+
+
+def conv_day_turns_hist(transcripts: DataFrame) -> DataFrame:
+    """How much does a conversation do in a day? Power-of-two
+    histogram of turns per (conversation, day) — the activity-grain
+    distribution between hour_coverage's breadth and
+    turn_density's intensity.
+
+    Per-(conv, day) counts collapse map-side, integer bit-length
+    bucketing, a ~15-row histogram with its share from a global
+    window. Exact int64.
+
+    Emits ``bucket, lo_turns, n_conv_days, sum_turns, share``.
+    """
+    from pyspark.sql import Window
+
+    per = transcripts.groupBy(
+        "conv_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    bucketed = per.select(
+        (F.length(F.conv(F.col("n_turns"), 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        "n_turns",
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv_days"),
+        F.sum("n_turns").cast("long").alias("sum_turns"),
+    )
+    hist = hist.withColumn(
+        "total",
+        F.sum("n_conv_days").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias("lo_turns"),
+        "n_conv_days",
+        "sum_turns",
+        F.expr(
+            "round(CAST(n_conv_days AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+        ).alias("share"),
+    )

@@ -356,3 +356,35 @@ def median_text_len_by_role(signals: DataFrame) -> DataFrame:
         "n_turns",
         F.col("text_len").alias("median_text_len"),
     )
+
+
+def median_latency_by_role(signals: DataFrame) -> DataFrame:
+    """Exact median inter-turn latency per role (type-1 rank under
+    the deterministic (inter_time_us, conv_id, turn_idx) order) —
+    which event type is the slow one, robust to the heavy tail that
+    wrecks the mean.
+
+    One hash exchange on role for the rank window, |roles| output
+    rows. All int64.
+
+    Emits ``role, n_turns, median_latency_us``.
+    """
+    w = Window.partitionBy("role").orderBy(
+        "inter_time_us", "conv_id", "turn_idx"
+    )
+    ranked = signals.select(
+        "role",
+        F.col("inter_time_us").cast("long").alias("inter_time_us"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("role"))
+        .cast("long")
+        .alias("n_turns"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_turns + 1) div 2")
+    ).select(
+        "role",
+        "n_turns",
+        F.col("inter_time_us").alias("median_latency_us"),
+    )

@@ -306,6 +306,9 @@ AUDITED = (
     # round-7z pair
     "order_backlog_1d",
     "turn_density_1d",
+    # round-8a pair
+    "median_latency_by_role",
+    "conv_day_turns",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -192,3 +192,27 @@ def test_turn_density_daily(spark):
     # conv-hours: (a,10), (a,11), (b,10) = 3; turns = 4
     assert (r["n_turns"], r["n_conv_hours"]) == (4, 3)
     assert r["density"] == round(4 / 3, 6)
+
+
+def test_conv_day_turns_hist(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.concurrency import conv_day_turns_hist
+
+    rows = [
+        # (a, day1): 3 turns -> bucket 1; (a, day2): 1 turn -> bucket 0
+        ("a", 0, "2024-01-01 10:00:00"),
+        ("a", 1, "2024-01-01 11:00:00"),
+        ("a", 2, "2024-01-01 12:00:00"),
+        ("a", 3, "2024-01-02 10:00:00"),
+        # (b, day1): 1 turn -> bucket 0
+        ("b", 0, "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["bucket"]: r for r in conv_day_turns_hist(df).collect()}
+    assert (out[0]["lo_turns"], out[0]["n_conv_days"],
+            out[0]["sum_turns"]) == (1, 2, 2)
+    assert (out[1]["n_conv_days"], out[1]["sum_turns"]) == (1, 3)
+    assert out[1]["share"] == round(1 / 3, 6)

@@ -129,3 +129,19 @@ def test_median_text_len_by_role(spark):
     assert (out["view"]["n_turns"], out["view"]["median_text_len"]) == (
         3, 20)
     assert out["click"]["median_text_len"] == 5
+
+
+def test_median_latency_by_role(spark):
+    from aroma_spark.operators.distribution import median_latency_by_role
+
+    rows = [
+        ("a", 0, "view", 10), ("a", 1, "view", 30), ("a", 2, "view", 20),
+        ("a", 3, "click", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string,"
+        " inter_time_us long")
+    out = {r["role"]: r for r in median_latency_by_role(df).collect()}
+    assert (out["view"]["n_turns"],
+            out["view"]["median_latency_us"]) == (3, 20)
+    assert out["click"]["median_latency_us"] == 100
