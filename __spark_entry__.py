@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 292 registered queries, ALL 292 with hash-compared DuckDB
-oracles — including the round-8a pair (``median_latency_by_role``
+Round 5: 294 registered queries, ALL 294 with hash-compared DuckDB
+oracles — including the round-8b pair (``priority_mix_1mo`` monthly
+priority-mix drift, ``doc_quality_by_len`` the gate pass rate by
+length bucket), the round-8a pair (``median_latency_by_role``
 exact per-role latency medians, ``conv_day_turns`` the
 conversation-day activity histogram), the round-7z pair (``order_backlog_1d`` the
 O(|days|) sweep-line open-order count, ``turn_density_1d`` turns per
@@ -3140,6 +3142,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return conv_day_turns_hist(transcripts_from_events(spark, sf))
 
     q["conv_day_turns"] = conv_day_turns
+
+    def priority_mix_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import priority_mix_monthly
+
+        return priority_mix_monthly(load_table(spark, sf, "orders"))
+
+    q["priority_mix_1mo"] = priority_mix_1mo
+
+    def doc_quality_by_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import quality_by_len_bucket
+
+        return quality_by_len_bucket(load_table(spark, sf, "documents"))
+
+    q["doc_quality_by_len"] = doc_quality_by_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8603,4 +8619,56 @@ SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_turns, n_conv_days,
        round(CAST(n_conv_days AS DOUBLE) / CAST(total AS DOUBLE), 6)
          AS share
 FROM tot"""
+
+    # round-8b pair: monthly priority-mix drift and the quality pass
+    # rate by length bucket.
+    o["priority_mix_1mo"] = """WITH cell AS (
+  SELECT date_trunc('month', o_orderdate) AS month_ts,
+         o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2),
+m AS (SELECT cell.*, CAST(sum(n_orders) OVER (PARTITION BY month_ts)
+        AS BIGINT) AS month_orders FROM cell),
+lg AS (SELECT month_ts, o_orderpriority, n_orders, month_orders,
+         CAST(CASE WHEN lag(month_ts) OVER w
+           = month_ts - INTERVAL 1 MONTH
+           THEN lag(n_orders) OVER w END AS BIGINT) AS prev_n,
+         CAST(CASE WHEN lag(month_ts) OVER w
+           = month_ts - INTERVAL 1 MONTH
+           THEN lag(month_orders) OVER w END AS BIGINT)
+           AS prev_month_orders
+       FROM m WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY month_ts))
+SELECT month_ts, o_orderpriority, n_orders, month_orders, prev_n,
+       prev_month_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(month_orders AS DOUBLE),
+         6) AS share,
+       CASE WHEN prev_month_orders > 0 THEN
+         round(CAST(n_orders AS DOUBLE) / CAST(month_orders AS DOUBLE)
+           - CAST(prev_n AS DOUBLE)
+           / CAST(prev_month_orders AS DOUBLE), 6) END AS drift
+FROM lg"""
+
+    o["doc_quality_by_len"] = """WITH base AS (
+  SELECT COALESCE(text, '') AS c FROM documents),
+st AS (SELECT length(c) AS n_chars,
+         CASE WHEN trim(c) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(c), '\s+')) END
+           AS n_tokens,
+         length(c) - length(regexp_replace(c, '[A-Za-z]', '', 'g'))
+           AS n_alpha
+       FROM base),
+bk AS (SELECT CAST(length(bin(n_chars + 1)) - 1 AS INTEGER)
+         AS bucket,
+         (n_tokens >= 5 AND n_tokens <= 100000
+          AND 2 * n_alpha >= n_chars) AS ok
+       FROM st),
+ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_all
+       FROM bk GROUP BY bucket)
+SELECT bucket, CAST((1 << bucket) - 1 AS BIGINT) AS lo_chars, n_docs,
+       n_pass_all,
+       round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS pass_share
+FROM ag"""
     return o

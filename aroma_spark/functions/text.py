@@ -1444,3 +1444,54 @@ def cross_source_dup(documents: DataFrame) -> DataFrame:
             " / CAST(n_docs AS DOUBLE), 6)"
         ).alias("cross_share"),
     )
+
+
+def quality_by_len_bucket(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Quality-gate pass rate by power-of-two document LENGTH bucket
+    — the tuning curve behind :func:`quality_gate_by_lang`'s
+    per-language totals: where exactly does the alpha-majority gate
+    start rejecting, short docs or long ones?
+
+    Same exact-integer gates (token range; ``2*n_alpha >= n_chars``
+    cross-multiplication), bucketed by the integer bit-length of
+    ``n_chars + 1`` (empty docs land in bucket 0). ONE map-side
+    combinable aggregate into ~15 rows.
+
+    Emits ``bucket, lo_chars, n_docs, n_pass_all, pass_share``.
+    """
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = token_count(c)
+    n_alpha = alpha_chars(c)
+    n_chars = F.length(c)
+    pass_all = (
+        (toks >= min_tokens)
+        & (toks <= max_tokens)
+        & ((F.lit(2) * n_alpha) >= n_chars)
+    )
+    bucketed = documents.select(
+        (F.length(F.conv(n_chars.cast("long") + 1, 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        pass_all.alias("ok"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+    return agg.select(
+        "bucket",
+        (F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)") - F.lit(1))
+        .cast("long")
+        .alias("lo_chars"),
+        "n_docs",
+        "n_pass_all",
+        F.expr(
+            "round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("pass_share"),
+    )

@@ -1734,3 +1734,65 @@ def order_backlog_daily(
         .cast("long")
         .alias("backlog"),
     )
+
+
+def priority_mix_monthly(orders: DataFrame) -> DataFrame:
+    """Order-priority mix per month with month-over-month drift per
+    priority (calendar chain break, the dod_growth discipline) — is
+    the urgent share creeping up?
+
+    ONE map-side combinable (month, priority) aggregate; month
+    totals and the lag run over that |months| x |priorities| frame.
+    Counts exact int64; share and drift re-derive inside single
+    float expressions over exact counts.
+
+    Emits ``month_ts, o_orderpriority, n_orders, month_orders,
+    share, drift``.
+    """
+    from pyspark.sql import Window
+
+    cell = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    cell = cell.withColumn(
+        "month_orders",
+        F.sum("n_orders")
+        .over(Window.partitionBy("month_ts"))
+        .cast("long"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month_ts")
+    chain = F.lag("month_ts").over(w) == F.col("month_ts") - F.expr(
+        "INTERVAL 1 MONTH"
+    )
+    cell = cell.select(
+        "month_ts",
+        "o_orderpriority",
+        "n_orders",
+        "month_orders",
+        F.when(chain, F.lag("n_orders").over(w))
+        .cast("long")
+        .alias("prev_n"),
+        F.when(chain, F.lag("month_orders").over(w))
+        .cast("long")
+        .alias("prev_month_orders"),
+    )
+    return cell.select(
+        "month_ts",
+        "o_orderpriority",
+        "n_orders",
+        "month_orders",
+        "prev_n",
+        "prev_month_orders",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(month_orders AS DOUBLE), 6)"
+        ).alias("share"),
+        F.expr(
+            "CASE WHEN prev_month_orders > 0 THEN"
+            " round(CAST(n_orders AS DOUBLE)"
+            " / CAST(month_orders AS DOUBLE)"
+            " - CAST(prev_n AS DOUBLE)"
+            " / CAST(prev_month_orders AS DOUBLE), 6) END"
+        ).alias("drift"),
+    )

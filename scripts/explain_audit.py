@@ -309,6 +309,9 @@ AUDITED = (
     # round-8a pair
     "median_latency_by_role",
     "conv_day_turns",
+    # round-8b pair
+    "priority_mix_1mo",
+    "doc_quality_by_len",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -431,3 +431,25 @@ def test_cross_source_dup(spark):
     assert (web["n_docs"], web["n_cross_docs"]) == (3, 2)
     assert web["cross_share"] == round(2 / 3, 6)
     assert out["feed"]["cross_share"] == 1.0
+
+
+def test_quality_by_len_bucket(spark):
+    from aroma_spark.functions.text import quality_by_len_bucket
+
+    rows = [
+        # 14 chars -> bin(15) len 4 -> bucket 3; passes both gates
+        (1, "aa bb cc dd ee", "en", "web", 14),
+        # 5 chars -> bucket 2 (bin(6)=110); only 2 tokens -> fails
+        (2, "aa bb", "en", "web", 5),
+        # empty -> bucket 0, fails
+        (3, "", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["bucket"]: r
+           for r in quality_by_len_bucket(df).collect()}
+    assert (out[3]["lo_chars"], out[3]["n_docs"],
+            out[3]["n_pass_all"]) == (7, 1, 1)
+    assert out[3]["pass_share"] == 1.0
+    assert (out[2]["n_pass_all"], out[0]["n_pass_all"]) == (0, 0)

@@ -777,3 +777,28 @@ def test_order_backlog_daily(spark):
             out["1996-01-02"]["backlog"]) == (1, 2)
     d3 = out["1996-01-03"]
     assert (d3["n_shipped"], d3["backlog"]) == (2, 0)
+
+
+def test_priority_mix_monthly(spark):
+    from aroma_spark.operators.tpch import priority_mix_monthly
+
+    orders = _orders(spark, [(k, 1, d) for k, d in enumerate([
+        # Jan: 2 urgent, 2 low; Feb: 3 urgent, 1 low
+        "1996-01-05 00:00:00", "1996-01-06 00:00:00",
+        "1996-01-07 00:00:00", "1996-01-08 00:00:00",
+        "1996-02-05 00:00:00", "1996-02-06 00:00:00",
+        "1996-02-07 00:00:00", "1996-02-08 00:00:00",
+    ])]).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey").isin(0, 1, 4, 5, 6), "1-URGENT")
+        .otherwise("5-LOW"),
+    )
+    out = {(r["month_ts"].month, r["o_orderpriority"]): r
+           for r in priority_mix_monthly(orders).collect()}
+    ju = out[(1, "1-URGENT")]
+    assert (ju["n_orders"], ju["month_orders"], ju["share"]) == (
+        2, 4, 0.5)
+    assert ju["drift"] is None
+    fu = out[(2, "1-URGENT")]
+    assert fu["share"] == 0.75
+    assert fu["drift"] == 0.25
