@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 294 registered queries, ALL 294 with hash-compared DuckDB
-oracles — including the round-8b pair (``priority_mix_1mo`` monthly
+Round 5: 296 registered queries, ALL 296 with hash-compared DuckDB
+oracles — including the round-8c pair (``props_k_hist`` the JSON
+props-field histogram, ``emb_norm_quartiles`` exact per-label norm
+quartiles), the round-8b pair (``priority_mix_1mo`` monthly
 priority-mix drift, ``doc_quality_by_len`` the gate pass rate by
 length bucket), the round-8a pair (``median_latency_by_role``
 exact per-role latency medians, ``conv_day_turns`` the
@@ -3156,6 +3158,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality_by_len_bucket(load_table(spark, sf, "documents"))
 
     q["doc_quality_by_len"] = doc_quality_by_len
+
+    def props_k_hist(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import props_field_hist
+
+        return props_field_hist(load_table(spark, sf, "events"))
+
+    q["props_k_hist"] = props_k_hist
+
+    def emb_norm_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.similarity import (
+            norm_quartiles_by_label,
+        )
+
+        return norm_quartiles_by_label(load_table(spark, sf, "embeddings"))
+
+    q["emb_norm_quartiles"] = emb_norm_quartiles
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8671,4 +8689,51 @@ SELECT bucket, CAST((1 << bucket) - 1 AS BIGINT) AS lo_chars, n_docs,
        round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          AS pass_share
 FROM ag"""
+
+    # round-8c pair: props-field histogram and embedding-norm
+    # quartiles.
+    o["props_k_hist"] = """WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events),
+bk AS (SELECT CASE WHEN kv IS NULL THEN -1
+         ELSE CAST(length(bin(kv + 1)) - 1 AS INTEGER) END AS bucket,
+         COALESCE(kv, 0) AS v
+       FROM base),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_value
+         FROM bk GROUP BY bucket),
+tot AS (SELECT hist.*, CAST(sum(n_events) OVER () AS BIGINT)
+          AS total FROM hist)
+SELECT bucket,
+       CASE WHEN bucket >= 0 THEN CAST((1 << bucket) - 1 AS BIGINT)
+       END AS lo_value,
+       n_events, sum_value,
+       round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS share
+FROM tot"""
+
+    o["emb_norm_quartiles"] = """WITH pv AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         )) AS BIGINT) AS sq_fx
+  FROM embeddings),
+ranked AS (SELECT label, sq_fx,
+             row_number() OVER (PARTITION BY label
+               ORDER BY sq_fx, vec_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+               AS n_vecs
+           FROM pv)
+SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_vecs * 25 / 100.0) AS BIGINT))
+         THEN sq_fx END) AS BIGINT) AS p25_sq_fx,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_vecs * 50 / 100.0) AS BIGINT))
+         THEN sq_fx END) AS BIGINT) AS p50_sq_fx,
+       CAST(min(CASE WHEN rk = greatest(1,
+         CAST(ceil(n_vecs * 75 / 100.0) AS BIGINT))
+         THEN sq_fx END) AS BIGINT) AS p75_sq_fx
+FROM ranked GROUP BY label"""
     return o

@@ -798,3 +798,53 @@ def repeat_buyers_weekly(events: DataFrame) -> DataFrame:
             "round(CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE), 6)"
         ).alias("repeat_share"),
     )
+
+
+def props_field_hist(events: DataFrame, field: str = "k") -> DataFrame:
+    """Power-of-two histogram of one integer ``props`` JSON field —
+    the distribution view behind :func:`props_field_stats`' min/max
+    envelope (a min of 1 and max of 100 hides whether the mass sits
+    at 2 or at 90).
+
+    Extraction via the cross-engine string path (module docstring);
+    rows without the field are counted separately, never binned.
+    Bucket by integer bit-length of ``value + 1`` (so 0 lands in
+    bucket 0); ONE map-side combinable aggregate into ~10 rows plus
+    the missing row (bucket = -1). Exact int64.
+
+    Emits ``bucket, lo_value, n_events, sum_value, share``.
+    """
+    from pyspark.sql import Window
+
+    kv = F.expr(
+        f"CAST(get_json_object(props, '$.{field}') AS BIGINT)"
+    )
+    bucketed = events.select(
+        F.when(
+            kv.isNull(), F.lit(-1)
+        )
+        .otherwise(F.length(F.conv(kv + 1, 10, 2)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+        F.coalesce(kv, F.lit(0)).alias("v"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").cast("long").alias("sum_value"),
+    )
+    hist = hist.withColumn(
+        "total",
+        F.sum("n_events").over(Window.partitionBy()).cast("long"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr(
+            "CASE WHEN bucket >= 0 THEN"
+            " CAST(shiftleft(1L, bucket) - 1 AS BIGINT) END"
+        ).alias("lo_value"),
+        "n_events",
+        "sum_value",
+        F.expr(
+            "round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+        ).alias("share"),
+    )

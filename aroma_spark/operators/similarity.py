@@ -906,3 +906,58 @@ def sparsity_by_label(
             " / CAST(n_components AS DOUBLE), 6)"
         ).alias("sparsity"),
     )
+
+
+def norm_quartiles_by_label(
+    embeddings: DataFrame, scale: int = 10_000
+) -> DataFrame:
+    """Exact quartiles of the fixed-point squared norm per label —
+    the distribution behind :func:`norm_profile`'s min/mean/max
+    envelope: a bimodal norm (half the vectors shrunk) hides
+    completely in a mean. Type-1 quantiles at rank
+    ``max(1, ceil(q/100 * n))`` under the deterministic
+    (sq_fx, vec_id) order.
+
+    The per-vector fold is the norm_profile Catalyst expression; the
+    rank window rides one label exchange over |vecs| rows; output is
+    |labels| rows. All int64.
+
+    Emits ``label, n_vecs, p25_sq_fx, p50_sq_fx, p75_sq_fx``.
+    """
+    from pyspark.sql import Window
+
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    sq = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    per_vec = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        sq.alias("sq_fx"),
+    )
+    w = Window.partitionBy("label").orderBy("sq_fx", "vec_id")
+    ranked = per_vec.select(
+        "label",
+        "sq_fx",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("n_vecs"),
+    )
+    aggs = [F.max("n_vecs").cast("long").alias("n_vecs")]
+    for qq, name in ((25, "p25"), (50, "p50"), (75, "p75")):
+        target = F.greatest(
+            F.lit(1), F.ceil(F.col("n_vecs") * F.lit(qq) / F.lit(100))
+        )
+        aggs.append(
+            F.min(F.when(F.col("rk") == target, F.col("sq_fx")))
+            .cast("long")
+            .alias(f"{name}_sq_fx")
+        )
+    return ranked.groupBy("label").agg(*aggs)

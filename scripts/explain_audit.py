@@ -312,6 +312,9 @@ AUDITED = (
     # round-8b pair
     "priority_mix_1mo",
     "doc_quality_by_len",
+    # round-8c pair
+    "props_k_hist",
+    "emb_norm_quartiles",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

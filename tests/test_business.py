@@ -430,3 +430,26 @@ def test_repeat_buyers_weekly(spark):
     assert (w2["n_buyers"], w2["n_repeat"], w2["repeat_share"]) == (
         1, 1, 1.0)
     assert out["2024-01-15"]["n_repeat"] == 0
+
+
+def test_props_field_hist(spark):
+    from aroma_spark.operators.business import props_field_hist
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, '{"k": 0}'),
+        (2, "2024-01-01 10:00:00", 1, "view", 0.0, '{"k": 3}'),
+        (3, "2024-01-01 10:00:00", 1, "view", 0.0, '{"k": 3}'),
+        (4, "2024-01-01 10:00:00", 1, "view", 0.0, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["bucket"]: r for r in props_field_hist(df).collect()}
+    # k=0 -> bin(1) -> bucket 0; k=3 -> bin(4) -> bucket 2
+    assert (out[0]["lo_value"], out[0]["n_events"]) == (0, 1)
+    assert (out[2]["lo_value"], out[2]["n_events"],
+            out[2]["sum_value"]) == (3, 2, 6)
+    assert (out[-1]["lo_value"], out[-1]["n_events"]) == (None, 1)
+    assert out[2]["share"] == 0.5

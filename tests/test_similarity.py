@@ -314,3 +314,18 @@ def test_sparsity_by_label(spark):
     assert (l0["n_vecs"], l0["n_components"], l0["n_zero"]) == (2, 6, 2)
     assert l0["sparsity"] == round(2 / 6, 6)
     assert out[1]["sparsity"] == 1.0
+
+
+def test_norm_quartiles_by_label(spark):
+    from aroma_spark.operators.similarity import norm_quartiles_by_label
+
+    # sq_fx values: 1e8 * [1, 4, 9, 16] (vectors [1],[2],[3],[4] @ 1e4)
+    df = spark.createDataFrame(
+        [(i, [float(i)], 0) for i in range(1, 5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = norm_quartiles_by_label(df).collect()[0]
+    assert r["n_vecs"] == 4
+    # ranks: p25 -> 1, p50 -> 2, p75 -> 3
+    assert (r["p25_sq_fx"], r["p50_sq_fx"], r["p75_sq_fx"]) == (
+        100_000_000, 400_000_000, 900_000_000)
