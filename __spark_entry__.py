@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 296 registered queries, ALL 296 with hash-compared DuckDB
-oracles — including the round-8c pair (``props_k_hist`` the JSON
+Round 5: 298 registered queries, ALL 298 with hash-compared DuckDB
+oracles — including the round-8d pair (``median_value_type`` exact
+median cents per event type, ``first_response_1d`` the front-door
+first-gap latency profile), the round-8c pair (``props_k_hist`` the JSON
 props-field histogram, ``emb_norm_quartiles`` exact per-label norm
 quartiles), the round-8b pair (``priority_mix_1mo`` monthly
 priority-mix drift, ``doc_quality_by_len`` the gate pass rate by
@@ -3174,6 +3176,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return norm_quartiles_by_label(load_table(spark, sf, "embeddings"))
 
     q["emb_norm_quartiles"] = emb_norm_quartiles
+
+    def median_value_type(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import median_value_by_type
+
+        return median_value_by_type(load_table(spark, sf, "events"))
+
+    q["median_value_type"] = median_value_type
+
+    def first_response_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import first_response_daily
+
+        return first_response_daily(_signals(spark, sf))
+
+    q["first_response_1d"] = first_response_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8736,4 +8752,32 @@ SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
          CAST(ceil(n_vecs * 75 / 100.0) AS BIGINT))
          THEN sq_fx END) AS BIGINT) AS p75_sq_fx
 FROM ranked GROUP BY label"""
+
+    # round-8d pair: median value by type and the first-response
+    # latency profile.
+    o["median_value_type"] = """WITH base AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+  FROM events),
+ranked AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cents, event_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_events
+           FROM base)
+SELECT event_type, n_events, cents AS median_cents
+FROM ranked WHERE rk = (n_events + 1) // 2"""
+
+    o["first_response_1d"] = f"""{SIG_SQL},
+fg AS (SELECT date_trunc('day', ts) AS day_ts,
+         CAST(inter_time_us AS BIGINT) AS g
+       FROM sig WHERE turn_idx = 1),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(g) AS BIGINT) AS sum_first_us,
+         CAST(min(g) AS BIGINT) AS min_first_us,
+         CAST(max(g) AS BIGINT) AS max_first_us
+       FROM fg GROUP BY day_ts)
+SELECT day_ts, n_convs, sum_first_us, min_first_us, max_first_us,
+       CAST(sum_first_us // n_convs AS BIGINT) AS mean_first_us
+FROM ag"""
     return o

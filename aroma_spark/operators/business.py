@@ -848,3 +848,38 @@ def props_field_hist(events: DataFrame, field: str = "k") -> DataFrame:
             "round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def median_value_by_type(events: DataFrame) -> DataFrame:
+    """Exact median monetary value per event type (type-1 rank in
+    integer cents under the deterministic (cents, event_id) order) —
+    the robust centre the mean-of-cents rollups can't give next to a
+    whale-heavy tail.
+
+    One hash exchange on event_type for the rank window, |types|
+    output rows. All int64.
+
+    Emits ``event_type, n_events, median_cents``.
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        "event_type", F.expr(CENTS).alias("cents"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_events"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_events + 1) div 2")
+    ).select(
+        "event_type",
+        "n_events",
+        F.col("cents").alias("median_cents"),
+    )

@@ -1180,3 +1180,40 @@ def weekend_start_conversion(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_conv_days AS DOUBLE), 6)"
         ).alias("purchase_share"),
     )
+
+
+def first_response_daily(signals: DataFrame) -> DataFrame:
+    """Initial-response latency per start day: the FIRST inter-turn
+    gap of each conversation (turn 1's inter_time_us — how long the
+    second turn took to arrive), profiled per day. The front-door
+    latency users actually feel, distinct from the all-gaps daily
+    means.
+
+    The turn-1 filter prunes before the aggregation (single-turn
+    conversations contribute nothing, correctly); ONE map-side
+    combinable per-day rollup. Exact int64 µs; integer-quotient
+    mean.
+
+    Emits ``day_ts, n_convs, sum_first_us, min_first_us,
+    max_first_us, mean_first_us``.
+    """
+    first_gaps = signals.where(F.col("turn_idx") == 1).select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.col("inter_time_us").cast("long").alias("g"),
+    )
+    agg = first_gaps.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("g").cast("long").alias("sum_first_us"),
+        F.min("g").cast("long").alias("min_first_us"),
+        F.max("g").cast("long").alias("max_first_us"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_convs",
+        "sum_first_us",
+        "min_first_us",
+        "max_first_us",
+        F.expr("CAST(sum_first_us div n_convs AS BIGINT)").alias(
+            "mean_first_us"
+        ),
+    )

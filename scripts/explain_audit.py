@@ -315,6 +315,9 @@ AUDITED = (
     # round-8c pair
     "props_k_hist",
     "emb_norm_quartiles",
+    # round-8d pair
+    "median_value_type",
+    "first_response_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -453,3 +453,23 @@ def test_props_field_hist(spark):
             out[2]["sum_value"]) == (3, 2, 6)
     assert (out[-1]["lo_value"], out[-1]["n_events"]) == (None, 1)
     assert out[2]["share"] == 0.5
+
+
+def test_median_value_by_type(spark):
+    from aroma_spark.operators.business import median_value_by_type
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 9.00),
+        (3, "2024-01-01 10:00:00", 1, "purchase", 2.00),
+        (4, "2024-01-01 10:00:00", 1, "view", 0.50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in median_value_by_type(df).collect()}
+    assert (out["purchase"]["n_events"],
+            out["purchase"]["median_cents"]) == (3, 200)
+    assert out["view"]["median_cents"] == 50

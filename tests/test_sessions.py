@@ -542,3 +542,29 @@ def test_weekend_start_conversion(spark):
     assert (we["mean_turns"], we["purchase_share"]) == (2.0, 1.0)
     wd = out[False]
     assert (wd["n_conv_days"], wd["purchase_share"]) == (2, 0.0)
+
+
+def test_first_response_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.sessions import first_response_daily
+
+    rows = [
+        # conv a: first gap 10s
+        ("a", 0, "2024-01-01 10:00:00", 0),
+        ("a", 1, "2024-01-01 10:00:10", 10_000_000),
+        ("a", 2, "2024-01-01 10:10:00", 590_000_000),
+        # conv b: first gap 30s
+        ("b", 0, "2024-01-01 11:00:00", 0),
+        ("b", 1, "2024-01-01 11:00:30", 30_000_000),
+        # conv c: single turn -> excluded
+        ("c", 0, "2024-01-01 12:00:00", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string,"
+        " inter_time_us long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = first_response_daily(df).collect()[0]
+    assert (r["n_convs"], r["sum_first_us"], r["min_first_us"],
+            r["max_first_us"]) == (2, 40_000_000, 10_000_000, 30_000_000)
+    assert r["mean_first_us"] == 20_000_000
