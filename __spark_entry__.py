@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 298 registered queries, ALL 298 with hash-compared DuckDB
-oracles — including the round-8d pair (``median_value_type`` exact
+Round 5: 300 registered queries, ALL 300 with hash-compared DuckDB
+oracles — including the round-8e pair (``tpch_q4_late`` the Q4
+EXISTS semi-join late-order share, ``tpch_q21_waiting`` the Q21
+sole-late-supplier blame count), the round-8d pair
+(``median_value_type`` exact
 median cents per event type, ``first_response_1d`` the front-door
 first-gap latency profile), the round-8c pair (``props_k_hist`` the JSON
 props-field histogram, ``emb_norm_quartiles`` exact per-label norm
@@ -3190,6 +3193,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return first_response_daily(_signals(spark, sf))
 
     q["first_response_1d"] = first_response_1d
+
+    def tpch_q4_late(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import late_order_share
+
+        return late_order_share(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["tpch_q4_late"] = tpch_q4_late
+
+    def tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import sole_late_suppliers
+
+        return sole_late_suppliers(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        )
+
+    q["tpch_q21_waiting"] = tpch_q21_waiting
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8780,4 +8805,48 @@ ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_convs,
 SELECT day_ts, n_convs, sum_first_us, min_first_us, max_first_us,
        CAST(sum_first_us // n_convs AS BIGINT) AS mean_first_us
 FROM ag"""
+
+    # round-8e pair: the Q4 EXISTS semi-join and the Q21
+    # EXISTS/NOT-EXISTS blame shape (both re-expressed as
+    # aggregations in the engine; the oracle states Q4 as the
+    # literal correlated EXISTS to keep the check independent).
+    o["tpch_q4_late"] = """WITH base AS (
+  SELECT o_orderpriority, o_orderkey, o_orderdate FROM orders),
+late AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+  FROM base o
+  WHERE EXISTS (SELECT 1 FROM lineitem li
+                WHERE li.l_orderkey = o.o_orderkey
+                  AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(li.l_shipdate AS DATE)) > 20)
+  GROUP BY o_orderpriority),
+alln AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM base GROUP BY o_orderpriority)
+SELECT a.o_orderpriority, a.n_orders,
+       CAST(coalesce(l.n_late_orders, 0) AS BIGINT) AS n_late_orders,
+       round(CAST(coalesce(l.n_late_orders, 0) AS DOUBLE)
+         / CAST(a.n_orders AS DOUBLE), 6) AS late_share
+FROM alln a LEFT JOIN late l USING (o_orderpriority)"""
+
+    o["tpch_q21_waiting"] = """WITH f AS (
+  SELECT li.l_orderkey, li.l_suppkey,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                CAST(li.l_shipdate AS DATE)) > 20 THEN 1 ELSE 0 END
+           AS late
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+ps AS (SELECT l_orderkey, l_suppkey, max(late) AS late
+       FROM f GROUP BY l_orderkey, l_suppkey),
+po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supps,
+         CAST(sum(late) AS BIGINT) AS n_late_supps
+       FROM ps GROUP BY l_orderkey),
+blame AS (SELECT ps.l_orderkey, ps.l_suppkey
+          FROM ps JOIN po USING (l_orderkey)
+          WHERE ps.late = 1 AND po.n_supps >= 2
+            AND po.n_late_supps = 1),
+sn AS (SELECT s.s_suppkey, n.n_name AS supp_nation
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+SELECT sn.supp_nation, CAST(count(*) AS BIGINT) AS numwait,
+       CAST(count(DISTINCT b.l_suppkey) AS BIGINT) AS n_suppliers
+FROM blame b JOIN sn ON b.l_suppkey = sn.s_suppkey
+GROUP BY sn.supp_nation"""
     return o

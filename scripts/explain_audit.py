@@ -318,6 +318,9 @@ AUDITED = (
     # round-8d pair
     "median_value_type",
     "first_response_1d",
+    # round-8e pair
+    "tpch_q4_late",
+    "tpch_q21_waiting",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -802,3 +802,73 @@ def test_priority_mix_monthly(spark):
     fu = out[(2, "1-URGENT")]
     assert fu["share"] == 0.75
     assert fu["drift"] == 0.25
+
+
+def test_late_order_share(spark):
+    from aroma_spark.operators.tpch import late_order_share
+
+    orders = _orders(spark, [
+        (1, 1, "1996-01-01 00:00:00"),   # URGENT, one late line
+        (2, 1, "1996-01-01 00:00:00"),   # URGENT, on time
+        (3, 1, "1996-01-01 00:00:00"),   # LOW, two late lines (1 order)
+        (4, 1, "1996-01-01 00:00:00"),   # LOW, exactly 20 days = not late
+    ]).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey").isin(1, 2), "1-URGENT")
+        .otherwise("5-LOW"),
+    )
+    li = _lineitem(spark, [
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-01 00:00:00"),  # +31d
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-02 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-10 00:00:00"),
+        (3, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-03-01 00:00:00"),
+        (3, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-15 00:00:00"),
+        (4, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-21 00:00:00"),  # +20d
+    ])
+    out = {r["o_orderpriority"]: r
+           for r in late_order_share(orders, li).collect()}
+    u = out["1-URGENT"]
+    assert (u["n_orders"], u["n_late_orders"], u["late_share"]) == (
+        2, 1, 0.5)
+    lo = out["5-LOW"]
+    # order 3 counts ONCE despite two late lines; +20d is not > 20
+    assert (lo["n_orders"], lo["n_late_orders"], lo["late_share"]) == (
+        2, 1, 0.5)
+
+
+def test_sole_late_suppliers(spark):
+    from aroma_spark.operators.tpch import sole_late_suppliers
+
+    orders = _orders(spark, [
+        (1, 1, "1996-01-01 00:00:00"),  # supp 10 late, supp 20 on time
+        (2, 1, "1996-01-01 00:00:00"),  # both late -> nobody blamed
+        (3, 1, "1996-01-01 00:00:00"),  # single-supplier late -> excluded
+        (4, 1, "1996-01-01 00:00:00"),  # supp 10 late again (2 supps)
+    ])
+    li = spark.createDataFrame(
+        [
+            (1, 10, "1996-02-01 00:00:00"),
+            (1, 20, "1996-01-05 00:00:00"),
+            (2, 10, "1996-02-01 00:00:00"),
+            (2, 20, "1996-02-01 00:00:00"),
+            (3, 30, "1996-02-01 00:00:00"),
+            (4, 10, "1996-02-01 00:00:00"),
+            (4, 30, "1996-01-05 00:00:00"),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    supplier = spark.createDataFrame(
+        [(10, 0), (20, 0), (30, 1)],
+        "s_suppkey long, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "FRANCE"), (1, "KENYA")],
+        "n_nationkey int, n_name string",
+    )
+    out = {r["supp_nation"]: r
+           for r in sole_late_suppliers(li, orders, supplier, nation)
+           .collect()}
+    # supplier 10 blamed in orders 1 and 4; nobody else anywhere
+    assert (out["FRANCE"]["numwait"],
+            out["FRANCE"]["n_suppliers"]) == (2, 1)
+    assert "KENYA" not in out
