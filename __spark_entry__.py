@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 300 registered queries, ALL 300 with hash-compared DuckDB
-oracles — including the round-8e pair (``tpch_q4_late`` the Q4
+Round 5: 302 registered queries, ALL 302 with hash-compared DuckDB
+oracles — including the round-8f pair (``cohort_ltv_1w`` the weekly
+cohort lifetime-value curve, ``purchase_attribution`` last-touch
+purchase attribution via the ignore-nulls carry-forward window), the
+round-8e pair (``tpch_q4_late`` the Q4
 EXISTS semi-join late-order share, ``tpch_q21_waiting`` the Q21
 sole-late-supplier blame count), the round-8d pair
 (``median_value_type`` exact
@@ -3215,6 +3218,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q21_waiting"] = tpch_q21_waiting
+
+    def cohort_ltv_1w(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import cohort_ltv_weekly
+
+        return cohort_ltv_weekly(load_table(spark, sf, "events"))
+
+    q["cohort_ltv_1w"] = cohort_ltv_1w
+
+    def purchase_attribution_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import purchase_attribution
+
+        return purchase_attribution(load_table(spark, sf, "events"))
+
+    q["purchase_attribution"] = purchase_attribution_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8849,4 +8866,54 @@ SELECT sn.supp_nation, CAST(count(*) AS BIGINT) AS numwait,
        CAST(count(DISTINCT b.l_suppkey) AS BIGINT) AS n_suppliers
 FROM blame b JOIN sn ON b.l_suppkey = sn.s_suppkey
 GROUP BY sn.supp_nation"""
+
+    # round-8f pair: weekly cohort LTV and last-touch attribution.
+    o["cohort_ltv_1w"] = """WITH fw AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM fw GROUP BY cohort_week),
+rev AS (SELECT user_id, date_trunc('week', ts) AS active_week,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+grid AS (
+  SELECT fw.cohort_week,
+         CAST(date_diff('day', CAST(fw.cohort_week AS DATE),
+           CAST(r.active_week AS DATE)) / 7 AS INTEGER) AS offset_week,
+         CAST(count(DISTINCT r.user_id) AS BIGINT) AS n_buyers,
+         CAST(sum(r.cents) AS BIGINT) AS rev_cents
+  FROM rev r JOIN fw ON r.user_id = fw.user_id
+  GROUP BY 1, 2),
+cum AS (SELECT *,
+          CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+            ORDER BY offset_week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_cents
+        FROM grid)
+SELECT c.cohort_week, c.offset_week, s.cohort_users, c.n_buyers,
+       c.rev_cents, c.cum_rev_cents,
+       CAST(c.cum_rev_cents // s.cohort_users AS BIGINT)
+         AS ltv_cents_per_user
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week"""
+
+    o["purchase_attribution"] = """WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+attr AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM base),
+ag AS (SELECT COALESCE(last_touch, '(none)') AS touch,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+       FROM attr WHERE event_type = 'purchase' GROUP BY 1)
+SELECT touch, n_purchases, rev_cents,
+       round(CAST(n_purchases AS DOUBLE)
+         / CAST(sum(n_purchases) OVER () AS DOUBLE), 6) AS share
+FROM ag"""
     return o

@@ -883,3 +883,140 @@ def median_value_by_type(events: DataFrame) -> DataFrame:
         "n_events",
         F.col("cents").alias("median_cents"),
     )
+
+
+def cohort_ltv_weekly(events: DataFrame) -> DataFrame:
+    """Weekly cohort lifetime value: the monetary companion to the
+    retention grid — per signup-week cohort and week offset, purchase
+    revenue and its running total, normalized to LTV cents per cohort
+    user. The curve every growth review reads next to retention
+    ("cohorts retain — but do they PAY, and how fast does the curve
+    flatten?").
+
+    Cohort = the week of the user's FIRST event of any type; revenue
+    counts purchases only, in exact integer cents (house ``floor``
+    quantization — purchase values are non-negative, so the final
+    integer-quotient per-user LTV is floor division in both engines).
+    Only (cohort, offset) cells with at least one purchase appear —
+    the sparse grid is identical across engines.
+
+    Scale shape: first-week min and per-(user, week) purchase cents
+    ride the same user_id exchange (co-partitioned join), collapse to
+    the |weeks|^2/2 grid, and the running total is a window over THAT
+    tiny grid, never the corpus. The |weeks|-row cohort-size rollup
+    joins back via broadcast. All int64 until the one share float.
+
+    Emits ``cohort_week, offset_week, cohort_users, n_buyers,
+    rev_cents, cum_rev_cents, ltv_cents_per_user``.
+    """
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.col("ts"))
+    fw = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        week.alias("active_week"),
+        F.expr(CENTS).alias("cents"),
+    )
+    grid = (
+        rev.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("offset_week"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = grid.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("long")
+    ).join(F.broadcast(sizes), "cohort_week")
+    return out.select(
+        "cohort_week",
+        "offset_week",
+        "cohort_users",
+        "n_buyers",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr("CAST(cum_rev_cents div cohort_users AS BIGINT)").alias(
+            "ltv_cents_per_user"
+        ),
+    )
+
+
+def purchase_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch purchase attribution: each purchase is credited to
+    the user's most recent PRIOR non-purchase event type (the
+    marketing-analytics staple "what did they do right before
+    buying?"); purchases with no prior touch credit ``(none)``.
+
+    The carry-forward is LOCF over a conditional: one window per
+    user in the deterministic (ts, event_id) order, taking the last
+    non-null of ``CASE WHEN type <> purchase THEN type END`` over
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING — the same ignore-nulls
+    window primitive both engines define identically (Spark
+    ``last(expr, ignorenulls)``, DuckDB ``last_value(expr IGNORE
+    NULLS)``), so no join against a lagged self-copy is needed.
+
+    Scale shape: ONE user_id exchange for the window (user event
+    histories are short — no skew concern), purchases filtered after
+    the carry-forward, then a |event types|-row rollup with the share
+    computed over that tiny result. Cents exact int64.
+
+    Emits ``touch, n_purchases, rev_cents, share``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr(CENTS).alias("cents"),
+    )
+    attr = base.withColumn(
+        "last_touch",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    agg = (
+        attr.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("(none)")).alias(
+                "touch"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    return agg.select(
+        "touch",
+        "n_purchases",
+        "rev_cents",
+        F.expr(
+            "round(CAST(n_purchases AS DOUBLE)"
+            " / CAST(sum(n_purchases) OVER () AS DOUBLE), 6)"
+        ).alias("share"),
+    )

@@ -321,6 +321,9 @@ AUDITED = (
     # round-8e pair
     "tpch_q4_late",
     "tpch_q21_waiting",
+    # round-8f pair
+    "cohort_ltv_1w",
+    "purchase_attribution",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

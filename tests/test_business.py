@@ -473,3 +473,58 @@ def test_median_value_by_type(spark):
     assert (out["purchase"]["n_events"],
             out["purchase"]["median_cents"]) == (3, 200)
     assert out["view"]["median_cents"] == 50
+
+
+def _uevents(spark, rows):
+    """rows = (event_id, ts, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_cohort_ltv_weekly(spark):
+    from aroma_spark.operators.business import cohort_ltv_weekly
+
+    # 2024-01-01 is a Monday: week0=01-01, week2=01-15
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),       # u1 cohort w0
+        (2, "2024-01-02 10:00:00", 1, "purchase", 1.00),  # w0 offset 0
+        (3, "2024-01-16 10:00:00", 1, "purchase", 2.00),  # offset 2
+        (4, "2024-01-03 10:00:00", 2, "view", 0.0),       # u2 cohort w0
+        (5, "2024-01-15 10:00:00", 3, "purchase", 5.00),  # u3 cohort w2
+    ]
+    out = {(r["cohort_week"].day, r["offset_week"]): r
+           for r in cohort_ltv_weekly(_uevents(spark, rows)).collect()}
+    w0_0 = out[(1, 0)]
+    # cohort of Jan-1 week has 2 users; only u1 bought ($1.00)
+    assert (w0_0["cohort_users"], w0_0["n_buyers"], w0_0["rev_cents"],
+            w0_0["cum_rev_cents"], w0_0["ltv_cents_per_user"]) == (
+        2, 1, 100, 100, 50)
+    w0_2 = out[(1, 2)]
+    assert (w0_2["rev_cents"], w0_2["cum_rev_cents"],
+            w0_2["ltv_cents_per_user"]) == (200, 300, 150)
+    w2_0 = out[(15, 0)]
+    assert (w2_0["cohort_users"], w2_0["cum_rev_cents"],
+            w2_0["ltv_cents_per_user"]) == (1, 500, 500)
+
+
+def test_purchase_attribution(spark):
+    from aroma_spark.operators.business import purchase_attribution
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 1.00),
+        # the purchase at 12:00 does NOT reset the touch — the last
+        # NON-purchase event (the 11:00 click) still gets the credit
+        (4, "2024-01-01 13:00:00", 1, "purchase", 2.00),
+        (5, "2024-01-01 10:00:00", 2, "purchase", 5.00),  # no prior touch
+    ]
+    out = {r["touch"]: r
+           for r in purchase_attribution(_uevents(spark, rows)).collect()}
+    assert (out["click"]["n_purchases"], out["click"]["rev_cents"],
+            out["click"]["share"]) == (2, 300, 0.666667)
+    assert (out["(none)"]["n_purchases"],
+            out["(none)"]["rev_cents"]) == (1, 500)
