@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 302 registered queries, ALL 302 with hash-compared DuckDB
-oracles — including the round-8f pair (``cohort_ltv_1w`` the weekly
+Round 5: 304 registered queries, ALL 304 with hash-compared DuckDB
+oracles — including the round-8g pair (``audience_overlap_7d`` the
+day-vs-week-ago audience Jaccard, ``trending_terms_1d`` integer-exact
+day-over-day term bursts), the round-8f pair (``cohort_ltv_1w`` the weekly
 cohort lifetime-value curve, ``purchase_attribution`` last-touch
 purchase attribution via the ignore-nulls carry-forward window), the
 round-8e pair (``tpch_q4_late`` the Q4
@@ -3232,6 +3234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return purchase_attribution(load_table(spark, sf, "events"))
 
     q["purchase_attribution"] = purchase_attribution_q
+
+    def audience_overlap_7d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.cohorts import audience_overlap_weekly
+
+        return audience_overlap_weekly(transcripts_from_events(spark, sf))
+
+    q["audience_overlap_7d"] = audience_overlap_7d
+
+    def trending_terms_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import trending_terms_daily
+
+        return trending_terms_daily(transcripts_from_events(spark, sf))
+
+    q["trending_terms_1d"] = trending_terms_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8916,4 +8932,47 @@ SELECT touch, n_purchases, rev_cents,
        round(CAST(n_purchases AS DOUBLE)
          / CAST(sum(n_purchases) OVER () AS DOUBLE), 6) AS share
 FROM ag"""
+
+    # round-8g pair: weekly audience overlap and daily term bursts.
+    o["audience_overlap_7d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+act AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS day FROM t),
+shifted AS (SELECT conv_id, day + INTERVAL 7 DAY AS day FROM act),
+inter AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n_both
+         FROM act a JOIN shifted s
+           ON a.conv_id = s.conv_id AND a.day = s.day
+         GROUP BY a.day),
+today AS (SELECT day, CAST(count(*) AS BIGINT) AS n_today
+          FROM act GROUP BY day),
+week_ago AS (SELECT day, CAST(count(*) AS BIGINT) AS n_week_ago
+             FROM shifted GROUP BY day),
+j AS (SELECT t.day, t.n_today,
+        CAST(coalesce(w.n_week_ago, 0) AS BIGINT) AS n_week_ago,
+        CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both
+      FROM today t
+      LEFT JOIN week_ago w ON t.day = w.day
+      LEFT JOIN inter b ON t.day = b.day)
+SELECT day, n_today, n_week_ago, n_both,
+       CASE WHEN n_today + n_week_ago - n_both > 0 THEN
+         round(CAST(n_both AS DOUBLE)
+           / CAST(n_today + n_week_ago - n_both AS DOUBLE), 6) END
+         AS jaccard,
+       CASE WHEN n_week_ago > 0 THEN
+         round(CAST(n_both AS DOUBLE)
+           / CAST(n_week_ago AS DOUBLE), 6) END AS return_share
+FROM j"""
+
+    o["trending_terms_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT CAST(ts AS DATE) AS day,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+per AS (SELECT term, day, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE term <> '' GROUP BY term, day),
+lg AS (SELECT *, lag(n) OVER (PARTITION BY term ORDER BY day) AS prev_n,
+         lag(day) OVER (PARTITION BY term ORDER BY day) AS prev_day
+       FROM per)
+SELECT term, day, n, CAST(prev_n AS BIGINT) AS prev_n,
+       round(CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) AS ratio
+FROM lg
+WHERE prev_day = day - 1 AND n >= 5 AND 2 * n >= 3 * prev_n"""
     return o

@@ -1495,3 +1495,71 @@ def quality_by_len_bucket(
             "round(CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
         ).alias("pass_share"),
     )
+
+
+def trending_terms_daily(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_count: int = 5,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+) -> DataFrame:
+    """Day-over-day term bursts: terms whose daily count jumped to at
+    least ``ratio_num/ratio_den``x the PREVIOUS CALENDAR DAY's count
+    while clearing ``min_count`` occurrences — the "what spiked
+    today?" report (a template flood, a new failure string, an off-
+    distribution source landing). The count-burst complement of
+    :func:`vocab_growth_daily`'s first-appearance rate, which a term
+    that existed quietly for weeks never triggers.
+
+    Chain discipline as in stats.dod_growth: the lag is taken over
+    each term's OWN day series, and a row only qualifies when the
+    lagged day is exactly day-1 — a term absent yesterday (or a gap
+    in its series) cannot claim a burst against a stale baseline.
+    The ratio test is pure integer arithmetic (``ratio_den * n >=
+    ratio_num * prev_n`` — the threshold is rational so no float
+    ever decides membership); the emitted ratio float is
+    display-only.
+
+    Shape at 100 TB: the same Zipf-headed (term, day) exchange the
+    TF-IDF family rides (map-side partials bound hot terms), then
+    the lag window re-uses that term partitioning; the qualifying
+    set — bursts are rare by construction — is tiny.
+
+    Emits ``term, day, n, prev_n, ratio``.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    per = toks.groupBy("term", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("term").orderBy("day")
+    lagged = per.select(
+        "term",
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("day").over(w).alias("prev_day"),
+    )
+    return lagged.where(
+        (F.col("prev_day") == F.date_sub(F.col("day"), 1))
+        & (F.col("n") >= F.lit(int(min_count)))
+        & (
+            F.lit(int(ratio_den)) * F.col("n")
+            >= F.lit(int(ratio_num)) * F.col("prev_n")
+        )
+    ).select(
+        "term",
+        "day",
+        "n",
+        F.col("prev_n").cast("long").alias("prev_n"),
+        F.expr(
+            "round(CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)"
+        ).alias("ratio"),
+    )

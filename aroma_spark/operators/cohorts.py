@@ -930,3 +930,71 @@ def error_convs_weekly(transcripts: DataFrame) -> DataFrame:
             " / CAST(n_convs AS DOUBLE), 6)"
         ).alias("error_share"),
     )
+
+
+def audience_overlap_weekly(transcripts: DataFrame) -> DataFrame:
+    """Day-vs-week-ago audience overlap: for each day, the exact
+    Jaccard similarity between the set of conversations active that
+    day and the set active 7 days earlier — how much of the audience
+    is the SAME users cycling weekly vs churning through new ones.
+    The set-intersection companion to the rolling-active counts
+    (active_7d sizes the union; this measures the overlap).
+
+    The intersection needs no set materialization: activity dedups
+    to (conv, day) once, the week-ago copy shifts its day key +7,
+    and the co-partitioned (conv, day) self-join counts matches —
+    three aggregates riding one exchange family, |days| output rows.
+    A day with no week-ago audience emits NULL jaccard (0/0), the
+    same convention both engines reach by SQL null division.
+
+    Emits ``day, n_today, n_week_ago, n_both, jaccard,
+    return_share`` (share of the week-ago audience that came back).
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    act = transcripts.select(
+        "conv_id", day.alias("day")
+    ).distinct()
+    shifted = act.select(
+        "conv_id", (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day")
+    )
+    both = (
+        act.join(shifted, ["conv_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    today = act.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_today")
+    )
+    week_ago = shifted.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_week_ago")
+    )
+    joined = (
+        today.join(F.broadcast(week_ago), "day", "left")
+        .join(F.broadcast(both), "day", "left")
+        .select(
+            "day",
+            "n_today",
+            F.coalesce(F.col("n_week_ago"), F.lit(0))
+            .cast("long")
+            .alias("n_week_ago"),
+            F.coalesce(F.col("n_both"), F.lit(0))
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    return joined.select(
+        "day",
+        "n_today",
+        "n_week_ago",
+        "n_both",
+        F.expr(
+            "CASE WHEN n_today + n_week_ago - n_both > 0 THEN"
+            " round(CAST(n_both AS DOUBLE)"
+            " / CAST(n_today + n_week_ago - n_both AS DOUBLE), 6) END"
+        ).alias("jaccard"),
+        F.expr(
+            "CASE WHEN n_week_ago > 0 THEN"
+            " round(CAST(n_both AS DOUBLE)"
+            " / CAST(n_week_ago AS DOUBLE), 6) END"
+        ).alias("return_share"),
+    )

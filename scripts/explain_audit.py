@@ -324,6 +324,9 @@ AUDITED = (
     # round-8f pair
     "cohort_ltv_1w",
     "purchase_attribution",
+    # round-8g pair
+    "audience_overlap_7d",
+    "trending_terms_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

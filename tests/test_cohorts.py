@@ -458,3 +458,24 @@ def test_error_convs_weekly(spark):
     r = error_convs_weekly(df).collect()[0]
     assert (r["n_convs"], r["n_with_error"]) == (2, 1)
     assert r["error_share"] == 0.5
+
+
+def test_audience_overlap_weekly(spark):
+    from aroma_spark.operators.cohorts import audience_overlap_weekly
+
+    rows = [
+        ("A", 0, "user", "x", None, "2024-01-01 10:00:00"),
+        ("A", 1, "user", "x", None, "2024-01-08 10:00:00"),
+        ("B", 0, "user", "x", None, "2024-01-01 11:00:00"),
+        ("C", 0, "user", "x", None, "2024-01-08 12:00:00"),
+    ]
+    out = {r["day"].day: r
+           for r in audience_overlap_weekly(_t(spark, rows)).collect()}
+    d1 = out[1]
+    # no week-ago audience: 0/2 Jaccard, undefined return share
+    assert (d1["n_today"], d1["n_week_ago"], d1["n_both"]) == (2, 0, 0)
+    assert d1["jaccard"] == 0.0 and d1["return_share"] is None
+    d8 = out[8]
+    # today {A,C}, week-ago {A,B}: intersection {A}, union 3
+    assert (d8["n_today"], d8["n_week_ago"], d8["n_both"]) == (2, 2, 1)
+    assert (d8["jaccard"], d8["return_share"]) == (0.333333, 0.5)

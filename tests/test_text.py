@@ -453,3 +453,26 @@ def test_quality_by_len_bucket(spark):
             out[3]["n_pass_all"]) == (7, 1, 1)
     assert out[3]["pass_share"] == 1.0
     assert (out[2]["n_pass_all"], out[0]["n_pass_all"]) == (0, 0)
+
+
+def test_trending_terms_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.functions.text import trending_terms_daily
+
+    rows = [
+        # 'x': 4 on day1 -> 6 on day2 = 1.5x with n>=5: qualifies
+        ("c", 0, "x x x x z", "2024-01-01 10:00:00"),
+        ("c", 1, "x x x x x x y y y y y", "2024-01-02 11:00:00"),
+        # 'z': day1 then a GAP to day3 — never qualifies however big
+        ("c", 2, "z z z z z z z z", "2024-01-03 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = trending_terms_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 'y' has no previous day; 'z' skipped a day; only 'x' bursts
+    assert (r["term"], str(r["day"]), r["n"], r["prev_n"], r["ratio"]) == (
+        "x", "2024-01-02", 6, 4, 1.5)
