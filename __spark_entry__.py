@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 304 registered queries, ALL 304 with hash-compared DuckDB
-oracles — including the round-8g pair (``audience_overlap_7d`` the
+Round 5: 306 registered queries, ALL 306 with hash-compared DuckDB
+oracles — including the round-8h pair (``user_type_conc`` the
+specialist-vs-generalist census from the integer top-type-share
+decile, ``spend_decile_mob`` the week-over-week spend-decile
+transition matrix), the round-8g pair (``audience_overlap_7d`` the
 day-vs-week-ago audience Jaccard, ``trending_terms_1d`` integer-exact
 day-over-day term bursts), the round-8f pair (``cohort_ltv_1w`` the weekly
 cohort lifetime-value curve, ``purchase_attribution`` last-touch
@@ -3248,6 +3251,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trending_terms_daily(transcripts_from_events(spark, sf))
 
     q["trending_terms_1d"] = trending_terms_1d
+
+    def user_type_conc(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import user_type_concentration
+
+        return user_type_concentration(load_table(spark, sf, "events"))
+
+    q["user_type_conc"] = user_type_conc
+
+    def spend_decile_mob(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import spend_decile_mobility
+
+        return spend_decile_mobility(load_table(spark, sf, "events"))
+
+    q["spend_decile_mob"] = spend_decile_mob
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -8975,4 +8992,38 @@ SELECT term, day, n, CAST(prev_n AS BIGINT) AS prev_n,
        round(CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) AS ratio
 FROM lg
 WHERE prev_day = day - 1 AND n >= 5 AND 2 * n >= 3 * prev_n"""
+
+    # round-8h pair: user concentration census and decile mobility.
+    o["user_type_conc"] = """WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+u AS (SELECT user_id, CAST(max(n) AS BIGINT) AS max_n,
+        CAST(sum(n) AS BIGINT) AS total_n
+      FROM per GROUP BY user_id),
+b AS (SELECT CAST((10 * max_n) // total_n AS INTEGER) AS bucket FROM u),
+h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+      FROM b GROUP BY bucket)
+SELECT bucket, round(CAST(bucket AS DOUBLE) / 10.0, 1) AS lo_share,
+       n_users,
+       round(CAST(n_users AS DOUBLE)
+         / CAST(sum(n_users) OVER () AS DOUBLE), 6) AS user_share
+FROM h"""
+
+    o["spend_decile_mob"] = """WITH m AS (
+  SELECT user_id, date_trunc('week', ts) AS week_ts,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, date_trunc('week', ts)),
+r AS (SELECT user_id, week_ts,
+        CAST(((row_number() OVER (PARTITION BY week_ts
+            ORDER BY cents, user_id) - 1) * 10)
+          // (count(*) OVER (PARTITION BY week_ts)) AS INTEGER)
+          AS decile
+      FROM m)
+SELECT a.week_ts, a.decile AS from_decile, b.decile AS to_decile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM r a JOIN r b ON a.user_id = b.user_id
+  AND b.week_ts = a.week_ts + INTERVAL 7 DAY
+GROUP BY a.week_ts, a.decile, b.decile"""
     return o

@@ -1020,3 +1020,115 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
             " / CAST(sum(n_purchases) OVER () AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def user_type_concentration(events: DataFrame) -> DataFrame:
+    """How single-minded is each user? Per user, the share of their
+    events taken by their SINGLE most frequent event type, floored
+    to a decile bucket and histogrammed over users — the
+    "specialists vs generalists" census (bucket 10 = users who only
+    ever do one thing; bucket 2-3 = diversified usage). The
+    concentration companion to the per-role entropy family, which
+    profiles streams, not users.
+
+    The bucket is exact integer arithmetic end to end: ``(10 *
+    max_n) div total_n`` on int64 counts — no float ever decides
+    membership, so the histogram is bit-identical across engines.
+    Tied top types change nothing (only the max count matters).
+
+    Scale shape: one (user, type) map-side combinable aggregate,
+    one per-user rollup riding the same user_id exchange, then an
+    ~11-row histogram. The share float is display-only.
+
+    Emits ``bucket, lo_share, n_users, user_share``.
+    """
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    user = per.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("max_n"),
+        F.sum("n").cast("long").alias("total_n"),
+    )
+    bucketed = user.select(
+        F.expr("CAST((10 * max_n) div total_n AS INT)").alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return hist.select(
+        "bucket",
+        F.expr("round(CAST(bucket AS DOUBLE) / 10.0, 1)").alias(
+            "lo_share"
+        ),
+        "n_users",
+        F.expr(
+            "round(CAST(n_users AS DOUBLE)"
+            " / CAST(sum(n_users) OVER () AS DOUBLE), 6)"
+        ).alias("user_share"),
+    )
+
+
+def spend_decile_mobility(events: DataFrame) -> DataFrame:
+    """Week-over-week spend-decile mobility: each user's purchase
+    spend ranks into a decile within its calendar week (exact
+    type-1 rank under the deterministic (cents, user_id) order), and
+    users active in two CONSECUTIVE weeks land in a (from_decile,
+    to_decile) transition cell — the social-mobility matrix of
+    wallet share ("do whales stay whales?"). Diagonal mass =
+    stickiness; below-diagonal = churn risk the revenue rollups
+    can't see until it already happened.
+
+    Decile = ``((rank - 1) * 10) div week_count`` — integer-exact,
+    unique ranks by construction (user_id breaks cents ties), so
+    both engines place every user identically. Consecutive weeks
+    only: the week key shifts by exactly 7 days on week-truncated
+    stamps — no calendar-arithmetic engine quirks can enter.
+
+    Scale shape: one (user, week) aggregate, a rank window per
+    week (weeks partition the corpus — no hot key), and a
+    user_id-co-partitioned self-join of adjacent weeks; output is
+    |weeks| x 100 cells. All int64.
+
+    Emits ``week_ts, from_decile, to_decile, n_users``.
+    """
+    from pyspark.sql import Window
+
+    weekly = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("week_ts"),
+        )
+        .agg(F.sum(F.expr(CENTS)).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("week_ts").orderBy("cents", "user_id")
+    ranked = weekly.select(
+        "user_id",
+        "week_ts",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("week_ts"))
+        .cast("long")
+        .alias("n_week"),
+    ).select(
+        "user_id",
+        "week_ts",
+        F.expr("CAST(((rk - 1) * 10) div n_week AS INT)").alias(
+            "decile"
+        ),
+    )
+    nxt = ranked.select(
+        "user_id",
+        (F.col("week_ts") - F.expr("INTERVAL 7 DAYS")).alias("week_ts"),
+        F.col("decile").alias("to_decile"),
+    )
+    joined = ranked.alias("a").join(
+        nxt.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.week_ts") == F.col("b.week_ts")),
+    )
+    return joined.groupBy(
+        F.col("a.week_ts").alias("week_ts"),
+        F.col("a.decile").alias("from_decile"),
+        F.col("b.to_decile").alias("to_decile"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

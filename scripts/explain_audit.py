@@ -327,6 +327,9 @@ AUDITED = (
     # round-8g pair
     "audience_overlap_7d",
     "trending_terms_1d",
+    # round-8h pair
+    "user_type_conc",
+    "spend_decile_mob",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

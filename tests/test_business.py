@@ -528,3 +528,43 @@ def test_purchase_attribution(spark):
             out["click"]["share"]) == (2, 300, 0.666667)
     assert (out["(none)"]["n_purchases"],
             out["(none)"]["rev_cents"]) == (1, 500)
+
+
+def test_user_type_concentration(spark):
+    from aroma_spark.operators.business import user_type_concentration
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 0.0),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 0.0),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 0.0),
+        (4, "2024-01-01 13:00:00", 1, "view", 0.0),
+        (5, "2024-01-01 10:00:00", 2, "view", 0.0),
+        (6, "2024-01-01 11:00:00", 2, "view", 0.0),
+    ]
+    out = {r["bucket"]: r
+           for r in user_type_concentration(_uevents(spark, rows))
+           .collect()}
+    # u1: top type 3 of 4 -> (30 div 4) = bucket 7; u2: pure -> 10
+    assert (out[7]["lo_share"], out[7]["n_users"],
+            out[7]["user_share"]) == (0.7, 1, 0.5)
+    assert (out[10]["lo_share"], out[10]["n_users"]) == (1.0, 1)
+
+
+def test_spend_decile_mobility(spark):
+    from aroma_spark.operators.business import spend_decile_mobility
+
+    # 2024-01-01 and 2024-01-08 are consecutive Mondays
+    rows = [
+        (1, "2024-01-02 10:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-02 11:00:00", 2, "purchase", 2.00),
+        (3, "2024-01-02 12:00:00", 3, "purchase", 3.00),
+        (4, "2024-01-02 13:00:00", 4, "purchase", 4.00),
+        (5, "2024-01-09 10:00:00", 1, "purchase", 4.00),
+        (6, "2024-01-09 11:00:00", 4, "purchase", 1.00),
+    ]
+    out = {(r["from_decile"], r["to_decile"]): r["n_users"]
+           for r in spend_decile_mobility(_uevents(spark, rows))
+           .collect()}
+    # week1 deciles over 4 users: u1->0, u2->2, u3->5, u4->7;
+    # week2 over 2 users: u4 rank1 -> 0, u1 rank2 -> 5
+    assert out == {(0, 5): 1, (7, 0): 1}
