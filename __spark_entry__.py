@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 306 registered queries, ALL 306 with hash-compared DuckDB
-oracles — including the round-8h pair (``user_type_conc`` the
+Round 5: 308 registered queries, ALL 308 with hash-compared DuckDB
+oracles — including the round-8i pair (``hll_overlap_1d`` sketch-space
+audience overlap by HLL register-merge inclusion-exclusion with the
+exact intersection as a per-row error audit, ``revenue_pacing_1mo``
+the month-to-date pacing curve), the round-8h pair (``user_type_conc`` the
 specialist-vs-generalist census from the integer top-type-share
 decile, ``spend_decile_mob`` the week-over-week spend-decile
 transition matrix), the round-8g pair (``audience_overlap_7d`` the
@@ -3265,6 +3268,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spend_decile_mobility(load_table(spark, sf, "events"))
 
     q["spend_decile_mob"] = spend_decile_mob
+
+    def hll_overlap_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sketches import hll_overlap
+
+        return hll_overlap(transcripts_from_events(spark, sf))
+
+    q["hll_overlap_1d"] = hll_overlap_1d
+
+    def revenue_pacing_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import revenue_pacing_monthly
+
+        return revenue_pacing_monthly(load_table(spark, sf, "orders"))
+
+    q["revenue_pacing_1mo"] = revenue_pacing_1mo
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9026,4 +9043,88 @@ SELECT a.week_ts, a.decile AS from_decile, b.decile AS to_decile,
 FROM r a JOIN r b ON a.user_id = b.user_id
   AND b.week_ts = a.week_ts + INTERVAL 7 DAY
 GROUP BY a.week_ts, a.decile, b.decile"""
+
+    # round-8i pair: HLL inclusion-exclusion overlap (the identical
+    # register pipeline as hll_distinct_1d, run three times: today,
+    # the +7-day shifted copy, and their register-MAX union) and the
+    # month-to-date revenue pacing curve.
+    o["hll_overlap_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+hv AS (SELECT date_trunc('day', ts) AS bucket_ts, conv_id,
+              CAST(('0x' || substr(md5('hll:' || conv_id), 1, 8))
+                   AS BIGINT) AS h
+       FROM t),
+regs AS (
+  SELECT bucket_ts, h // 16777216 AS idx,
+         CAST(max(CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 25 - length(format('{{:b}}', h % 16777216)) END)
+              AS INT) AS r
+  FROM hv GROUP BY bucket_ts, idx),
+regs_b AS (SELECT bucket_ts + INTERVAL 7 DAY AS bucket_ts, idx, r
+           FROM regs),
+regs_u AS (SELECT bucket_ts, idx, CAST(max(r) AS INT) AS r
+           FROM (SELECT * FROM regs UNION ALL SELECT * FROM regs_b)
+           GROUP BY bucket_ts, idx),
+ea AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - r)) AS BIGINT) AS s
+       FROM regs GROUP BY bucket_ts),
+eb AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - r)) AS BIGINT) AS s
+       FROM regs_b GROUP BY bucket_ts),
+eu AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - r)) AS BIGINT) AS s
+       FROM regs_u GROUP BY bucket_ts),
+fa AS (SELECT bucket_ts,
+         round(CASE WHEN raw <= 640.0 AND present < 256
+           THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+           ELSE raw END, 6) AS est
+       FROM (SELECT bucket_ts, present,
+               {_HLL_C!r} / CAST(s + (256 - present) * 33554432
+                                 AS DOUBLE) AS raw FROM ea)),
+fb AS (SELECT bucket_ts,
+         round(CASE WHEN raw <= 640.0 AND present < 256
+           THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+           ELSE raw END, 6) AS est
+       FROM (SELECT bucket_ts, present,
+               {_HLL_C!r} / CAST(s + (256 - present) * 33554432
+                                 AS DOUBLE) AS raw FROM eb)),
+fu AS (SELECT bucket_ts,
+         round(CASE WHEN raw <= 640.0 AND present < 256
+           THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+           ELSE raw END, 6) AS est
+       FROM (SELECT bucket_ts, present,
+               {_HLL_C!r} / CAST(s + (256 - present) * 33554432
+                                 AS DOUBLE) AS raw FROM eu)),
+act AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS bucket_ts
+        FROM t),
+tb AS (SELECT a.bucket_ts, CAST(count(*) AS BIGINT) AS n_both_true
+       FROM act a JOIN (SELECT conv_id,
+                          bucket_ts + INTERVAL 7 DAY AS bucket_ts
+                        FROM act) s2
+         ON a.conv_id = s2.conv_id AND a.bucket_ts = s2.bucket_ts
+       GROUP BY a.bucket_ts)
+SELECT fa.bucket_ts, fa.est AS est_today, fb.est AS est_lag,
+       fu.est AS est_union,
+       round(fa.est + fb.est - fu.est, 6) AS overlap_est,
+       CAST(coalesce(tb.n_both_true, 0) AS BIGINT) AS n_both_true
+FROM fa JOIN fb ON fa.bucket_ts = fb.bucket_ts
+JOIN fu ON fa.bucket_ts = fu.bucket_ts
+LEFT JOIN tb ON fa.bucket_ts = tb.bucket_ts"""
+
+    o["revenue_pacing_1mo"] = """WITH daily AS (
+  SELECT date_trunc('month', o_orderdate) AS month_ts,
+         date_trunc('day', o_orderdate) AS day_ts,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1, 2),
+cum AS (SELECT *,
+          CAST(sum(day_cents) OVER (PARTITION BY month_ts
+            ORDER BY day_ts ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS mtd_cents,
+          CAST(sum(day_cents) OVER (PARTITION BY month_ts)
+            AS BIGINT) AS month_cents
+        FROM daily)
+SELECT month_ts, day_ts, day_cents, mtd_cents, month_cents,
+       round(CAST(mtd_cents AS DOUBLE)
+         / CAST(month_cents AS DOUBLE), 6) AS pace
+FROM cum"""
     return o

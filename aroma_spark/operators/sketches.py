@@ -243,3 +243,93 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
         F.col("present").alias("n_registers"),
         F.round(est, 6).alias("hll_est"),
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    unit: str = "day",
+    key_col: str = "conv_id",
+    lag_days: int = 7,
+) -> DataFrame:
+    """Sketch-space audience overlap: the day-vs-``lag_days``-ago
+    distinct-key intersection estimated by HLL inclusion-exclusion —
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` — where the union comes
+    free from the register MAX merge (the same lossless property the
+    retention tiers rely on). This is THE pattern for set overlap at
+    100 TB once the raw tier has aged out: the exact self-join
+    (cohorts.audience_overlap_weekly) needs raw keys; this needs 256
+    registers per bucket, forever. The exact intersection rides
+    along from the raw tier (while it lives) as ``n_both_true``, so
+    every row carries its own error audit — same discipline as
+    hll_distinct's n_true column.
+
+    Estimates are the module's fixed double expressions over exact
+    int64 register sums, so both engines emit identical doubles; the
+    inclusion-exclusion is one more shared-float subtraction of
+    already-rounded terms. Negative estimates are possible at tiny
+    cardinalities (standard for inclusion-exclusion on sketches) and
+    are emitted as-is — the audit column is the point.
+
+    Emits ``bucket_ts, est_today, est_lag, est_union, overlap_est,
+    n_both_true`` for buckets where both sides exist.
+    """
+    # materialize the (tiny: buckets x 256) register table ONCE —
+    # without this, the three estimate branches and the union re-run
+    # the full corpus aggregation through lineage, turning a
+    # sketch-space query into three raw scans at 100 TB (clusters.py
+    # precedent for lineage truncation inside an operator)
+    sk = hll_sketch(df, unit, key_col).localCheckpoint()
+    shifted = sk.select(
+        (F.col("bucket_ts") + F.expr(f"INTERVAL {int(lag_days)} DAYS"))
+        .alias("bucket_ts"),
+        "idx",
+        "r",
+    )
+    union = (
+        sk.unionByName(shifted)
+        .groupBy("bucket_ts", "idx")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+    est_a = hll_estimate(sk).select(
+        "bucket_ts", F.col("hll_est").alias("est_today")
+    )
+    est_b = hll_estimate(shifted).select(
+        "bucket_ts", F.col("hll_est").alias("est_lag")
+    )
+    est_u = hll_estimate(union).select(
+        "bucket_ts", F.col("hll_est").alias("est_union")
+    )
+    day = F.date_trunc(unit, F.col("ts"))
+    act = df.select(F.col(key_col).alias("k"), day.alias("bucket_ts"))
+    act = act.distinct()
+    true_both = (
+        act.join(
+            act.select(
+                "k",
+                (
+                    F.col("bucket_ts")
+                    + F.expr(f"INTERVAL {int(lag_days)} DAYS")
+                ).alias("bucket_ts"),
+            ),
+            ["k", "bucket_ts"],
+        )
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both_true"))
+    )
+    joined = (
+        est_a.join(F.broadcast(est_b), "bucket_ts")
+        .join(F.broadcast(est_u), "bucket_ts")
+        .join(F.broadcast(true_both), "bucket_ts", "left")
+    )
+    return joined.select(
+        "bucket_ts",
+        "est_today",
+        "est_lag",
+        "est_union",
+        F.round(
+            F.col("est_today") + F.col("est_lag") - F.col("est_union"), 6
+        ).alias("overlap_est"),
+        F.coalesce(F.col("n_both_true"), F.lit(0))
+        .cast("long")
+        .alias("n_both_true"),
+    )

@@ -1918,3 +1918,58 @@ def sole_late_suppliers(
             F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
         )
     )
+
+
+def revenue_pacing_monthly(orders: DataFrame) -> DataFrame:
+    """Month-to-date revenue pacing: per (month, order day), the
+    day's order cents, the running month-to-date total, and the
+    share of the month's final revenue booked so far — the curve a
+    finance review reads on day 12 to ask "are we pacing ahead of or
+    behind a normal month?". Pacing differences across months pop
+    immediately because the share axis is normalized to [0, 1].
+
+    Days without orders simply don't appear (both engines agree);
+    the MTD total is a cumulative window over each month's day rows
+    — |days| rows, never the order table — and the month total is
+    the same window unbounded. All int64 cents until the one share
+    float.
+
+    Emits ``month_ts, day_ts, day_cents, mtd_cents, month_cents,
+    pace``.
+    """
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day_ts"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("day_cents")
+    )
+    w_mtd = (
+        Window.partitionBy("month_ts")
+        .orderBy("day_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("month_ts")
+    cum = daily.select(
+        "month_ts",
+        "day_ts",
+        "day_cents",
+        F.sum("day_cents").over(w_mtd).cast("long").alias("mtd_cents"),
+        F.sum("day_cents").over(w_all).cast("long").alias("month_cents"),
+    )
+    return cum.select(
+        "month_ts",
+        "day_ts",
+        "day_cents",
+        "mtd_cents",
+        "month_cents",
+        F.expr(
+            "round(CAST(mtd_cents AS DOUBLE)"
+            " / CAST(month_cents AS DOUBLE), 6)"
+        ).alias("pace"),
+    )

@@ -330,6 +330,9 @@ AUDITED = (
     # round-8h pair
     "user_type_conc",
     "spend_decile_mob",
+    # round-8i pair
+    "hll_overlap_1d",
+    "revenue_pacing_1mo",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

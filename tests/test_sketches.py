@@ -151,3 +151,31 @@ def test_hll_merge_equals_direct_build(spark):
     direct = hll_sketch(df, "day")
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    from aroma_spark.operators.sketches import hll_overlap
+
+    # day 1 audience {A..T} (20 keys), day 8 audience = 10 returning
+    # + 10 new: true intersection 10, union 30
+    rows = (
+        [(f"conv_{i:05d}", 0, "2024-01-01 10:00:00") for i in range(20)]
+        + [(f"conv_{i:05d}", 0, "2024-01-08 10:00:00")
+           for i in range(10, 30)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = hll_overlap(df).collect()
+    # only Jan 8 has a week-ago side
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_both_true"] == 10
+    # linear-counting regime: estimates near-exact, the I-E overlap
+    # lands close to truth (register collisions are the only bias)
+    assert abs(r["est_today"] - 20) / 20 < 0.15
+    assert abs(r["est_union"] - 30) / 30 < 0.15
+    assert abs(r["overlap_est"] - 10) < 3.0
+    # identity holds bit-exactly on the emitted (rounded) floats
+    assert r["overlap_est"] == round(
+        r["est_today"] + r["est_lag"] - r["est_union"], 6)

@@ -872,3 +872,24 @@ def test_sole_late_suppliers(spark):
     assert (out["FRANCE"]["numwait"],
             out["FRANCE"]["n_suppliers"]) == (2, 1)
     assert "KENYA" not in out
+
+
+def test_revenue_pacing_monthly(spark):
+    from aroma_spark.operators.tpch import revenue_pacing_monthly
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1.00, "1996-01-01 00:00:00"),
+            (2, 2.00, "1996-01-05 00:00:00"),
+            (3, 3.00, "1996-02-01 00:00:00"),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {(r["month_ts"].month, r["day_ts"].day): r
+           for r in revenue_pacing_monthly(orders).collect()}
+    j1 = out[(1, 1)]
+    assert (j1["day_cents"], j1["mtd_cents"], j1["month_cents"],
+            j1["pace"]) == (100, 100, 300, 0.333333)
+    j5 = out[(1, 5)]
+    assert (j5["mtd_cents"], j5["pace"]) == (300, 1.0)
+    assert out[(2, 1)]["pace"] == 1.0
