@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 308 registered queries, ALL 308 with hash-compared DuckDB
-oracles — including the round-8i pair (``hll_overlap_1d`` sketch-space
+Round 5: 310 registered queries, ALL 310 with hash-compared DuckDB
+oracles — including the round-8j pair (``order_sla_1mo`` the monthly
+fulfillment-SLA attainment trend, ``rolling_median_rev_7d`` the exact
+trailing-7-day median of daily revenue), the round-8i pair (``hll_overlap_1d`` sketch-space
 audience overlap by HLL register-merge inclusion-exclusion with the
 exact intersection as a per-row error audit, ``revenue_pacing_1mo``
 the month-to-date pacing curve), the round-8h pair (``user_type_conc`` the
@@ -3282,6 +3284,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return revenue_pacing_monthly(load_table(spark, sf, "orders"))
 
     q["revenue_pacing_1mo"] = revenue_pacing_1mo
+
+    def order_sla_1mo(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import order_sla_monthly
+
+        return order_sla_monthly(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+
+    q["order_sla_1mo"] = order_sla_1mo
+
+    def rolling_median_rev_7d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import rolling_median_revenue
+
+        return rolling_median_revenue(load_table(spark, sf, "orders"))
+
+    q["rolling_median_rev_7d"] = rolling_median_rev_7d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9127,4 +9146,42 @@ SELECT month_ts, day_ts, day_cents, mtd_cents, month_cents,
        round(CAST(mtd_cents AS DOUBLE)
          / CAST(month_cents AS DOUBLE), 6) AS pace
 FROM cum"""
+
+    # round-8j pair: monthly fulfillment SLA and the rolling median.
+    o["order_sla_1mo"] = """WITH ls AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT date_trunc('month', o.o_orderdate) AS month_ts,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          CAST(ls.last_ship AS DATE)) AS BIGINT) AS days
+      FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+ag AS (SELECT month_ts, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN days <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_within_sla,
+         CAST(max(days) AS BIGINT) AS worst_days
+       FROM j GROUP BY month_ts)
+SELECT month_ts, n_orders, n_within_sla,
+       round(CAST(n_within_sla AS DOUBLE)
+         / CAST(n_orders AS DOUBLE), 6) AS sla_share,
+       worst_days
+FROM ag"""
+
+    o["rolling_median_rev_7d"] = """WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day_ts,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+pairs AS (SELECT a.day_ts AS end_ts, b.cents AS b_cents,
+            b.day_ts AS b_ts
+          FROM daily a JOIN daily b
+            ON b.day_ts <= a.day_ts
+           AND b.day_ts > a.day_ts - INTERVAL 7 DAY),
+ranked AS (SELECT end_ts, b_cents,
+             row_number() OVER (PARTITION BY end_ts
+               ORDER BY b_cents, b_ts) AS rk,
+             CAST(count(*) OVER (PARTITION BY end_ts) AS BIGINT)
+               AS n_days
+           FROM pairs)
+SELECT end_ts AS day_ts, n_days, b_cents AS med_cents
+FROM ranked WHERE rk = (n_days + 1) // 2"""
     return o

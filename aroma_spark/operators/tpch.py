@@ -1973,3 +1973,113 @@ def revenue_pacing_monthly(orders: DataFrame) -> DataFrame:
             " / CAST(month_cents AS DOUBLE), 6)"
         ).alias("pace"),
     )
+
+
+def order_sla_monthly(
+    orders: DataFrame, lineitem: DataFrame, sla_days: int = 20
+) -> DataFrame:
+    """Monthly fulfillment-SLA attainment: per order month, the share
+    of orders whose LAST line shipped within ``sla_days`` whole days
+    of placement — the operations trend line behind
+    :func:`fulfillment_by_priority`'s static profile ("are we getting
+    faster or slower, month over month?").
+
+    Per-order last-ship is one map-side combinable max on orderkey;
+    the orders join is the usual co-partitioned orderkey exchange;
+    |months| output rows. Day diffs exact int64; attainment is one
+    shared float.
+
+    Emits ``month_ts, n_orders, n_within_sla, sla_share,
+    worst_days``.
+    """
+    ls = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    j = orders.select("o_orderkey", "o_orderdate").join(
+        ls, orders["o_orderkey"] == ls["l_orderkey"]
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts"),
+        F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    agg = j.groupBy("month_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(F.col("days") <= F.lit(int(sla_days)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_sla"),
+        F.max("days").cast("long").alias("worst_days"),
+    )
+    return agg.select(
+        "month_ts",
+        "n_orders",
+        "n_within_sla",
+        F.expr(
+            "round(CAST(n_within_sla AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("sla_share"),
+        "worst_days",
+    )
+
+
+def rolling_median_revenue(
+    orders: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Exact trailing-``window_days``-day MEDIAN of daily order
+    revenue — the robust topline trend a mean-based rolling window
+    (rolling_revenue_7d) lets one whale day distort. Median = the
+    type-1 lower median in integer cents under the deterministic
+    (cents, day) order, so both engines pick the identical day's
+    value.
+
+    The corpus collapses to |days| rows FIRST (one map-side
+    combinable aggregate); the trailing frame is then a bounded
+    range self-join of that tiny day table against itself (fan-out
+    <= window_days per row, never the order table), ranked inside
+    each window. All int64 until nothing — the median is an exact
+    cents value.
+
+    Emits ``day_ts, n_days, med_cents``.
+    """
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day_ts")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(F.col("day_ts").alias("end_ts"))
+    b = daily.select(
+        F.col("day_ts").alias("b_ts"), F.col("cents").alias("b_cents")
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_ts") <= F.col("end_ts"))
+        & (
+            F.col("b_ts")
+            > F.col("end_ts") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+        ),
+    )
+    w = Window.partitionBy("end_ts").orderBy("b_cents", "b_ts")
+    ranked = pairs.select(
+        "end_ts",
+        "b_cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("end_ts"))
+        .cast("long")
+        .alias("n_days"),
+    )
+    return ranked.where(
+        F.col("rk") == F.expr("(n_days + 1) div 2")
+    ).select(
+        F.col("end_ts").alias("day_ts"),
+        "n_days",
+        F.col("b_cents").alias("med_cents"),
+    )

@@ -333,6 +333,9 @@ AUDITED = (
     # round-8i pair
     "hll_overlap_1d",
     "revenue_pacing_1mo",
+    # round-8j pair
+    "order_sla_1mo",
+    "rolling_median_rev_7d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -893,3 +893,50 @@ def test_revenue_pacing_monthly(spark):
     j5 = out[(1, 5)]
     assert (j5["mtd_cents"], j5["pace"]) == (300, 1.0)
     assert out[(2, 1)]["pace"] == 1.0
+
+
+def test_order_sla_monthly(spark):
+    from aroma_spark.operators.tpch import order_sla_monthly
+
+    orders = _orders(spark, [
+        (1, 1, "1996-01-01 00:00:00"),  # ships +10d: within
+        (2, 1, "1996-01-02 00:00:00"),  # last line +30d: breach
+        (3, 1, "1996-02-01 00:00:00"),  # +20d exactly: within
+    ])
+    li = _lineitem(spark, [
+        (1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-11 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-05 00:00:00"),
+        (2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-01 00:00:00"),
+        (3, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-21 00:00:00"),
+    ])
+    out = {r["month_ts"].month: r
+           for r in order_sla_monthly(orders, li).collect()}
+    jan = out[1]
+    # order 2's SLA judges the LAST line (+30d), not the early one
+    assert (jan["n_orders"], jan["n_within_sla"], jan["sla_share"],
+            jan["worst_days"]) == (2, 1, 0.5, 30)
+    feb = out[2]
+    assert (feb["n_within_sla"], feb["worst_days"]) == (1, 20)
+
+
+def test_rolling_median_revenue(spark):
+    from aroma_spark.operators.tpch import rolling_median_revenue
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1.00, "1996-01-01 00:00:00"),
+            (2, 3.00, "1996-01-02 00:00:00"),
+            (3, 2.00, "1996-01-03 00:00:00"),
+            (4, 9.00, "1996-01-20 00:00:00"),  # outside every 7d window
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["day_ts"].day: r
+           for r in rolling_median_revenue(orders).collect()}
+    assert (out[1]["n_days"], out[1]["med_cents"]) == (1, 100)
+    # window {100, 300}: lower median -> 100
+    assert (out[2]["n_days"], out[2]["med_cents"]) == (2, 100)
+    # window {100, 300, 200}: median 200
+    assert (out[3]["n_days"], out[3]["med_cents"]) == (3, 200)
+    # Jan 20 sees only itself
+    assert (out[20]["n_days"], out[20]["med_cents"]) == (1, 900)
