@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 310 registered queries, ALL 310 with hash-compared DuckDB
-oracles — including the round-8j pair (``order_sla_1mo`` the monthly
+Round 5: 312 registered queries, ALL 312 with hash-compared DuckDB
+oracles — including the round-8k pair (``conv_p95_profile`` the
+nested percentile-of-percentiles latency profile,
+``reciprocity_matrix`` the role-pair Pearson of adjacent turn
+lengths), the round-8j pair (``order_sla_1mo`` the monthly
 fulfillment-SLA attainment trend, ``rolling_median_rev_7d`` the exact
 trailing-7-day median of daily revenue), the round-8i pair (``hll_overlap_1d`` sketch-space
 audience overlap by HLL register-merge inclusion-exclusion with the
@@ -3301,6 +3304,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rolling_median_revenue(load_table(spark, sf, "orders"))
 
     q["rolling_median_rev_7d"] = rolling_median_rev_7d
+
+    def conv_p95_profile_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import conv_p95_profile
+
+        return conv_p95_profile(_signals(spark, sf))
+
+    q["conv_p95_profile"] = conv_p95_profile_q
+
+    def reciprocity_matrix(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.stats import role_reciprocity
+
+        return role_reciprocity(_signals(spark, sf))
+
+    q["reciprocity_matrix"] = reciprocity_matrix
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9184,4 +9201,45 @@ ranked AS (SELECT end_ts, b_cents,
            FROM pairs)
 SELECT end_ts AS day_ts, n_days, b_cents AS med_cents
 FROM ranked WHERE rk = (n_days + 1) // 2"""
+
+    # round-8k pair: nested percentile and dialogue reciprocity.
+    o["conv_p95_profile"] = f"""{SIG_SQL},
+g AS (SELECT conv_id, CAST(inter_time_us AS BIGINT) AS g, turn_idx
+      FROM sig WHERE turn_idx >= 1),
+r1 AS (SELECT conv_id, g,
+         row_number() OVER (PARTITION BY conv_id
+           ORDER BY g, turn_idx) AS rk,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+       FROM g),
+cp AS (SELECT conv_id, g AS p95_us FROM r1
+       WHERE rk = (95 * n + 99) // 100),
+r2 AS (SELECT conv_id, p95_us,
+         row_number() OVER (ORDER BY p95_us, conv_id) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+       FROM cp)
+SELECT CAST(max(n) AS BIGINT) AS n_convs,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN p95_us END)
+         AS BIGINT) AS p50_conv_p95_us,
+       CAST(max(CASE WHEN rk = (95 * n + 99) // 100 THEN p95_us END)
+         AS BIGINT) AS p95_conv_p95_us,
+       CAST(max(p95_us) AS BIGINT) AS max_conv_p95_us
+FROM r2"""
+
+    o["reciprocity_matrix"] = f"""{SIG_SQL},
+p AS (SELECT role,
+        lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+          AS next_role,
+        CAST(text_len AS BIGINT) AS x,
+        lead(CAST(text_len AS BIGINT)) OVER (PARTITION BY conv_id
+          ORDER BY turn_idx) AS y
+      FROM sig),
+a AS (SELECT role, next_role, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p WHERE next_role IS NOT NULL GROUP BY role, next_role)
+SELECT role, next_role, n_pairs,
+       CASE WHEN (CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0 AND (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0 THEN round((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) END AS r
+FROM a"""
     return o

@@ -462,3 +462,126 @@ def text_len_cdf(signals: DataFrame) -> DataFrame:
             for t in CDF_THRESHOLDS
         ],
     )
+
+
+def conv_p95_profile(signals: DataFrame) -> DataFrame:
+    """Percentile-of-percentiles: every conversation reduces to ITS
+    p95 inter-turn gap, and the corpus then profiles THOSE — the
+    nested rank that answers "what latency does the p95 conversation's
+    p95 turn see?", the number SLO conversations are actually about
+    (a corpus-wide p95 over raw gaps lets a few huge conversations
+    dominate; nesting weights every conversation once).
+
+    Both levels are exact type-1 ranks under deterministic orders
+    ((gap, turn_idx) inside a conversation, (p95, conv_id) across
+    them); p95 rank = ``(95*n + 99) div 100`` — ceil without floats.
+    The first turn's synthetic 0 gap is excluded (turn_idx >= 1).
+    The corpus level ranks the per-conversation REDUCTION (one row
+    per conversation, same single-ordering shape as the rfm/decile
+    family); the answer is ONE row.
+
+    Emits ``n_convs, p50_conv_p95_us, p95_conv_p95_us,
+    max_conv_p95_us``.
+    """
+    from pyspark.sql import Window
+
+    gaps = signals.where(F.col("turn_idx") >= 1).select(
+        "conv_id",
+        F.col("inter_time_us").cast("long").alias("g"),
+        "turn_idx",
+    )
+    w1 = Window.partitionBy("conv_id").orderBy("g", "turn_idx")
+    r1 = gaps.select(
+        "conv_id",
+        "g",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("conv_id"))
+        .cast("long")
+        .alias("n"),
+    )
+    cp = r1.where(F.col("rk") == F.expr("(95 * n + 99) div 100")).select(
+        "conv_id", F.col("g").alias("p95_us")
+    )
+    w2 = Window.orderBy("p95_us", "conv_id")
+    r2 = cp.select(
+        "p95_us",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    return r2.agg(
+        F.max("n").cast("long").alias("n_convs"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(n + 1) div 2"), F.col("p95_us")
+            )
+        )
+        .cast("long")
+        .alias("p50_conv_p95_us"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(95 * n + 99) div 100"),
+                F.col("p95_us"),
+            )
+        )
+        .cast("long")
+        .alias("p95_conv_p95_us"),
+        F.max("p95_us").cast("long").alias("max_conv_p95_us"),
+    )
+
+
+def role_reciprocity(signals: DataFrame) -> DataFrame:
+    """Dialogue reciprocity matrix: for every adjacent (role →
+    next_role) turn pair, the Pearson correlation between the first
+    turn's text length and the reply's — does a long user message
+    get a long assistant answer? The cross-turn companion of the
+    per-conversation correlations, at the role-pair grain the
+    dialogue-design review reads.
+
+    Pairs come from ONE lead window in stable (conv_id, turn_idx)
+    order (the same exchange the signal family rides); per-pair
+    int64 sufficient statistics combine map-side into a |roles|^2
+    table and the shared guarded expression emits r (NULL on zero
+    variance). int64 headroom: text_len <= ~10^4, so the binding
+    Sxy/Sxx sums stay exact past 10^10 pairs per role pair.
+
+    Emits ``role, next_role, n_pairs, r``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        signals.select(
+            "conv_id",
+            "role",
+            "turn_idx",
+            F.col("text_len").cast("long").alias("x"),
+        )
+        .select(
+            "role",
+            F.lead("role").over(w).alias("next_role"),
+            "x",
+            F.lead("x").over(w).alias("y"),
+        )
+        .where(F.col("next_role").isNotNull())
+    )
+    agg = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return agg.select(
+        "role",
+        "next_role",
+        "n_pairs",
+        _corr_expr(
+            F.col("n_pairs"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("r"),
+    )

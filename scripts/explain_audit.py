@@ -336,6 +336,9 @@ AUDITED = (
     # round-8j pair
     "order_sla_1mo",
     "rolling_median_rev_7d",
+    # round-8k pair
+    "conv_p95_profile",
+    "reciprocity_matrix",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

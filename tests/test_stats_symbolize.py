@@ -315,3 +315,46 @@ def test_text_len_cdf(spark):
             r["n_le_1024"]) == (2, 3, 4, 4)
     assert r["share_le_16"] == 0.4
     assert r["share_le_1024"] == 0.8
+
+
+def test_conv_p95_profile(spark):
+    from aroma_spark.operators.stats import conv_p95_profile
+
+    rows = (
+        # conv a: 11 turns -> gaps 1..10 at turn_idx 1..10
+        [("a", 0, "2024-01-01 00:00:00", 0, 0)]
+        + [("a", i, f"2024-01-01 00:{i:02d}:00", 0, i)
+           for i in range(1, 11)]
+        # conv b: gaps 100, 200
+        + [("b", 0, "2024-01-01 00:00:00", 0, 0),
+           ("b", 1, "2024-01-01 00:01:00", 0, 100),
+           ("b", 2, "2024-01-01 00:02:00", 0, 200)]
+    )
+    out = conv_p95_profile(_frame(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # conv a: rank ceil(.95*10)=10 -> 10; conv b: rank ceil(.95*2)=2
+    # -> 200; corpus over {10, 200}: p50 -> 10, p95 -> 200
+    assert (r["n_convs"], r["p50_conv_p95_us"],
+            r["p95_conv_p95_us"], r["max_conv_p95_us"]) == (
+        2, 10, 200, 200)
+
+
+def test_role_reciprocity(spark):
+    from aroma_spark.operators.stats import role_reciprocity
+
+    rows = [
+        ("a", 0, "user", 1), ("a", 1, "assistant", 2),
+        ("a", 2, "user", 2), ("a", 3, "assistant", 4),
+        ("a", 4, "user", 3), ("a", 5, "assistant", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text_len long"
+    )
+    out = {(r["role"], r["next_role"]): r
+           for r in role_reciprocity(df).collect()}
+    ua = out[("user", "assistant")]
+    # replies exactly double the prompt: perfect correlation
+    assert (ua["n_pairs"], ua["r"]) == (3, 1.0)
+    au = out[("assistant", "user")]
+    assert (au["n_pairs"], au["r"]) == (2, 1.0)
