@@ -6,8 +6,10 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 312 registered queries, ALL 312 with hash-compared DuckDB
-oracles — including the round-8k pair (``conv_p95_profile`` the
+Round 5: 314 registered queries, ALL 314 with hash-compared DuckDB
+oracles — including the round-8l pair (``qty_discount_curve`` the
+volume-discount pricing audit, ``cust_trend_sign`` the integer-exact
+per-customer OLS-slope-sign census), the round-8k pair (``conv_p95_profile`` the
 nested percentile-of-percentiles latency profile,
 ``reciprocity_matrix`` the role-pair Pearson of adjacent turn
 lengths), the round-8j pair (``order_sla_1mo`` the monthly
@@ -3318,6 +3320,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return role_reciprocity(_signals(spark, sf))
 
     q["reciprocity_matrix"] = reciprocity_matrix
+
+    def qty_discount_curve_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import qty_discount_curve
+
+        return qty_discount_curve(load_table(spark, sf, "lineitem"))
+
+    q["qty_discount_curve"] = qty_discount_curve_q
+
+    def cust_trend_sign_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import cust_trend_sign
+
+        return cust_trend_sign(load_table(spark, sf, "orders"))
+
+    q["cust_trend_sign"] = cust_trend_sign_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9242,4 +9258,44 @@ a AS (SELECT role, next_role, CAST(count(*) AS BIGINT) AS n_pairs,
 SELECT role, next_role, n_pairs,
        CASE WHEN (CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0 AND (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0 THEN round((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) END AS r
 FROM a"""
+
+    # round-8l pair: the volume-discount curve and the integer-exact
+    # per-customer spend-trend-sign census.
+    o["qty_discount_curve"] = """WITH base AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_h,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           AS rev_ch
+  FROM lineitem),
+ag AS (SELECT qty, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(disc_h) AS BIGINT) AS sum_disc_h,
+         CAST(sum(rev_ch) AS BIGINT) AS revenue_ch
+       FROM base GROUP BY qty)
+SELECT qty, n_lines,
+       round(CAST(sum_disc_h AS DOUBLE)
+         / CAST(n_lines AS DOUBLE), 6) AS mean_disc_h,
+       revenue_ch
+FROM ag"""
+
+    o["cust_trend_sign"] = """WITH seq AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS x,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders),
+per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM seq GROUP BY o_custkey HAVING count(*) >= 3),
+signed AS (SELECT CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+             WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INTEGER)
+             AS trend_sign
+           FROM per),
+hist AS (SELECT trend_sign, CAST(count(*) AS BIGINT) AS n_customers
+         FROM signed GROUP BY trend_sign)
+SELECT trend_sign, n_customers,
+       round(CAST(n_customers AS DOUBLE)
+         / CAST(sum(n_customers) OVER () AS DOUBLE), 6) AS share
+FROM hist"""
     return o

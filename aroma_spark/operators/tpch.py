@@ -2083,3 +2083,106 @@ def rolling_median_revenue(
         "n_days",
         F.col("b_cents").alias("med_cents"),
     )
+
+
+def qty_discount_curve(lineitem: DataFrame) -> DataFrame:
+    """The volume-discount curve: per whole-unit order quantity, how
+    deep does the given discount actually run, and how much revenue
+    rides each quantity level — the pricing-policy audit ("do big
+    orders really get the negotiated break?") that discount_hist's
+    marginal histogram cannot answer because it integrates out
+    quantity.
+
+    ONE map-side combinable aggregation over the quantized columns
+    (house floor rules: quantity to whole units, discount to integer
+    hundredths, price to cents); |quantities| output rows. The mean
+    discount is the one shared float.
+
+    Emits ``qty, n_lines, mean_disc_h, revenue_ch``.
+    """
+    base = lineitem.select(
+        F.expr(QTY_I).alias("qty"),
+        F.expr(DISC_H).alias("disc_h"),
+        (F.expr(PRICE_C) * (F.lit(100) - F.expr(DISC_H))).alias(
+            "rev_ch"
+        ),
+    )
+    agg = base.groupBy("qty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("disc_h").cast("long").alias("sum_disc_h"),
+        F.sum("rev_ch").cast("long").alias("revenue_ch"),
+    )
+    return agg.select(
+        "qty",
+        "n_lines",
+        F.expr(
+            "round(CAST(sum_disc_h AS DOUBLE)"
+            " / CAST(n_lines AS DOUBLE), 6)"
+        ).alias("mean_disc_h"),
+        "revenue_ch",
+    )
+
+
+def cust_trend_sign(orders: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Customer spend-trajectory census: for every customer with at
+    least ``min_orders`` orders, the SIGN of the OLS slope of order
+    value over order sequence — are individual customers spending
+    more, less, or flat over their own history? The per-entity trend
+    question the corpus-level revenue trends average away.
+
+    The whole census is integer-exact: the OLS slope's sign equals
+    the sign of ``n*Σxy − Σx*Σy`` (the denominator is positive), so
+    no division, no float, no tie ambiguity — both engines classify
+    every customer identically. x = the customer's order sequence
+    index under the deterministic (orderdate, orderkey) order; y =
+    exact cents.
+
+    Scale shape: one custkey window for the sequence index, one
+    custkey aggregate for the sufficient statistics (both on the
+    same exchange), then a 3-row census. int64 headroom: n*Σxy <=
+    orders_per_cust^2 * max_cents * n — safe past 10^4 orders per
+    customer at 10^7-cent orders.
+
+    Emits ``trend_sign, n_customers, share``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    per = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .where(F.col("n") >= F.lit(int(min_orders)))
+    )
+    signed = per.select(
+        F.expr(
+            "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+            " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"
+        )
+        .cast("int")
+        .alias("trend_sign")
+    )
+    hist = signed.groupBy("trend_sign").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return hist.select(
+        "trend_sign",
+        "n_customers",
+        F.expr(
+            "round(CAST(n_customers AS DOUBLE)"
+            " / CAST(sum(n_customers) OVER () AS DOUBLE), 6)"
+        ).alias("share"),
+    )

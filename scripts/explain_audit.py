@@ -339,6 +339,9 @@ AUDITED = (
     # round-8k pair
     "conv_p95_profile",
     "reciprocity_matrix",
+    # round-8l pair
+    "qty_discount_curve",
+    "cust_trend_sign",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -940,3 +940,41 @@ def test_rolling_median_revenue(spark):
     assert (out[3]["n_days"], out[3]["med_cents"]) == (3, 200)
     # Jan 20 sees only itself
     assert (out[20]["n_days"], out[20]["med_cents"]) == (1, 900)
+
+
+def test_qty_discount_curve(spark):
+    from aroma_spark.operators.tpch import qty_discount_curve
+
+    li = _lineitem(spark, [
+        (1, 1.0, 1.00, 0.10, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (2, 1.0, 1.00, 0.20, 0.0, "N", "O", "1996-01-01 00:00:00"),
+        (3, 2.0, 2.00, 0.00, 0.0, "N", "O", "1996-01-01 00:00:00"),
+    ])
+    out = {r["qty"]: r for r in qty_discount_curve(li).collect()}
+    q1 = out[1]
+    # discounts 10% and 20% -> mean 15 hundredths; revenue in
+    # cent-hundredths: 100*90 + 100*80
+    assert (q1["n_lines"], q1["mean_disc_h"], q1["revenue_ch"]) == (
+        2, 15.0, 17000)
+    assert (out[2]["mean_disc_h"], out[2]["revenue_ch"]) == (0.0, 20000)
+
+
+def test_cust_trend_sign(spark):
+    from aroma_spark.operators.tpch import cust_trend_sign
+
+    rows = []
+    for i, vals in [(1, [1.0, 2.0, 3.0]), (2, [3.0, 2.0, 1.0]),
+                    (3, [5.0, 5.0, 5.0]), (4, [1.0, 9.0])]:
+        for j, v in enumerate(vals):
+            rows.append((i * 100 + j, i, v, f"1996-01-{j + 1:02d} 00:00:00"))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["trend_sign"]: r for r in cust_trend_sign(orders).collect()}
+    # cust 4 (2 orders) is excluded; the three 3-order customers
+    # split one per sign
+    assert (out[1]["n_customers"], out[-1]["n_customers"],
+            out[0]["n_customers"]) == (1, 1, 1)
+    assert out[1]["share"] == 0.333333
