@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 314 registered queries, ALL 314 with hash-compared DuckDB
-oracles — including the round-8l pair (``qty_discount_curve`` the
+Round 5: 316 registered queries, ALL 316 with hash-compared DuckDB
+oracles — including the round-8m pair (``dedup_savings`` the bytes
+exact dedup would reclaim per source, ``supplier_breadth`` the
+supplier catalog-breadth histogram off the distinct bipartite edge
+set), the round-8l pair (``qty_discount_curve`` the
 volume-discount pricing audit, ``cust_trend_sign`` the integer-exact
 per-customer OLS-slope-sign census), the round-8k pair (``conv_p95_profile`` the
 nested percentile-of-percentiles latency profile,
@@ -3334,6 +3337,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cust_trend_sign(load_table(spark, sf, "orders"))
 
     q["cust_trend_sign"] = cust_trend_sign_q
+
+    def dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.dedup import dedup_savings_by_source
+
+        return dedup_savings_by_source(load_table(spark, sf, "documents"))
+
+    q["dedup_savings"] = dedup_savings
+
+    def supplier_breadth(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import supplier_breadth_hist
+
+        return supplier_breadth_hist(load_table(spark, sf, "lineitem"))
+
+    q["supplier_breadth"] = supplier_breadth
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9297,5 +9314,36 @@ hist AS (SELECT trend_sign, CAST(count(*) AS BIGINT) AS n_customers
 SELECT trend_sign, n_customers,
        round(CAST(n_customers AS DOUBLE)
          / CAST(sum(n_customers) OVER () AS DOUBLE), 6) AS share
+FROM hist"""
+
+    # round-8m pair: dedup capacity savings and supplier breadth.
+    o["dedup_savings"] = """WITH groups AS (
+  SELECT source, md5(COALESCE(text, '')) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(n_chars) AS BIGINT) AS doc_bytes
+  FROM documents GROUP BY source, md5(COALESCE(text, ''))),
+ag AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n * doc_bytes) AS BIGINT) AS total_bytes,
+         CAST(sum((n - 1) * doc_bytes) AS BIGINT) AS redundant_bytes
+       FROM groups GROUP BY source)
+SELECT source, n_docs, n_distinct, total_bytes, redundant_bytes,
+       CASE WHEN total_bytes > 0 THEN
+         round(CAST(redundant_bytes AS DOUBLE)
+           / CAST(total_bytes AS DOUBLE), 6) END AS savings_share
+FROM ag"""
+
+    o["supplier_breadth"] = """WITH edges AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+        FROM edges GROUP BY l_suppkey),
+hist AS (SELECT CAST(length(bin(n_parts)) - 1 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_parts) AS BIGINT) AS sum_parts
+         FROM per GROUP BY 1)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_parts, n_suppliers,
+       sum_parts,
+       round(CAST(n_suppliers AS DOUBLE)
+         / CAST(sum(n_suppliers) OVER () AS DOUBLE), 6) AS share
 FROM hist"""
     return o

@@ -515,3 +515,49 @@ def lsh_candidate_quality(df: DataFrame) -> DataFrame:
         .groupBy("jaccard_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def dedup_savings_by_source(documents: DataFrame) -> DataFrame:
+    """What would exact dedup actually RECLAIM, per source — the
+    capacity-planning number the dedup family's pair/cluster reports
+    don't state: for each source, total bytes, the bytes occupied by
+    redundant copies (every row of a duplicate group beyond the
+    first), and the share of the source that evaporates under
+    keep-one exact dedup.
+
+    One (source, md5(text)) aggregation — same single-shuffle shape
+    as exact dedup itself — then a |sources|-row rollup. Group bytes
+    are n * n_chars (identical text ⇒ identical length), so the
+    redundant slice is exactly (n - 1) * n_chars, all int64.
+
+    Emits ``source, n_docs, n_distinct, total_bytes,
+    redundant_bytes, savings_share``.
+    """
+    groups = documents.groupBy(
+        "source", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.col("n_chars")).cast("long").alias("doc_bytes"),
+    )
+    agg = groups.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") * F.col("doc_bytes"))
+        .cast("long")
+        .alias("total_bytes"),
+        F.sum((F.col("n") - 1) * F.col("doc_bytes"))
+        .cast("long")
+        .alias("redundant_bytes"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        "total_bytes",
+        "redundant_bytes",
+        F.expr(
+            "CASE WHEN total_bytes > 0 THEN"
+            " round(CAST(redundant_bytes AS DOUBLE)"
+            " / CAST(total_bytes AS DOUBLE), 6) END"
+        ).alias("savings_share"),
+    )

@@ -2186,3 +2186,41 @@ def cust_trend_sign(orders: DataFrame, min_orders: int = 3) -> DataFrame:
             " / CAST(sum(n_customers) OVER () AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def supplier_breadth_hist(lineitem: DataFrame) -> DataFrame:
+    """Supplier catalog breadth: how many DISTINCT parts each
+    supplier actually ships, histogrammed into power-of-two buckets
+    — the supply-base diversification census (a bucket-0/1-heavy
+    base is single-SKU specialists; heavy high buckets mean broad
+    generalists carry the catalog).
+
+    The interesting scale step is the (suppkey, partkey) DISTINCT
+    reduction — it collapses 10^12 lines to the bipartite edge set
+    map-side before anything counts — followed by a per-supplier
+    count riding the same suppkey exchange and an ~log2(|parts|)-row
+    histogram. All int64.
+
+    Emits ``bucket, lo_parts, n_suppliers, sum_parts, share``.
+    """
+    edges = lineitem.select("l_suppkey", "l_partkey").distinct()
+    per = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    hist = per.groupBy(
+        F.expr("CAST(length(bin(n_parts)) - 1 AS INT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("n_parts").cast("long").alias("sum_parts"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)")
+        .alias("lo_parts"),
+        "n_suppliers",
+        "sum_parts",
+        F.expr(
+            "round(CAST(n_suppliers AS DOUBLE)"
+            " / CAST(sum(n_suppliers) OVER () AS DOUBLE), 6)"
+        ).alias("share"),
+    )

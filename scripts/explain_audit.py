@@ -342,6 +342,9 @@ AUDITED = (
     # round-8l pair
     "qty_discount_curve",
     "cust_trend_sign",
+    # round-8m pair
+    "dedup_savings",
+    "supplier_breadth",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -128,3 +128,44 @@ def test_normalized_text_dedup(spark):
     assert len(out) == 2
     collapsed = out[out.n_copies == 3]
     assert len(collapsed) == 1 and collapsed.doc_id.iloc[0] == 0
+
+
+def test_dedup_savings_by_source(spark):
+    from aroma_spark.operators.dedup import dedup_savings_by_source
+
+    rows = [
+        (1, "aaa", "en", "web", 3),
+        (2, "aaa", "en", "web", 3),   # duplicate of 1
+        (3, "bb", "en", "web", 2),
+        (4, "cccc", "en", "book", 4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["source"]: r
+           for r in dedup_savings_by_source(df).collect()}
+    web = out["web"]
+    # dup group {1,2}: one redundant copy of 3 bytes out of 8 total
+    assert (web["n_docs"], web["n_distinct"], web["total_bytes"],
+            web["redundant_bytes"], web["savings_share"]) == (
+        3, 2, 8, 3, 0.375)
+    assert (out["book"]["redundant_bytes"],
+            out["book"]["savings_share"]) == (0, 0.0)
+
+
+def test_supplier_breadth_hist(spark):
+    from aroma_spark.operators.tpch import supplier_breadth_hist
+
+    li = spark.createDataFrame(
+        # supp 1 ships part 7 twice (distinct collapses it) + part 8;
+        # supp 2 ships 5 distinct parts
+        [(1, 7), (1, 7), (1, 8)] + [(2, p) for p in range(5)],
+        "l_suppkey long, l_partkey long",
+    )
+    out = {r["bucket"]: r for r in supplier_breadth_hist(li).collect()}
+    # supp 1: 2 parts -> bucket 1; supp 2: 5 parts -> bucket 2
+    assert (out[1]["lo_parts"], out[1]["n_suppliers"],
+            out[1]["sum_parts"], out[1]["share"]) == (2, 1, 2, 0.5)
+    assert (out[2]["lo_parts"], out[2]["sum_parts"]) == (4, 5)
