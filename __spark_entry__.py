@@ -6,8 +6,13 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 316 registered queries, ALL 316 with hash-compared DuckDB
-oracles — including the round-8m pair (``dedup_savings`` the bytes
+Round 5: 318 registered queries, ALL 318 with hash-compared DuckDB
+oracles — including the round-8n pair (``streaming_locf_parity`` the
+third staged-stream drive: the stateful applyInPandasWithState LOCF
+gap-fill run to completion over a conv-ranged staging of the static
+corpus, hash-compared to the batch grid + IGNORE-NULLS LOCF window;
+``dup_rate_by_len`` duplication pressure by power-of-two length
+bucket), the round-8m pair (``dedup_savings`` the bytes
 exact dedup would reclaim per source, ``supplier_breadth`` the
 supplier catalog-breadth histogram off the distinct bipartite edge
 set), the round-8l pair (``qty_discount_curve`` the
@@ -3351,6 +3356,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return supplier_breadth_hist(load_table(spark, sf, "lineitem"))
 
     q["supplier_breadth"] = supplier_breadth
+
+    # Third staged-stream parity drive (after the 1m-rollup and
+    # session-window ones): the stateful applyInPandasWithState LOCF
+    # gap-fill run TO COMPLETION over the static corpus. Staging is
+    # range-partitioned on conv_id — each conversation arrives WHOLE
+    # within one micro-batch, the in-order-arrival contract
+    # streaming_locf documents (time-ranged staging can split a
+    # minute bucket across files, and the operator — correctly for a
+    # stream — will not reopen an emitted bucket); 8 batches still
+    # drive state persistence across triggers. The oracle is the
+    # plain batch grid + IGNORE-NULLS LOCF window over transcripts.
+    def streaming_locf_parity(spark: SparkSession, sf: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from aroma_spark.streaming.stream import streaming_locf
+
+        # deterministic tenth of the conversations: the minute grid
+        # is ~60x the hourly one, and parity is per-conversation —
+        # a bounded slice proves the same contract at 1/10 the
+        # compare cost (the slice rule is an integer predicate both
+        # engines state identically)
+        ev_batch = load_table(spark, sf, "events").where(
+            F.col("user_id") % 10 == 0
+        )
+        staged = tempfile.mkdtemp(prefix="stream_locf_src_")
+        (
+            ev_batch.repartitionByRange(8, "user_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        src = (
+            spark.readStream.schema(ev_batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        samples = src.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.length(F.coalesce(F.col("props"), F.lit("")))
+            .cast("double")
+            .alias("value"),
+        )
+        filled = streaming_locf(
+            samples, "1 minute", watermark="3650 days"
+        )
+        name = f"stream_locf_{abs(hash(sf)) % 10**8}"
+        ckpt = tempfile.mkdtemp(prefix="stream_locf_ckpt_")
+        try:
+            (
+                filled.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
+        return spark.table(name)
+
+    q["streaming_locf_parity"] = streaming_locf_parity
+
+    def dup_rate_by_len(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.dedup import dup_rate_by_length
+
+        return dup_rate_by_length(load_table(spark, sf, "documents"))
+
+    q["dup_rate_by_len"] = dup_rate_by_len
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9345,5 +9421,53 @@ SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_parts, n_suppliers,
        sum_parts,
        round(CAST(n_suppliers AS DOUBLE)
          / CAST(sum(n_suppliers) OVER () AS DOUBLE), 6) AS share
+FROM hist"""
+
+    # round-8n pair: streaming LOCF parity and dup rate by length.
+    o["streaming_locf_parity"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+s AS (SELECT conv_id, ts,
+        CAST(length(COALESCE(text, '')) AS DOUBLE) AS v
+      FROM t WHERE CAST(conv_id AS BIGINT) % 10 = 0),
+tb AS (SELECT conv_id, bucket_ts, v AS bv FROM (
+         SELECT conv_id,
+           make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+             AS bucket_ts,
+           v,
+           row_number() OVER (PARTITION BY conv_id,
+             make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+             ORDER BY epoch_us(ts) DESC, v DESC) AS rk
+         FROM s) WHERE rk = 1),
+span AS (SELECT conv_id, min(bucket_ts) mn, max(bucket_ts) mx
+         FROM tb GROUP BY conv_id),
+grid AS (SELECT conv_id,
+           unnest(generate_series(mn, mx, INTERVAL 1 MINUTE))
+             AS bucket_ts
+         FROM span),
+dense AS (SELECT g.conv_id, g.bucket_ts, tb.bv
+          FROM grid g LEFT JOIN tb
+            ON g.conv_id = tb.conv_id
+           AND g.bucket_ts = tb.bucket_ts)
+SELECT conv_id, bucket_ts, bv AS value,
+       last_value(bv IGNORE NULLS) OVER (PARTITION BY conv_id
+         ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS locf_value,
+       (bv IS NULL) AS is_filled
+FROM dense"""
+
+    o["dup_rate_by_len"] = """WITH groups AS (
+  SELECT md5(COALESCE(text, '')) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(n_chars) AS BIGINT) AS doc_chars
+  FROM documents GROUP BY md5(COALESCE(text, ''))),
+hist AS (SELECT CAST(CASE WHEN doc_chars > 0 THEN
+             length(bin(doc_chars)) - 1 ELSE 0 END AS INTEGER)
+             AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n - 1) AS BIGINT) AS n_redundant
+         FROM groups GROUP BY 1)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_chars, n_docs,
+       n_redundant,
+       round(CAST(n_redundant AS DOUBLE)
+         / CAST(n_docs AS DOUBLE), 6) AS dup_rate
 FROM hist"""
     return o

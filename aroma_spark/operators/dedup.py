@@ -561,3 +561,45 @@ def dedup_savings_by_source(documents: DataFrame) -> DataFrame:
             " / CAST(total_bytes AS DOUBLE), 6) END"
         ).alias("savings_share"),
     )
+
+
+def dup_rate_by_length(documents: DataFrame) -> DataFrame:
+    """Duplication pressure as a function of document SIZE: per
+    power-of-two length bucket, how many documents are redundant
+    copies under exact dedup — is the corpus's duplication living in
+    short boilerplate or in long mirrored articles? (Short-template
+    floods and wholesale mirror scrapes need different upstream
+    fixes; the marginal dup rate can't say which.)
+
+    Same single md5 shuffle as exact dedup; every group member
+    shares one length (identical text), so the group classifies
+    whole buckets. All int64; the rate is one shared float.
+
+    Emits ``bucket, lo_chars, n_docs, n_redundant, dup_rate``.
+    """
+    groups = documents.groupBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.col("n_chars")).cast("long").alias("doc_chars"),
+    )
+    hist = groups.groupBy(
+        F.expr(
+            "CAST(CASE WHEN doc_chars > 0 THEN"
+            " length(bin(doc_chars)) - 1 ELSE 0 END AS INT)"
+        ).alias("bucket")
+    ).agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_redundant"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)")
+        .alias("lo_chars"),
+        "n_docs",
+        "n_redundant",
+        F.expr(
+            "round(CAST(n_redundant AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("dup_rate"),
+    )

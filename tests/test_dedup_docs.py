@@ -169,3 +169,23 @@ def test_supplier_breadth_hist(spark):
     assert (out[1]["lo_parts"], out[1]["n_suppliers"],
             out[1]["sum_parts"], out[1]["share"]) == (2, 1, 2, 0.5)
     assert (out[2]["lo_parts"], out[2]["sum_parts"]) == (4, 5)
+
+
+def test_dup_rate_by_length(spark):
+    from aroma_spark.operators.dedup import dup_rate_by_length
+
+    rows = (
+        [(i, "aaa", "en", "web", 3) for i in range(3)]
+        + [(3, "bb", "en", "web", 2)]
+        + [(4, "cccccc", "en", "web", 6), (5, "cccccc", "en", "web", 6)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["bucket"]: r for r in dup_rate_by_length(df).collect()}
+    # bucket 1 (2-3 chars): groups aaa(x3) + bb(x1) -> 2 redundant of 4
+    assert (out[1]["lo_chars"], out[1]["n_docs"], out[1]["n_redundant"],
+            out[1]["dup_rate"]) == (2, 4, 2, 0.5)
+    assert (out[2]["lo_chars"], out[2]["n_redundant"]) == (4, 1)
