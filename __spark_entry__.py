@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 318 registered queries, ALL 318 with hash-compared DuckDB
-oracles — including the round-8n pair (``streaming_locf_parity`` the
+Round 5: 320 registered queries, ALL 320 with hash-compared DuckDB
+oracles — including the round-8o pair (``tool_aftermath`` the
+forward effect of a tool call on the NEXT inter-turn gap,
+``repurchase_lag`` the first-to-second-purchase lag census), the
+round-8n pair (``streaming_locf_parity`` the
 third staged-stream drive: the stateful applyInPandasWithState LOCF
 gap-fill run to completion over a conv-ranged staging of the static
 corpus, hash-compared to the batch grid + IGNORE-NULLS LOCF window;
@@ -3427,6 +3430,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dup_rate_by_length(load_table(spark, sf, "documents"))
 
     q["dup_rate_by_len"] = dup_rate_by_len
+
+    def tool_aftermath_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_aftermath
+
+        return tool_aftermath(_signals(spark, sf))
+
+    q["tool_aftermath"] = tool_aftermath_q
+
+    def repurchase_lag(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import repurchase_lag_hist
+
+        return repurchase_lag_hist(load_table(spark, sf, "events"))
+
+    q["repurchase_lag"] = repurchase_lag
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9469,5 +9486,39 @@ SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo_chars, n_docs,
        n_redundant,
        round(CAST(n_redundant AS DOUBLE)
          / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM hist"""
+
+    # round-8o pair: tool aftermath and repurchase lag.
+    o["tool_aftermath"] = f"""{SIG_SQL},
+nxt AS (SELECT CAST(tool_call AS BIGINT) AS tool_call,
+          lead(CAST(inter_time_us AS BIGINT)) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx) AS next_us
+        FROM sig),
+ag AS (SELECT tool_call, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(next_us) AS BIGINT) AS sum_next_us,
+         CAST(min(next_us) AS BIGINT) AS min_next_us,
+         CAST(max(next_us) AS BIGINT) AS max_next_us
+       FROM nxt WHERE next_us IS NOT NULL GROUP BY tool_call)
+SELECT tool_call, n_turns, sum_next_us, min_next_us, max_next_us,
+       CAST(sum_next_us // n_turns AS BIGINT) AS mean_next_us
+FROM ag"""
+
+    o["repurchase_lag"] = """WITH ranked AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rk
+  FROM events WHERE event_type = 'purchase'),
+lags AS (SELECT user_id,
+           CAST(date_diff('day',
+             CAST(max(CASE WHEN rk = 1 THEN ts END) AS DATE),
+             CAST(max(CASE WHEN rk = 2 THEN ts END) AS DATE))
+             AS BIGINT) AS lag_days
+         FROM ranked WHERE rk <= 2 GROUP BY user_id
+         HAVING count(*) = 2),
+hist AS (SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
+         FROM lags GROUP BY lag_days)
+SELECT lag_days, n_users,
+       round(CAST(n_users AS DOUBLE)
+         / CAST(sum(n_users) OVER () AS DOUBLE), 6) AS share
 FROM hist"""
     return o

@@ -1132,3 +1132,54 @@ def spend_decile_mobility(events: DataFrame) -> DataFrame:
         F.col("a.decile").alias("from_decile"),
         F.col("b.to_decile").alias("to_decile"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def repurchase_lag_hist(events: DataFrame) -> DataFrame:
+    """Time-to-SECOND-purchase census: for every user with at least
+    two purchases, the whole-day lag between their first and second
+    purchase, histogrammed — the activation metric
+    (signup_purchase_lag measures reaching the FIRST purchase;
+    whether buyers come BACK, and how fast, is this curve).
+
+    First and second purchase are ranks 1 and 2 under the
+    deterministic (ts, event_id) order within each user's purchase
+    stream — one user_id window, a self-pivot via conditional
+    aggregation (no join), whole-day integer lag, |days| output
+    rows. The share is the one display float.
+
+    Emits ``lag_days, n_users, share``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rk"),
+    )
+    lags = (
+        ranked.where(F.col("rk") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.when(F.col("rk") == 1, F.col("ts"))).alias("t1"),
+            F.max(F.when(F.col("rk") == 2, F.col("ts"))).alias("t2"),
+        )
+        .where(F.col("n") == 2)
+        .select(
+            F.datediff(F.to_date("t2"), F.to_date("t1"))
+            .cast("long")
+            .alias("lag_days")
+        )
+    )
+    hist = lags.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return hist.select(
+        "lag_days",
+        "n_users",
+        F.expr(
+            "round(CAST(n_users AS DOUBLE)"
+            " / CAST(sum(n_users) OVER () AS DOUBLE), 6)"
+        ).alias("share"),
+    )

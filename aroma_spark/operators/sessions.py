@@ -1217,3 +1217,45 @@ def first_response_daily(signals: DataFrame) -> DataFrame:
             "mean_first_us"
         ),
     )
+
+
+def tool_aftermath(signals: DataFrame) -> DataFrame:
+    """Does a tool call change what happens NEXT? Per turn class
+    (tool vs plain), the distribution of the FOLLOWING inter-turn
+    gap — the forward-looking companion of tool_latency's "gap INTO
+    the tool turn" view (a tool that returns instantly but stalls
+    the conversation afterwards only shows up here).
+
+    One lead window in stable (conv_id, turn_idx) order (last turn
+    of each conversation contributes nothing), ONE 2-row contrast
+    aggregate, integer-quotient means (non-negative µs), and the
+    ratio as the one display float.
+
+    Emits ``tool_call, n_turns, sum_next_us, min_next_us,
+    max_next_us, mean_next_us``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = signals.select(
+        F.col("tool_call").cast("long").alias("tool_call"),
+        F.lead(F.col("inter_time_us").cast("long"))
+        .over(w)
+        .alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    agg = nxt.groupBy("tool_call").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("next_us").cast("long").alias("sum_next_us"),
+        F.min("next_us").cast("long").alias("min_next_us"),
+        F.max("next_us").cast("long").alias("max_next_us"),
+    )
+    return agg.select(
+        "tool_call",
+        "n_turns",
+        "sum_next_us",
+        "min_next_us",
+        "max_next_us",
+        F.expr("CAST(sum_next_us div n_turns AS BIGINT)").alias(
+            "mean_next_us"
+        ),
+    )

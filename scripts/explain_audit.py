@@ -348,6 +348,9 @@ AUDITED = (
     # round-8n pair (streaming_locf_parity is a staged-stream drive,
     # not a plan to audit; its evidence is the oracle hash)
     "dup_rate_by_len",
+    # round-8o pair
+    "tool_aftermath",
+    "repurchase_lag",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

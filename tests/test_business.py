@@ -568,3 +568,22 @@ def test_spend_decile_mobility(spark):
     # week1 deciles over 4 users: u1->0, u2->2, u3->5, u4->7;
     # week2 over 2 users: u4 rank1 -> 0, u1 rank2 -> 5
     assert out == {(0, 5): 1, (7, 0): 1}
+
+
+def test_repurchase_lag_hist(spark):
+    from aroma_spark.operators.business import repurchase_lag_hist
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-04 10:00:00", 1, "purchase", 1.0),  # lag 3 days
+        (3, "2024-01-09 10:00:00", 1, "purchase", 1.0),  # 3rd ignored
+        (4, "2024-01-02 10:00:00", 2, "purchase", 1.0),
+        (5, "2024-01-02 23:00:00", 2, "purchase", 1.0),  # same day: 0
+        (6, "2024-01-05 10:00:00", 3, "purchase", 1.0),  # only one
+        (7, "2024-01-05 10:00:00", 4, "view", 1.0),      # never bought
+    ]
+    out = {r["lag_days"]: r
+           for r in repurchase_lag_hist(_uevents(spark, rows)).collect()}
+    assert (out[3]["n_users"], out[3]["share"]) == (1, 0.5)
+    assert (out[0]["n_users"], out[0]["share"]) == (1, 0.5)
+    assert len(out) == 2

@@ -568,3 +568,25 @@ def test_first_response_daily(spark):
     assert (r["n_convs"], r["sum_first_us"], r["min_first_us"],
             r["max_first_us"]) == (2, 40_000_000, 10_000_000, 30_000_000)
     assert r["mean_first_us"] == 20_000_000
+
+
+def test_tool_aftermath(spark):
+    from aroma_spark.operators.sessions import tool_aftermath
+
+    rows = [
+        # conv a: plain(t0) -> gap 10 -> tool(t1) -> gap 50 -> plain(t2)
+        ("a", 0, 0, 0, 0),
+        ("a", 1, 1, 10, 0),
+        ("a", 2, 0, 50, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool_call long,"
+        " inter_time_us long, text_len long",
+    )
+    out = {r["tool_call"]: r for r in tool_aftermath(df).collect()}
+    # after the plain turn 0 comes a 10us gap; after turn 1 (tool), 50us;
+    # turn 2 is last and contributes nothing
+    assert (out[0]["n_turns"], out[0]["sum_next_us"],
+            out[0]["mean_next_us"]) == (1, 10, 10)
+    assert (out[1]["n_turns"], out[1]["mean_next_us"]) == (1, 50)
