@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 320 registered queries, ALL 320 with hash-compared DuckDB
-oracles — including the round-8o pair (``tool_aftermath`` the
+Round 5: 322 registered queries, ALL 322 with hash-compared DuckDB
+oracles — including the round-8p pair (``error_abandonment``
+conversation death within k turns of the first error,
+``intraday_value`` the cumulative hour-of-day revenue curve), the
+round-8o pair (``tool_aftermath`` the
 forward effect of a tool call on the NEXT inter-turn gap,
 ``repurchase_lag`` the first-to-second-purchase lag census), the
 round-8n pair (``streaming_locf_parity`` the
@@ -3444,6 +3447,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repurchase_lag_hist(load_table(spark, sf, "events"))
 
     q["repurchase_lag"] = repurchase_lag
+
+    def error_abandonment_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import error_abandonment
+
+        return error_abandonment(transcripts_from_events(spark, sf))
+
+    q["error_abandonment"] = error_abandonment_q
+
+    def intraday_value(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import intraday_value_curve
+
+        return intraday_value_curve(load_table(spark, sf, "events"))
+
+    q["intraday_value"] = intraday_value
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9521,4 +9538,40 @@ SELECT lag_days, n_users,
        round(CAST(n_users AS DOUBLE)
          / CAST(sum(n_users) OVER () AS DOUBLE), 6) AS share
 FROM hist"""
+
+    # round-8p pair: error abandonment and the intraday value curve.
+    o["error_abandonment"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+per AS (SELECT conv_id,
+          min(CASE WHEN role = 'error' THEN turn_idx END)
+            AS first_err_idx,
+          min(CASE WHEN role = 'error' THEN date_trunc('day', ts) END)
+            AS day_ts,
+          max(turn_idx) AS last_idx
+        FROM t GROUP BY conv_id
+        HAVING min(CASE WHEN role = 'error' THEN turn_idx END)
+          IS NOT NULL),
+ag AS (SELECT day_ts, CAST(count(*) AS BIGINT) AS n_error_convs,
+         CAST(sum(CASE WHEN last_idx - first_err_idx <= 2
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+       FROM per GROUP BY day_ts)
+SELECT day_ts, n_error_convs, n_abandoned,
+       round(CAST(n_abandoned AS DOUBLE)
+         / CAST(n_error_convs AS DOUBLE), 6) AS abandon_share
+FROM ag"""
+
+    o["intraday_value"] = """WITH hourly AS (
+  SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1),
+cum AS (SELECT *,
+          CAST(sum(cents) OVER (ORDER BY hour_of_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents,
+          CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        FROM hourly)
+SELECT hour_of_day, cents, cum_cents,
+       round(CAST(cum_cents AS DOUBLE)
+         / CAST(total_cents AS DOUBLE), 6) AS cum_share
+FROM cum"""
     return o

@@ -1183,3 +1183,44 @@ def repurchase_lag_hist(events: DataFrame) -> DataFrame:
             " / CAST(sum(n_users) OVER () AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def intraday_value_curve(events: DataFrame) -> DataFrame:
+    """The intraday revenue pacing curve: per hour-of-day, the exact
+    cents booked across the whole corpus and the cumulative share of
+    the day reached by that hour — "by 14:00 we have usually booked
+    61% of the day". The hour-of-day companion of the
+    month-to-date pacing curve, and the baseline an intraday
+    anomaly check compares against.
+
+    ONE 24-row aggregate; the cumulative window runs over those 24
+    rows only. Int64 cents; shares are display floats.
+
+    Emits ``hour_of_day, cents, cum_cents, cum_share``.
+    """
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(
+        F.hour(F.col("ts")).cast("int").alias("hour_of_day")
+    ).agg(F.sum(F.expr(CENTS)).cast("long").alias("cents"))
+    w = Window.orderBy("hour_of_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hourly.select(
+        "hour_of_day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.sum("cents")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return cum.select(
+        "hour_of_day",
+        "cents",
+        "cum_cents",
+        F.expr(
+            "round(CAST(cum_cents AS DOUBLE)"
+            " / CAST(total_cents AS DOUBLE), 6)"
+        ).alias("cum_share"),
+    )

@@ -1259,3 +1259,58 @@ def tool_aftermath(signals: DataFrame) -> DataFrame:
             "mean_next_us"
         ),
     )
+
+
+def error_abandonment(
+    transcripts: DataFrame, within_turns: int = 2
+) -> DataFrame:
+    """Conversation DEATH after errors: of the conversations that hit
+    an error, how many just end within ``within_turns`` turns of the
+    FIRST error — grouped by the first-error day so the trend is
+    visible. The mortality companion of error_recovery_1d, which
+    profiles the conversations that kept going.
+
+    One conv_id aggregate computes first-error index, last index and
+    the first-error day together (conditional min/max — no window,
+    no join); a |days|-row rollup follows. All int64 + one share
+    float.
+
+    Emits ``day_ts, n_error_convs, n_abandoned, abandon_share``.
+    """
+    per = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.min(
+                F.when(F.col("role") == "error", F.col("turn_idx"))
+            ).alias("first_err_idx"),
+            F.min(
+                F.when(
+                    F.col("role") == "error",
+                    F.date_trunc("day", F.col("ts")),
+                )
+            ).alias("day_ts"),
+            F.max("turn_idx").alias("last_idx"),
+        )
+        .where(F.col("first_err_idx").isNotNull())
+    )
+    agg = per.groupBy("day_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_error_convs"),
+        F.sum(
+            F.when(
+                F.col("last_idx") - F.col("first_err_idx")
+                <= F.lit(int(within_turns)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_abandoned"),
+    )
+    return agg.select(
+        "day_ts",
+        "n_error_convs",
+        "n_abandoned",
+        F.expr(
+            "round(CAST(n_abandoned AS DOUBLE)"
+            " / CAST(n_error_convs AS DOUBLE), 6)"
+        ).alias("abandon_share"),
+    )

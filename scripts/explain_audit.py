@@ -351,6 +351,9 @@ AUDITED = (
     # round-8o pair
     "tool_aftermath",
     "repurchase_lag",
+    # round-8p pair
+    "error_abandonment",
+    "intraday_value",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -587,3 +587,19 @@ def test_repurchase_lag_hist(spark):
     assert (out[3]["n_users"], out[3]["share"]) == (1, 0.5)
     assert (out[0]["n_users"], out[0]["share"]) == (1, 0.5)
     assert len(out) == 2
+
+
+def test_intraday_value_curve(spark):
+    from aroma_spark.operators.business import intraday_value_curve
+
+    rows = [
+        (1, "2024-01-01 01:10:00", 1, "purchase", 1.00),
+        (2, "2024-01-02 01:50:00", 1, "purchase", 2.00),
+        (3, "2024-01-01 23:00:00", 2, "purchase", 1.00),
+    ]
+    out = {r["hour_of_day"]: r
+           for r in intraday_value_curve(_uevents(spark, rows)).collect()}
+    # hour 1 pools both days
+    assert (out[1]["cents"], out[1]["cum_cents"],
+            out[1]["cum_share"]) == (300, 300, 0.75)
+    assert (out[23]["cum_cents"], out[23]["cum_share"]) == (400, 1.0)

@@ -590,3 +590,30 @@ def test_tool_aftermath(spark):
     assert (out[0]["n_turns"], out[0]["sum_next_us"],
             out[0]["mean_next_us"]) == (1, 10, 10)
     assert (out[1]["n_turns"], out[1]["mean_next_us"]) == (1, 50)
+
+
+def test_error_abandonment(spark):
+    from aroma_spark.operators.sessions import error_abandonment
+
+    rows = [
+        # conv a: error at turn 1, conversation ends at turn 3 -> kept
+        # going exactly 2 turns = abandoned under within_turns=2
+        ("a", 0, "user", "x", None, "2024-01-01 10:00:00"),
+        ("a", 1, "error", "x", None, "2024-01-01 10:01:00"),
+        ("a", 2, "user", "x", None, "2024-01-01 10:02:00"),
+        ("a", 3, "user", "x", None, "2024-01-01 10:03:00"),
+        # conv b: error at 0, lives 5 more turns -> survived
+        ("b", 0, "error", "x", None, "2024-01-01 11:00:00"),
+        ("b", 1, "user", "x", None, "2024-01-01 11:01:00"),
+        ("b", 2, "user", "x", None, "2024-01-01 11:02:00"),
+        ("b", 3, "user", "x", None, "2024-01-01 11:03:00"),
+        ("b", 4, "user", "x", None, "2024-01-01 11:04:00"),
+        ("b", 5, "user", "x", None, "2024-01-01 11:05:00"),
+        # conv c: no error -> not counted at all
+        ("c", 0, "user", "x", None, "2024-01-01 12:00:00"),
+    ]
+    out = error_abandonment(_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_error_convs"], r["n_abandoned"],
+            r["abandon_share"]) == (2, 1, 0.5)
