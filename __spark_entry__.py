@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 322 registered queries, ALL 322 with hash-compared DuckDB
-oracles — including the round-8p pair (``error_abandonment``
+Round 5: 324 registered queries, ALL 324 with hash-compared DuckDB
+oracles — including the round-8q pair (``tool_position`` the
+relative-position decile profile of tool calls,
+``brand_price_spread`` per-brand exact price dispersion), the
+round-8p pair (``error_abandonment``
 conversation death within k turns of the first error,
 ``intraday_value`` the cumulative hour-of-day revenue curve), the
 round-8o pair (``tool_aftermath`` the
@@ -3461,6 +3464,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return intraday_value_curve(load_table(spark, sf, "events"))
 
     q["intraday_value"] = intraday_value
+
+    def tool_position(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.sessions import tool_position_profile
+
+        return tool_position_profile(_signals(spark, sf))
+
+    q["tool_position"] = tool_position
+
+    def brand_price_spread_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import brand_price_spread
+
+        return brand_price_spread(load_table(spark, sf, "part"))
+
+    q["brand_price_spread"] = brand_price_spread_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9574,4 +9591,40 @@ SELECT hour_of_day, cents, cum_cents,
        round(CAST(cum_cents AS DOUBLE)
          / CAST(total_cents AS DOUBLE), 6) AS cum_share
 FROM cum"""
+
+    # round-8q pair: tool position profile and brand price spread.
+    o["tool_position"] = f"""{SIG_SQL},
+n AS (SELECT conv_id, turn_idx, CAST(tool_call AS BIGINT) AS tool_call,
+        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+          AS n_turns_conv
+      FROM sig),
+ag AS (SELECT CAST((10 * turn_idx) // n_turns_conv AS INTEGER)
+          AS decile,
+        CAST(count(*) AS BIGINT) AS n_turns,
+        CAST(sum(tool_call) AS BIGINT) AS n_tool
+       FROM n GROUP BY 1)
+SELECT decile, n_turns, n_tool,
+       round(CAST(n_tool AS DOUBLE)
+         / CAST(n_turns AS DOUBLE), 6) AS tool_rate
+FROM ag"""
+
+    o["brand_price_spread"] = """WITH base AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+         p_partkey
+  FROM part),
+ranked AS (SELECT p_brand, cents,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY cents, p_partkey) AS rk,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT)
+               AS n_parts
+           FROM base),
+med AS (SELECT p_brand, cents AS med_cents FROM ranked
+        WHERE rk = (n_parts + 1) // 2),
+ag AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(min(cents) AS BIGINT) AS min_cents,
+         CAST(max(cents) AS BIGINT) AS max_cents
+       FROM base GROUP BY p_brand)
+SELECT a.p_brand, a.n_parts, a.min_cents, m.med_cents, a.max_cents
+FROM ag a JOIN med m ON a.p_brand = m.p_brand"""
     return o

@@ -1314,3 +1314,46 @@ def error_abandonment(
             " / CAST(n_error_convs AS DOUBLE), 6)"
         ).alias("abandon_share"),
     )
+
+
+def tool_position_profile(signals: DataFrame) -> DataFrame:
+    """WHERE in a conversation do tool calls happen? Turns bucket
+    into relative-position deciles (``(10 * turn_idx) div n_turns``,
+    exact integer — turn 0 is decile 0, the last turn decile 9) and
+    each decile reports its tool-call rate — front-loaded tool use
+    (lookup-then-chat) and back-loaded use (chat-then-act) separate
+    immediately, which the corpus-wide tool rate averages away.
+
+    One conv_id aggregate for n_turns (broadcast back riding the
+    same exchange), one 10-row rollup. All int64 + one rate float.
+
+    Emits ``decile, n_turns, n_tool, tool_rate``.
+    """
+    from pyspark.sql import Window
+
+    n = signals.select(
+        "conv_id",
+        "turn_idx",
+        F.col("tool_call").cast("long").alias("tool_call"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("conv_id"))
+        .cast("long")
+        .alias("n_turns_conv"),
+    )
+    agg = n.groupBy(
+        F.expr("CAST((10 * turn_idx) div n_turns_conv AS INT)").alias(
+            "decile"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("tool_call").cast("long").alias("n_tool"),
+    )
+    return agg.select(
+        "decile",
+        "n_turns",
+        "n_tool",
+        F.expr(
+            "round(CAST(n_tool AS DOUBLE)"
+            " / CAST(n_turns AS DOUBLE), 6)"
+        ).alias("tool_rate"),
+    )

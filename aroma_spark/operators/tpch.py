@@ -2224,3 +2224,47 @@ def supplier_breadth_hist(lineitem: DataFrame) -> DataFrame:
             " / CAST(sum(n_suppliers) OVER () AS DOUBLE), 6)"
         ).alias("share"),
     )
+
+
+def brand_price_spread(part: DataFrame) -> DataFrame:
+    """Per-brand retail-price dispersion in exact cents: count, min,
+    max and the type-1 median under the deterministic
+    (cents, partkey) order — which brands price tightly and which
+    span the whole catalog? The part-table companion of the class
+    markup report.
+
+    One brand window for the rank, one |brands|-row rollup on the
+    same exchange. All int64.
+
+    Emits ``p_brand, n_parts, min_cents, med_cents, max_cents``.
+    """
+    from pyspark.sql import Window
+
+    base = part.select(
+        "p_brand",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "p_partkey",
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
+    ranked = base.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("p_brand"))
+        .cast("long")
+        .alias("n_parts"),
+    )
+    med = ranked.where(F.col("rk") == F.expr("(n_parts + 1) div 2")).select(
+        "p_brand", F.col("cents").alias("med_cents")
+    )
+    agg = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    return agg.join(F.broadcast(med), "p_brand").select(
+        "p_brand", "n_parts", "min_cents", "med_cents", "max_cents"
+    )

@@ -354,6 +354,9 @@ AUDITED = (
     # round-8p pair
     "error_abandonment",
     "intraday_value",
+    # round-8q pair
+    "tool_position",
+    "brand_price_spread",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -617,3 +617,24 @@ def test_error_abandonment(spark):
     r = out[0]
     assert (r["n_error_convs"], r["n_abandoned"],
             r["abandon_share"]) == (2, 1, 0.5)
+
+
+def test_tool_position_profile(spark):
+    from aroma_spark.operators.sessions import tool_position_profile
+
+    rows = [
+        # 5-turn conversation, tool at the last turn
+        ("a", 0, 0), ("a", 1, 0), ("a", 2, 0), ("a", 3, 0), ("a", 4, 1),
+        # 2-turn conversation, tool first
+        ("b", 0, 1), ("b", 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool_call long"
+    )
+    out = {r["decile"]: r
+           for r in tool_position_profile(df).collect()}
+    # a: turn 4 of 5 -> decile 8; b: turn 1 of 2 -> decile 5
+    assert (out[8]["n_turns"], out[8]["n_tool"],
+            out[8]["tool_rate"]) == (1, 1, 1.0)
+    assert (out[0]["n_turns"], out[0]["n_tool"]) == (2, 1)
+    assert (out[5]["n_turns"], out[5]["n_tool"]) == (1, 0)

@@ -978,3 +978,21 @@ def test_cust_trend_sign(spark):
     assert (out[1]["n_customers"], out[-1]["n_customers"],
             out[0]["n_customers"]) == (1, 1, 1)
     assert out[1]["share"] == 0.333333
+
+
+def test_brand_price_spread(spark):
+    from aroma_spark.operators.tpch import brand_price_spread
+
+    part = spark.createDataFrame(
+        [
+            (1, "B#1", 1.00), (2, "B#1", 3.00), (3, "B#1", 2.00),
+            (4, "B#2", 5.00), (5, "B#2", 7.00),
+        ],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    out = {r["p_brand"]: r for r in brand_price_spread(part).collect()}
+    b1 = out["B#1"]
+    assert (b1["n_parts"], b1["min_cents"], b1["med_cents"],
+            b1["max_cents"]) == (3, 100, 200, 300)
+    # even count: lower median
+    assert out["B#2"]["med_cents"] == 500
