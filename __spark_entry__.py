@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 324 registered queries, ALL 324 with hash-compared DuckDB
-oracles — including the round-8q pair (``tool_position`` the
+Round 5: 326 registered queries, ALL 326 with hash-compared DuckDB
+oracles — including the round-8r pair (``asof_match_rates`` the
+k-tolerances-for-one-join as-of tuning sweep,
+``revenue_seasonal_idx`` the month-of-year seasonal index), the
+round-8q pair (``tool_position`` the
 relative-position decile profile of tool calls,
 ``brand_price_spread`` per-brand exact price dispersion), the
 round-8p pair (``error_abandonment``
@@ -3478,6 +3481,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brand_price_spread(load_table(spark, sf, "part"))
 
     q["brand_price_spread"] = brand_price_spread_q
+
+    def asof_match_rates_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.asof import asof_match_rates
+
+        t, tier = _asof_inputs(spark, sf)
+        return asof_match_rates(t, tier)
+
+    q["asof_match_rates"] = asof_match_rates_q
+
+    def revenue_seasonal_idx(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import revenue_seasonal_index
+
+        return revenue_seasonal_index(load_table(spark, sf, "orders"))
+
+    q["revenue_seasonal_idx"] = revenue_seasonal_idx
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9627,4 +9645,59 @@ ag AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
        FROM base GROUP BY p_brand)
 SELECT a.p_brand, a.n_parts, a.min_cents, m.med_cents, a.max_cents
 FROM ag a JOIN med m ON a.p_brand = m.p_brand"""
+
+    # round-8r pair: as-of tolerance sweep and revenue seasonality.
+    o["asof_match_rates"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+sig AS (SELECT conv_id, turn_idx, ts,
+          COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx), 0)
+            AS inter_time_us
+        FROM t),
+tier AS (SELECT conv_id,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS closed_ts
+         FROM sig GROUP BY 1, 2),
+j AS (SELECT s.ts, r.closed_ts AS matched_ts
+      FROM t s ASOF LEFT JOIN tier r
+        ON s.conv_id = r.conv_id AND s.ts >= r.closed_ts),
+g AS (SELECT epoch_us(ts) - epoch_us(matched_ts) AS gap_us FROM j),
+wide AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN gap_us <= 300000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS m_0,
+           CAST(sum(CASE WHEN gap_us <= 900000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS m_1,
+           CAST(sum(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS m_2,
+           CAST(sum(CASE WHEN gap_us <= 7200000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS m_3
+         FROM g),
+tall AS (
+  SELECT CAST(300000000 AS BIGINT) AS tolerance_us, n_left,
+         m_0 AS n_matched FROM wide
+  UNION ALL SELECT 900000000, n_left, m_1 FROM wide
+  UNION ALL SELECT 3600000000, n_left, m_2 FROM wide
+  UNION ALL SELECT 7200000000, n_left, m_3 FROM wide)
+SELECT tolerance_us, n_left, n_matched,
+       round(CAST(n_matched AS DOUBLE)
+         / CAST(n_left AS DOUBLE), 6) AS match_rate
+FROM tall"""
+
+    o["revenue_seasonal_idx"] = """WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month_ts,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+moy AS (SELECT CAST(extract(month FROM month_ts) AS INTEGER)
+            AS month_of_year,
+          CAST(count(*) AS BIGINT) AS n_months,
+          CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM monthly GROUP BY 1),
+tot AS (SELECT *, CAST(sum(sum_cents) OVER () AS BIGINT)
+            AS total_cents,
+          CAST(sum(n_months) OVER () AS BIGINT) AS total_months
+        FROM moy)
+SELECT month_of_year, n_months, sum_cents,
+       round((CAST(sum_cents AS DOUBLE) / CAST(n_months AS DOUBLE))
+         / (CAST(total_cents AS DOUBLE)
+         / CAST(total_months AS DOUBLE)), 6) AS seasonal_idx
+FROM tot"""
     return o

@@ -233,3 +233,75 @@ def interval_join(
         )
         .drop("__band")
     )
+
+
+def asof_match_rates(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "closed_ts",
+    tolerances_us: tuple = (
+        300_000_000,
+        900_000_000,
+        3_600_000_000,
+        7_200_000_000,
+    ),
+) -> DataFrame:
+    """Tolerance-sweep audit for the as-of join: what share of left
+    rows would find a match at each candidate tolerance — the tuning
+    curve that sizes a production as-of tolerance (or a streaming
+    watermark) BEFORE committing to one, instead of re-running the
+    join once per guess.
+
+    One backward as-of join with no tolerance computes each row's
+    actual staleness gap; every candidate tolerance is then a
+    conditional sum over that single result — k tolerances for the
+    price of one join. Gaps are exact integer µs.
+
+    Emits ``tolerance_us, n_left, n_matched, match_rate`` (one row
+    per candidate, n_left identical across rows by construction).
+    """
+    j = asof_join(
+        left,
+        right,
+        by=by,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=[],
+    )
+    gaps = j.select(
+        (
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("matched_ts"))
+        ).alias("gap_us")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_left")] + [
+        F.sum(
+            F.when(F.col("gap_us") <= F.lit(int(t)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"m_{i}")
+        for i, t in enumerate(tolerances_us)
+    ]
+    wide = gaps.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({int(t)} AS BIGINT), m_{i}"
+        for i, t in enumerate(tolerances_us)
+    )
+    tall = wide.select(
+        "n_left",
+        F.expr(
+            f"stack({len(tolerances_us)}, {stack})"
+            " AS (tolerance_us, n_matched)"
+        ),
+    )
+    return tall.select(
+        "tolerance_us",
+        "n_left",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.expr(
+            "round(CAST(n_matched AS DOUBLE)"
+            " / CAST(n_left AS DOUBLE), 6)"
+        ).alias("match_rate"),
+    )

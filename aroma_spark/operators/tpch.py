@@ -2268,3 +2268,54 @@ def brand_price_spread(part: DataFrame) -> DataFrame:
     return agg.join(F.broadcast(med), "p_brand").select(
         "p_brand", "n_parts", "min_cents", "med_cents", "max_cents"
     )
+
+
+def revenue_seasonal_index(orders: DataFrame) -> DataFrame:
+    """Month-of-year revenue seasonality: each calendar month's mean
+    monthly revenue against the overall monthly mean — the index a
+    demand forecast deseasonalizes with (1.0 = an average month;
+    1.3 = a consistently heavy month). Pools every year the corpus
+    spans, so one anomalous December doesn't masquerade as
+    seasonality.
+
+    Monthly totals first (|month_ts| rows), then a 12-row rollup
+    and two window totals over those 12 rows. Cents exact int64; the
+    index divides two exact means in one float expression.
+
+    Emits ``month_of_year, n_months, sum_cents, seasonal_idx``.
+    """
+    from pyspark.sql import Window
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_ts")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    moy = monthly.groupBy(
+        F.month(F.col("month_ts")).cast("int").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    w = Window.partitionBy()
+    tot = moy.select(
+        "month_of_year",
+        "n_months",
+        "sum_cents",
+        F.sum("sum_cents").over(w).cast("long").alias("total_cents"),
+        F.sum("n_months").over(w).cast("long").alias("total_months"),
+    )
+    return tot.select(
+        "month_of_year",
+        "n_months",
+        "sum_cents",
+        F.expr(
+            "round((CAST(sum_cents AS DOUBLE) / CAST(n_months AS DOUBLE))"
+            " / (CAST(total_cents AS DOUBLE)"
+            " / CAST(total_months AS DOUBLE)), 6)"
+        ).alias("seasonal_idx"),
+    )

@@ -357,6 +357,9 @@ AUDITED = (
     # round-8q pair
     "tool_position",
     "brand_price_spread",
+    # round-8r pair
+    "asof_match_rates",
+    "revenue_seasonal_idx",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -241,3 +241,32 @@ def test_asof_nearest_hand_computed(spark):
     assert out[("a", 2)]["v"] == 200
     assert out[("a", 3)]["v"] == 100  # tie resolves backward
     assert out[("b", 9)]["v"] is None
+
+
+def test_asof_match_rates(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.operators.asof import asof_match_rates
+
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:04:00"),  # 4m after anchor
+            ("a", "2024-01-01 10:20:00"),  # 20m after
+            ("a", "2024-01-01 09:00:00"),  # before any anchor: no match
+        ],
+        "conv_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00")],
+        "conv_id string, closed_ts string",
+    ).withColumn("closed_ts", F.to_timestamp("closed_ts"))
+    out = {r["tolerance_us"]: r
+           for r in asof_match_rates(
+               left, right,
+               tolerances_us=(300_000_000, 3_600_000_000)).collect()}
+    five_min = out[300_000_000]
+    assert (five_min["n_left"], five_min["n_matched"],
+            five_min["match_rate"]) == (3, 1, 0.333333)
+    hour = out[3_600_000_000]
+    # the unmatched 09:00 row never counts at any tolerance
+    assert (hour["n_matched"], hour["match_rate"]) == (2, 0.666667)

@@ -996,3 +996,24 @@ def test_brand_price_spread(spark):
             b1["max_cents"]) == (3, 100, 200, 300)
     # even count: lower median
     assert out["B#2"]["med_cents"] == 500
+
+
+def test_revenue_seasonal_index(spark):
+    from aroma_spark.operators.tpch import revenue_seasonal_index
+
+    orders = spark.createDataFrame(
+        [
+            # two Januaries averaging 200c/mo, one February at 100c;
+            # overall monthly mean = 500/3
+            (1, 1.00, "1995-01-10 00:00:00"),
+            (2, 3.00, "1996-01-10 00:00:00"),
+            (3, 1.00, "1996-02-10 00:00:00"),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["month_of_year"]: r
+           for r in revenue_seasonal_index(orders).collect()}
+    jan = out[1]
+    assert (jan["n_months"], jan["sum_cents"]) == (2, 400)
+    assert jan["seasonal_idx"] == 1.2
+    assert out[2]["seasonal_idx"] == 0.6
