@@ -6,8 +6,12 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 326 registered queries, ALL 326 with hash-compared DuckDB
-oracles — including the round-8r pair (``asof_match_rates`` the
+Round 5: 328 registered queries, ALL 328 with hash-compared DuckDB
+oracles — including the round-8s pair (``region_rollup_subtotals``
+the GROUPING-SETS surface: region/nation revenue with subtotals and
+the grand total in one rollup pass, ``role_pivot_1d`` the
+fixed-type-list native pivot), the round-8r pair
+(``asof_match_rates`` the
 k-tolerances-for-one-join as-of tuning sweep,
 ``revenue_seasonal_idx`` the month-of-year seasonal index), the
 round-8q pair (``tool_position`` the
@@ -3496,6 +3500,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return revenue_seasonal_index(load_table(spark, sf, "orders"))
 
     q["revenue_seasonal_idx"] = revenue_seasonal_idx
+
+    def region_rollup_subtotals(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import region_nation_rollup
+
+        return region_nation_rollup(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+
+    q["region_rollup_subtotals"] = region_rollup_subtotals
+
+    def role_pivot_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.business import daily_role_pivot
+
+        return daily_role_pivot(load_table(spark, sf, "events"))
+
+    q["role_pivot_1d"] = role_pivot_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9700,4 +9723,42 @@ SELECT month_of_year, n_months, sum_cents,
          / (CAST(total_cents AS DOUBLE)
          / CAST(total_months AS DOUBLE)), 6) AS seasonal_idx
 FROM tot"""
+
+    # round-8s pair: ROLLUP subtotals and the daily pivot.
+    o["region_rollup_subtotals"] = """WITH dim AS (
+  SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey),
+j AS (SELECT d.region_name, d.nation_name,
+        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey),
+rolled AS (
+  SELECT region_name, nation_name,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(GROUPING(region_name) * 2 + GROUPING(nation_name)
+           AS INTEGER) AS level
+  FROM j GROUP BY ROLLUP (region_name, nation_name))
+SELECT COALESCE(region_name, 'ALL') AS region_name,
+       COALESCE(nation_name, 'ALL') AS nation_name,
+       level, n_orders, sum_cents
+FROM rolled"""
+
+    o["role_pivot_1d"] = """WITH ag AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT day_ts,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN n END),
+         0) AS BIGINT) AS n_click,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'error' THEN n END),
+         0) AS BIGINT) AS n_error,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN n END),
+         0) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'signup' THEN n END),
+         0) AS BIGINT) AS n_signup,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN n END),
+         0) AS BIGINT) AS n_view
+FROM ag GROUP BY day_ts"""
     return o

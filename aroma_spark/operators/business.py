@@ -1224,3 +1224,37 @@ def intraday_value_curve(events: DataFrame) -> DataFrame:
             " / CAST(total_cents AS DOUBLE), 6)"
         ).alias("cum_share"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_role_pivot(events: DataFrame) -> DataFrame:
+    """The daily event-mix WIDE table: one row per day, one column
+    per event type — the layout every spreadsheet-bound consumer
+    asks for, produced with Spark's native ``pivot()`` against the
+    FIXED public type list (an unpinned pivot would schema-drift the
+    moment a new type appears; the explicit list also lets Spark
+    skip the extra distinct-values job a blind pivot runs).
+
+    ONE map-side combinable (day, type) aggregation, pivoted to
+    |days| x |types| — tiny anywhere. Absent combinations emit 0,
+    not NULL (both engines coalesce identically). All int64.
+
+    Emits ``day_ts, n_click, n_error, n_purchase, n_signup,
+    n_view``.
+    """
+    pivoted = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day_ts",
+        *[
+            F.coalesce(F.col(t), F.lit(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )

@@ -2319,3 +2319,63 @@ def revenue_seasonal_index(orders: DataFrame) -> DataFrame:
             " / CAST(total_months AS DOUBLE)), 6)"
         ).alias("seasonal_idx"),
     )
+
+
+def region_nation_rollup(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Hierarchical revenue rollup with SUBTOTALS: order cents by
+    (region, nation) plus per-region subtotals and the grand total
+    in ONE pass — the GROUPING-SETS surface (Spark ``rollup()``,
+    SQL ``GROUP BY ROLLUP``) every finance report renders, and which
+    no flat group-by here exercises. Subtotal rows label the
+    rolled-away level ``ALL`` and carry ``grouping_id`` so the three
+    levels are machine-separable.
+
+    The dimension chain customer→nation→region broadcasts (a few
+    hundred rows end to end); the fact table shuffles ONCE on the
+    grouping keys — Spark expands the rollup map-side, so subtotals
+    cost no extra scan. Cents exact int64.
+
+    Emits ``region_name, nation_name, level, n_orders, sum_cents``.
+    """
+    dim = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    j = orders.select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
+    rolled = j.rollup("region_name", "nation_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.grouping_id().cast("int").alias("level"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("region_name"), F.lit("ALL")).alias(
+            "region_name"
+        ),
+        F.coalesce(F.col("nation_name"), F.lit("ALL")).alias(
+            "nation_name"
+        ),
+        "level",
+        "n_orders",
+        "sum_cents",
+    )

@@ -360,6 +360,9 @@ AUDITED = (
     # round-8r pair
     "asof_match_rates",
     "revenue_seasonal_idx",
+    # round-8s pair
+    "region_rollup_subtotals",
+    "role_pivot_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -603,3 +603,20 @@ def test_intraday_value_curve(spark):
     assert (out[1]["cents"], out[1]["cum_cents"],
             out[1]["cum_share"]) == (300, 300, 0.75)
     assert (out[23]["cum_cents"], out[23]["cum_share"]) == (400, 1.0)
+
+
+def test_daily_role_pivot(spark):
+    from aroma_spark.operators.business import daily_role_pivot
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 11:00:00", 1, "view", 0.0),
+        (3, "2024-01-01 12:00:00", 2, "purchase", 1.0),
+        (4, "2024-01-02 10:00:00", 1, "error", 0.0),
+    ]
+    out = {r["day_ts"].day: r
+           for r in daily_role_pivot(_uevents(spark, rows)).collect()}
+    d1 = out[1]
+    assert (d1["n_view"], d1["n_purchase"], d1["n_click"],
+            d1["n_signup"], d1["n_error"]) == (2, 1, 0, 0, 0)
+    assert (out[2]["n_error"], out[2]["n_view"]) == (1, 0)

@@ -1017,3 +1017,29 @@ def test_revenue_seasonal_index(spark):
     assert (jan["n_months"], jan["sum_cents"]) == (2, 400)
     assert jan["seasonal_idx"] == 1.2
     assert out[2]["seasonal_idx"] == 0.6
+
+
+def test_region_nation_rollup(spark):
+    from aroma_spark.operators.tpch import region_nation_rollup
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(0, "FRANCE", 0), (1, "JAPAN", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)],
+        "c_custkey long, c_nationkey int")
+    orders = spark.createDataFrame(
+        [(1, 1, 1.00), (2, 2, 2.00), (3, 3, 4.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    out = {(r["region_name"], r["nation_name"]): r
+           for r in region_nation_rollup(
+               orders, customer, nation, region).collect()}
+    # leaf rows (level 0), region subtotals (1), grand total (3)
+    assert out[("EUROPE", "FRANCE")]["sum_cents"] == 300
+    assert out[("EUROPE", "ALL")]["level"] == 1
+    assert out[("EUROPE", "ALL")]["sum_cents"] == 300
+    assert (out[("ALL", "ALL")]["level"],
+            out[("ALL", "ALL")]["n_orders"],
+            out[("ALL", "ALL")]["sum_cents"]) == (3, 3, 700)
