@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 328 registered queries, ALL 328 with hash-compared DuckDB
-oracles — including the round-8s pair (``region_rollup_subtotals``
+Round 5: 330 registered queries, ALL 330 with hash-compared DuckDB
+oracles — including the round-8t pair (``split_leakage`` the
+train/val/test completeness + exclusivity audit, ``oov_rate_1d``
+vocabulary-coverage drift against the deterministic top-K), the
+round-8s pair (``region_rollup_subtotals``
 the GROUPING-SETS surface: region/nation revenue with subtotals and
 the grand total in one rollup pass, ``role_pivot_1d`` the
 fixed-type-list native pivot), the round-8r pair
@@ -3519,6 +3522,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return daily_role_pivot(load_table(spark, sf, "events"))
 
     q["role_pivot_1d"] = role_pivot_1d
+
+    def split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.splits import split_leakage_audit
+
+        return split_leakage_audit(load_table(spark, sf, "documents"))
+
+    q["split_leakage"] = split_leakage
+
+    def oov_rate_1d(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.functions.text import oov_rate_daily
+
+        return oov_rate_daily(transcripts_from_events(spark, sf))
+
+    q["oov_rate_1d"] = oov_rate_1d
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9761,4 +9778,58 @@ SELECT day_ts,
        CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN n END),
          0) AS BIGINT) AS n_view
 FROM ag GROUP BY day_ts"""
+
+    # round-8t pair: split-integrity audit and OOV drift.
+    o["split_leakage"] = """WITH s AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5('split:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.8 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('split:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+per_key AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT split) AS BIGINT) AS n_labels
+            FROM s GROUP BY doc_id),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_test
+       FROM s),
+ks AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_multi_label
+       FROM per_key)
+SELECT ks.n_keys, ag.n_rows, ag.n_train, ag.n_val, ag.n_test,
+       ks.n_multi_label,
+       (ag.n_train + ag.n_val + ag.n_test = ag.n_rows) AS complete
+FROM ag, ks"""
+
+    o["oov_rate_1d"] = f"""WITH t AS ({TRANSCRIPTS_SQL}),
+tok AS (SELECT CAST(ts AS DATE) AS day,
+          unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                       '\\s+')) AS term
+        FROM t),
+per AS (SELECT day, term, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE term <> '' GROUP BY day, term),
+totals AS (SELECT term, CAST(sum(n) AS BIGINT) AS total
+           FROM per GROUP BY term),
+vocab AS (SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY total DESC,
+              term ASC) AS rk FROM totals) WHERE rk <= 100),
+flagged AS (SELECT p.day, p.n,
+              CASE WHEN v.term IS NULL THEN p.n ELSE 0 END AS oov_n
+            FROM per p LEFT JOIN vocab v ON p.term = v.term),
+ag AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(oov_n) AS BIGINT) AS n_oov
+       FROM flagged GROUP BY day)
+SELECT day, n_tokens, n_oov,
+       round(CAST(n_oov AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+FROM ag"""
     return o

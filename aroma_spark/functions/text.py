@@ -1563,3 +1563,62 @@ def trending_terms_daily(
             "round(CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)"
         ).alias("ratio"),
     )
+
+
+def oov_rate_daily(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Vocabulary-coverage drift: per day, the share of token
+    occurrences falling OUTSIDE the corpus's top-``vocab_size``
+    terms — the out-of-vocabulary rate a fixed-vocabulary consumer
+    (an encoder trained on today's top-K) will actually suffer as
+    the corpus drifts. A rising curve is the retrain signal.
+
+    The reference vocabulary is deterministic: top-K by total count
+    with the ascending-term tie-break (the house vocab order,
+    operators/vocab.py O4). It broadcasts (K rows) into the (day,
+    term) counts — the corpus is tokenized ONCE and both the vocab
+    and the daily rollup ride the same (term)-keyed partials.
+
+    Emits ``day, n_tokens, n_oov, oov_rate``.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.explode(F.split(F.lower(F.trim(c)), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    per = toks.groupBy("day", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = per.groupBy("term").agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    vocab = (
+        totals.select("term", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= F.lit(int(vocab_size)))
+        .select("term")
+    )
+    flagged = per.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+        "term",
+        "left",
+    )
+    agg = flagged.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return agg.select(
+        "day",
+        "n_tokens",
+        "n_oov",
+        F.expr(
+            "round(CAST(n_oov AS DOUBLE)"
+            " / CAST(n_tokens AS DOUBLE), 6)"
+        ).alias("oov_rate"),
+    )

@@ -99,3 +99,60 @@ def split_counts(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct(key_col).cast("long").alias("n_keys"),
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """The split-integrity audit a training pipeline must pass before
+    anything trains: every key lands in EXACTLY one split
+    (completeness: the split sizes sum to the corpus; exclusivity: no
+    key carries two labels). Because :func:`with_split` derives the
+    label from a pure hash of the key, violations can only come from
+    key duplication upstream — which is exactly what this catches,
+    per split pair, without trusting the property it is checking.
+
+    One pass assigns labels; a per-key aggregate counts DISTINCT
+    labels per key (>1 = leakage); ONE summary row. All int64.
+
+    Emits ``n_keys, n_rows, n_train, n_val, n_test, n_multi_label,
+    complete`` (``complete`` = the three splits sum to n_rows).
+    """
+    labeled = with_split(df, key_col=key_col, weights=weights, salt=salt)
+    per_key = labeled.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("split").cast("long").alias("n_labels"),
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    keys = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("n_labels") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_label"),
+    )
+    return agg.crossJoin(keys).select(
+        "n_keys",
+        "n_rows",
+        "n_train",
+        "n_val",
+        "n_test",
+        "n_multi_label",
+        (
+            F.col("n_train") + F.col("n_val") + F.col("n_test")
+            == F.col("n_rows")
+        ).alias("complete"),
+    )

@@ -363,6 +363,9 @@ AUDITED = (
     # round-8s pair
     "region_rollup_subtotals",
     "role_pivot_1d",
+    # round-8t pair
+    "split_leakage",
+    "oov_rate_1d",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

@@ -77,3 +77,21 @@ def test_stratified_sample_deterministic_and_rates(spark):
     # unknown strata fall back to default_fraction=0.0
     d2 = d.withColumn("lang", F.lit("zz"))
     assert stratified_sample(d2, "doc_id", "lang", fr).count() == 0
+
+
+def test_split_leakage_audit(spark):
+    from aroma_spark.operators.splits import split_leakage_audit
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(7,)],  # key 7 duplicated
+        "doc_id long",
+    )
+    out = split_leakage_audit(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_keys"], r["n_rows"]) == (50, 51)
+    assert r["n_train"] + r["n_val"] + r["n_test"] == 51
+    # hash-derived labels: a duplicated key lands in ONE split, so
+    # exclusivity holds even with upstream duplication
+    assert r["n_multi_label"] == 0
+    assert r["complete"] is True

@@ -476,3 +476,23 @@ def test_trending_terms_daily(spark):
     # 'y' has no previous day; 'z' skipped a day; only 'x' bursts
     assert (r["term"], str(r["day"]), r["n"], r["prev_n"], r["ratio"]) == (
         "x", "2024-01-02", 6, 4, 1.5)
+
+
+def test_oov_rate_daily(spark):
+    from pyspark.sql import functions as F
+
+    from aroma_spark.functions.text import oov_rate_daily
+
+    rows = [
+        ("c", 0, "a a a b", "2024-01-01 10:00:00"),
+        ("c", 1, "a b z q", "2024-01-02 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r
+           for r in oov_rate_daily(df, vocab_size=2).collect()}
+    # vocab = top-2 terms overall = {a (4), b (2)}; day 2 has z, q OOV
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_tokens"], d1["n_oov"], d1["oov_rate"]) == (4, 0, 0.0)
+    assert (d2["n_tokens"], d2["n_oov"], d2["oov_rate"]) == (4, 2, 0.5)
