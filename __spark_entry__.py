@@ -6,8 +6,11 @@
 equivalent over the same parquet views (tables: region nation customer
 supplier part orders lineitem events documents embeddings).
 
-Round 5: 330 registered queries, ALL 330 with hash-compared DuckDB
-oracles — including the round-8t pair (``split_leakage`` the
+Round 5: 332 registered queries, ALL 332 with hash-compared DuckDB
+oracles — including the round-8u pair (``benford_order_value`` the
+forensic first-digit screen on order money, ``round_number_audit``
+the round-figure modular bias screen), the round-8t pair
+(``split_leakage`` the
 train/val/test completeness + exclusivity audit, ``oov_rate_1d``
 vocabulary-coverage drift against the deterministic top-K), the
 round-8s pair (``region_rollup_subtotals``
@@ -3536,6 +3539,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return oov_rate_daily(transcripts_from_events(spark, sf))
 
     q["oov_rate_1d"] = oov_rate_1d
+
+    def benford_value_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import benford_order_value
+
+        return benford_order_value(load_table(spark, sf, "orders"))
+
+    q["benford_order_value"] = benford_value_q
+
+    def round_number_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+        from aroma_spark.operators.tpch import round_number_audit
+
+        return round_number_audit(load_table(spark, sf, "orders"))
+
+    q["round_number_audit"] = round_number_audit_q
 
     # ------------------------------------------------------------------
     # Driver-window rotation, round-robin schedule (round-4 verdict item
@@ -9831,5 +9848,47 @@ ag AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_tokens,
 SELECT day, n_tokens, n_oov,
        round(CAST(n_oov AS DOUBLE)
          / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+FROM ag"""
+
+    # round-8u pair: the forensic-money screens. The Benford
+    # expectations are the SAME repr-exact Python literals the Spark
+    # expression embeds, so the shared-float discipline holds.
+    import math as _math
+
+    _bf_cases = " ".join(
+        f"WHEN digit = {d} THEN {_math.log10(1 + 1 / d)!r}"
+        for d in range(1, 10)
+    )
+    o["benford_order_value"] = f"""WITH base AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders),
+ag AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+       FROM base WHERE digit >= 1 GROUP BY digit)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE)
+         / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share,
+       round(CASE {_bf_cases} END, 6) AS benford_share,
+       round(CAST(n_orders AS DOUBLE)
+         / CAST(sum(n_orders) OVER () AS DOUBLE)
+         - CASE {_bf_cases} END, 6) AS excess
+FROM ag"""
+
+    o["round_number_audit"] = """WITH base AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_round_dollar,
+         CAST(sum(CASE WHEN cents % 1000 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_round_ten,
+         CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_round_hundred
+       FROM base)
+SELECT n_orders, n_round_dollar, n_round_ten, n_round_hundred,
+       round(CAST(n_round_dollar AS DOUBLE)
+         / CAST(n_orders AS DOUBLE), 6) AS dollar_share,
+       round(CAST(n_round_ten AS DOUBLE)
+         / CAST(n_orders AS DOUBLE), 6) AS ten_share
 FROM ag"""
     return o

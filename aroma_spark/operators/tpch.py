@@ -2379,3 +2379,98 @@ def region_nation_rollup(
         "n_orders",
         "sum_cents",
     )
+
+
+def benford_order_value(orders: DataFrame) -> DataFrame:
+    """Benford leading-digit audit on ORDER MONEY — the canonical
+    forensic-accounting screen (fabricated or threshold-gamed
+    amounts bend the first-digit law long before any per-vendor
+    review finds them). The text-length Benford query proves the
+    digit machinery; this applies it to the column auditors
+    actually run it on.
+
+    Leading digit via the engine-portable string path on exact
+    cents (no log10 — ``substr(CAST(cents AS VARCHAR), 1, 1)``),
+    ONE 9-row aggregate, expected shares as repr-exact literals.
+
+    Emits ``digit, n_orders, share, benford_share, excess``.
+    """
+    import math
+
+    base = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    ).where(F.col("digit") >= 1)
+    agg = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    # CAST each expectation to DOUBLE: a bare decimal literal parses
+    # as DECIMAL in Spark SQL and would ship a decimal column where
+    # the contract (and the DuckDB twin) says double
+    cases = " ".join(
+        f"WHEN digit = {d} THEN"
+        f" CAST({math.log10(1 + 1 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return agg.select(
+        "digit",
+        "n_orders",
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(sum(n_orders) OVER () AS DOUBLE), 6)"
+        ).alias("share"),
+        F.expr(f"round(CASE {cases} END, 6)").alias("benford_share"),
+        F.expr(
+            "round(CAST(n_orders AS DOUBLE)"
+            " / CAST(sum(n_orders) OVER () AS DOUBLE)"
+            f" - CASE {cases} END, 6)"
+        ).alias("excess"),
+    )
+
+
+def round_number_audit(orders: DataFrame) -> DataFrame:
+    """Round-figure bias: how many order totals land on exact
+    dollars, exact tens and exact hundreds of dollars — organic
+    prices spread across cents, while hand-entered, negotiated or
+    fabricated amounts cluster on round figures. The modular
+    companion of the Benford screen (Benford reads the FIRST digit;
+    this reads the LAST ones).
+
+    Pure int64 modular arithmetic on exact cents, ONE summary row.
+
+    Emits ``n_orders, n_round_dollar, n_round_ten, n_round_hundred,
+    dollar_share, ten_share``.
+    """
+    base = orders.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_round_dollar"),
+        F.sum(F.when(F.col("cents") % 1000 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_round_ten"),
+        F.sum(F.when(F.col("cents") % 10000 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_round_hundred"),
+    )
+    return agg.select(
+        "n_orders",
+        "n_round_dollar",
+        "n_round_ten",
+        "n_round_hundred",
+        F.expr(
+            "round(CAST(n_round_dollar AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("dollar_share"),
+        F.expr(
+            "round(CAST(n_round_ten AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE), 6)"
+        ).alias("ten_share"),
+    )

@@ -366,6 +366,9 @@ AUDITED = (
     # round-8t pair
     "split_leakage",
     "oov_rate_1d",
+    # round-8u pair
+    "benford_order_value",
+    "round_number_audit",
     # round-7j..7n batch
     "lattice_parity",
     "text_len_cdf",

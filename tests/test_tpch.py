@@ -1043,3 +1043,35 @@ def test_region_nation_rollup(spark):
     assert (out[("ALL", "ALL")]["level"],
             out[("ALL", "ALL")]["n_orders"],
             out[("ALL", "ALL")]["sum_cents"]) == (3, 3, 700)
+
+
+def test_benford_order_value(spark):
+    import math
+
+    from aroma_spark.operators.tpch import benford_order_value
+
+    orders = spark.createDataFrame(
+        [(1, 1.23), (2, 19.99), (3, 11.00), (4, 90.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    out = {r["digit"]: r for r in benford_order_value(orders).collect()}
+    # cents: 123, 1999, 1100, 9000 -> digits 1,1,1,9
+    assert (out[1]["n_orders"], out[1]["share"]) == (3, 0.75)
+    assert out[1]["benford_share"] == round(math.log10(2), 6)
+    assert out[9]["n_orders"] == 1
+    assert out[9]["excess"] == round(0.25 - math.log10(1 + 1 / 9), 6)
+
+
+def test_round_number_audit(spark):
+    from aroma_spark.operators.tpch import round_number_audit
+
+    orders = spark.createDataFrame(
+        [(1, 1.23), (2, 5.00), (3, 20.00), (4, 300.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    r = round_number_audit(orders).collect()[0]
+    # 5.00, 20.00, 300.00 are round dollars; 20/300 round tens;
+    # 300 the only round hundred
+    assert (r["n_orders"], r["n_round_dollar"], r["n_round_ten"],
+            r["n_round_hundred"]) == (4, 3, 2, 1)
+    assert (r["dollar_share"], r["ten_share"]) == (0.75, 0.5)
