@@ -248,16 +248,41 @@ def main() -> None:
                 for n in sorted(int(c) for c in med)
                 if str(4 * n) in med
             }
+            # same-weather paired windows: ratio back-to-back batches
+            # of the SAME rep (the weather-controlled estimator — the
+            # pooled best/median mix windows; see BENCH/BASELINE.md)
+            paired = {}
+            for n in sorted(int(c) for c in med):
+                m = str(4 * n)
+                if m not in raw:
+                    continue
+                windows = []
+                reps = sorted({x["rep"] for x in raw[str(n)]})
+                for rep in reps:
+                    pn = [x["pps"] for x in raw[str(n)] if x["rep"] == rep]
+                    pm = [x["pps"] for x in raw[m] if x["rep"] == rep]
+                    if pn and pm:
+                        windows.append(
+                            round((_median(pm) / _median(pn)) / 4, 3)
+                        )
+                if windows:
+                    paired[f"{n}->{4 * n}"] = {
+                        "windows": windows,
+                        "best": max(windows),
+                        "median": _median(windows),
+                    }
             scaling = {
                 "levels_pps_median": med,
                 "levels_pps_best": best,
                 "efficiency_n_to_4n": pairs,
+                "efficiency_paired_windows": paired,
                 "criterion": ">=0.8 N->4N",
                 "note": (
                     "pairs ordered by shared-DRAM saturation; the "
                     "least-saturated pair is the closest single-box "
-                    "proxy for independent cluster executors (see "
-                    "BENCH/BASELINE.md)"
+                    "proxy for independent cluster executors; paired "
+                    "windows ratio same-weather back-to-back batches "
+                    "(see BENCH/BASELINE.md)"
                 ),
             }
     except Exception as e:  # parse drift must be visible, not a null blob

@@ -269,6 +269,11 @@ def _median(xs: list[float]) -> float:
 
 
 def main() -> None:
+    # strip flags before positional parsing (``--render`` may appear
+    # anywhere)
+    sys.argv = [a for a in sys.argv if a != "--render"] + (
+        ["--render"] if "--render" in sys.argv else []
+    )
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     runs_per_jvm = int(sys.argv[3]) if len(sys.argv) > 3 else 3
@@ -286,16 +291,22 @@ def main() -> None:
         int(x) for x in (sys.argv[7] if len(sys.argv) > 7 else "2,8,32")
         .split(",")
     )
+    # ``--render``: regenerate BENCH/BASELINE.md from the existing
+    # pooled raw sample without measuring anything — keeps the
+    # published markdown in lockstep with template changes (the r4
+    # ADVICE drift lesson) at zero benchmark cost
+    render_only = "--render" in sys.argv
     # input on tmpfs: identical bytes for every level, zero disk reads
     input_path = f"/dev/shm/aroma_scaling_dense_{n_turns}"
-    subprocess.run(
-        [sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns,
-                                          input_path=input_path)],
-        check=True,
-        cwd=REPO,
-    )
-    subprocess.run([sys.executable, "-c", PREWARM], check=True)
-    levels = session_levels
+    if not render_only:
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns,
+                                              input_path=input_path)],
+            check=True,
+            cwd=REPO,
+        )
+        subprocess.run([sys.executable, "-c", PREWARM], check=True)
+    levels = tuple() if render_only else session_levels
     # Pool with any prior session at the same input size: the criterion
     # median is attacked by weather, so its sample should accumulate
     # across sessions (every batch ever measured is published) instead
@@ -503,6 +514,19 @@ def main() -> None:
     primary_med = (
         eff[f"{pairs[0][0]}->{pairs[0][1]}"]["median"] if pairs else 0
     )
+    # paired-window statistics for the primary pair: each element of
+    # pair_eff is one SAME-WEATHER window (back-to-back batches), so
+    # best/median over it are weather-controlled in a way the pooled
+    # level aggregates cannot be — the pooled "best" divides the best
+    # 4N batch of one window by the best N batch of a DIFFERENT one,
+    # and a single unusually quiet N-core window (measured: the
+    # fastest-ever 1-core batch landed in the same rep as a mid-pack
+    # 4-core batch) drags it below what any actual window showed.
+    primary_windows = pair_eff.get(
+        f"{pairs[0][0]}->{pairs[0][1]}", []
+    ) if pairs else []
+    pw_best = max(primary_windows) if primary_windows else 0.0
+    pw_med = _median(primary_windows) if primary_windows else 0.0
     pair_eff_json = json.dumps(pair_eff)
     md = f"""# BENCH — scaling efficiency (N vs 4N)
 
@@ -552,7 +576,15 @@ bound — the gradient below IS that effect, measured.
 {pair_rows}
 
 **Primary = the least-saturated measured pair ({primary_pair}):
-efficiency {primary_best:.3f} best / {primary_med:.3f} median.**
+pooled efficiency {primary_best:.3f} best / {primary_med:.3f} median;
+same-weather paired windows {pw_best:.3f} best / {pw_med:.3f} median
+over {len(primary_windows)} windows.** The paired statistics are the
+weather-controlled estimator: each window ratios back-to-back batches
+that saw the same machine state, while the pooled "best" can divide a
+4N batch by an N batch from a DIFFERENT window (a single unusually
+quiet small-N window deflates it below anything any real window
+measured — observed when the fastest-ever 1-core batch shared a rep
+with a mid-pack 4-core batch).
 
 Paired per-window efficiencies (batch-median 4N-core vs the
 back-to-back N-core batch of the SAME repeat, so both sides share the
