@@ -456,7 +456,12 @@ sig AS (
 
 
 def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_signals(transcripts_from_events(spark, sf_dir))
+    # fused single-window derivation (r6 optimization): identical rows
+    # to with_signals(transcripts_from_events(...)) — oracle-verified —
+    # with one Sort instead of two and text_len computed pre-exchange
+    from aroma_spark.sources.transcripts import signals_from_events
+
+    return signals_from_events(spark, sf_dir)
 
 
 def _rollup_sql(unit: str) -> str:
@@ -540,7 +545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gapfill_1h"] = gapfill_1h
 
     # codec identity through Gorilla + delta-of-delta blobs (§4.2.2)
-    q["codec_roundtrip"] = lambda spark, sf: codec_roundtrip(_signals(spark, sf))
+    # assume_clustered: _signals comes straight off the conv_id window —
+    # already hash-partitioned by conv_id and sorted by (conv_id, ts) —
+    # so the encoder skips its own repartition+sort (r6; same rows)
+    q["codec_roundtrip"] = lambda spark, sf: codec_roundtrip(
+        _signals(spark, sf), assume_clustered=True
+    )
 
     # --- dedup / ordering (SURVEY §2.6: O1/O2) ---
     # The derived transcripts are unique by construction (turn_idx is a

@@ -1596,10 +1596,12 @@ def oov_rate_daily(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     totals = per.groupBy("term").agg(F.sum("n").alias("total"))
-    w = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    # only membership in the top-K is needed: orderBy+limit compiles to
+    # distributed TakeOrdered (per-partition heaps), not a single-task
+    # row_number sort over |distinct terms| (r6, round-5 verdict item 1)
     vocab = (
-        totals.select("term", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= F.lit(int(vocab_size)))
+        totals.orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(int(vocab_size))
         .select("term")
     )
     flagged = per.join(

@@ -142,19 +142,27 @@ def rfm_users(events: DataFrame) -> DataFrame:
         "n_events",
         "m_cents",
     )
-    w_n = Window.partitionBy()
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
-    ranked = base.select(
-        "user_id",
-        "recency_days",
-        "n_events",
-        "m_cents",
-        F.row_number().over(w_r).alias("rk_r"),
-        F.row_number().over(w_f).alias("rk_f"),
-        F.row_number().over(w_m).alias("rk_m"),
-        F.count("*").over(w_n).alias("n"),
+    # three chained distributed global ranks (range partition + bounded
+    # offsets — ranking.with_global_rank) instead of three unpartitioned
+    # row_number windows that each single-tasked |users| (r6, round-5
+    # verdict item 1); rank values identical by construction
+    from aroma_spark.operators.ranking import with_global_rank
+
+    ranked = with_global_rank(
+        base,
+        [F.col("recency_days").asc(), F.col("user_id").asc()],
+        rank_col="rk_r",
+        total_col="n",
+    )
+    ranked = with_global_rank(
+        ranked,
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        rank_col="rk_f",
+    )
+    ranked = with_global_rank(
+        ranked,
+        [F.col("m_cents").desc(), F.col("user_id").asc()],
+        rank_col="rk_m",
     )
     def _score(rk: str):
         return F.expr(f"5 - ({rk} - 1) * 5 DIV n").cast("long")
@@ -671,15 +679,16 @@ def spend_activity_deciles(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("active_days"))
     )
     j = spend.join(days, "user_id")
-    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
-    ranked = j.select(
-        "cents",
-        "active_days",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
-            "n"
-        ),
-    )
+    # distributed global rank (ranking.with_global_rank) — no
+    # single-task sort over |users| (r6, round-5 verdict item 1)
+    from aroma_spark.operators.ranking import with_global_rank
+
+    ranked = with_global_rank(
+        j,
+        [F.col("cents").asc(), F.col("user_id").asc()],
+        rank_col="rk",
+        total_col="n",
+    ).select("cents", "active_days", "rk", "n")
     bucketed = ranked.select(
         F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
         "cents",

@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 50
 
+# Edge-count gate for the broadcast iteration path: below this, the
+# label table (<= 2x edges rows of (id, id)) is small enough to ship to
+# every task, collapsing each propagation round from three full shuffle
+# joins to map-side joins + one tiny aggregation exchange. The
+# localCheckpointed frames carry no Catalyst stats, so AQE can never
+# make this call itself; the gate is measured from the materialized
+# edge count (scale-adaptive — a 100 TB pair set keeps the shuffle
+# path). 2M edges ~= tens of MB broadcast, far under executor budgets.
+BROADCAST_EDGES_MAX = 2_000_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -35,6 +45,7 @@ def connected_components(
     id_out: str = "doc_id",
     component_out: str = "component",
     max_iterations: int = MAX_ITERATIONS,
+    broadcast_edges_max: int = BROADCAST_EDGES_MAX,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
     id reachable, so labels are deterministic and engine-portable.
@@ -64,6 +75,11 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    # measured gate (the checkpointed count is a cheap scan): small pair
+    # sets — the normal LSH output — iterate with broadcast joins (r6:
+    # one tiny exchange per round instead of three full shuffle joins);
+    # the shuffle path is unchanged above the gate.
+    small = edges.count() <= broadcast_edges_max
     converged = False
     for _ in range(max_iterations):
         # neighbor's current label, folded with own label; the changed
@@ -71,11 +87,14 @@ def connected_components(
         # label iff this node's label shrinks), so the convergence probe
         # below is a filter-limit over the just-materialized checkpoint
         # — no extra join job per iteration (round-3 verdict item 6).
+        lbl = F.broadcast(labels) if small else labels
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(lbl, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        if small:
+            neighbor_min = F.broadcast(neighbor_min)
         labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"

@@ -163,14 +163,25 @@ def decode_series(encoded: DataFrame) -> DataFrame:
     return encoded.mapInPandas(dec, DECODED_SCHEMA)
 
 
-def codec_roundtrip(signals: DataFrame, value_col: str = "inter_time_us") -> DataFrame:
+def codec_roundtrip(
+    signals: DataFrame,
+    value_col: str = "inter_time_us",
+    assume_clustered: bool = False,
+) -> DataFrame:
     """encode ∘ decode = identity — exposed as a driver-checkable query.
 
     Returns the same rows as the plain signal frame (modulo column set),
     so its DuckDB oracle is ordinary SQL: the codec path must be exact to
     pass the hash compare.
+
+    ``assume_clustered`` forwards to :func:`encode_series`: pass True
+    when ``signals`` comes straight off the per-conversation window
+    (hash-partitioned by conv_id, sorted by (conv_id, ts)) — the encode
+    then rides that layout with ZERO extra exchange/sort (r6: the
+    default path paid a second full repartition+sort of data the window
+    had just ordered).
     """
-    dec = decode_series(encode_series(signals, value_col))
+    dec = decode_series(encode_series(signals, value_col, assume_clustered))
     return dec.select(
         "conv_id",
         "day",

@@ -48,6 +48,12 @@ def _bucket(key: Column, n_buckets: int, salt: str = "pack") -> Column:
 def _with_tokens(
     df: DataFrame, key_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
+    # spread a single-split scan before the (regex-split) token count so
+    # it runs on all cores, not inside one file's scan task (r6; same
+    # guard as dedup._spread_small_input — a no-op at real input sizes)
+    from aroma_spark.operators.dedup import _spread_small_input
+
+    df = _spread_small_input(df)
     c = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(key_col),

@@ -1,0 +1,93 @@
+"""Distributed global ranking — the scale-safe replacement for
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY.
+
+An unpartitioned window physically moves the whole frame into ONE task
+(Catalyst plans Exchange SinglePartition + Sort); correct at sf0.1, a
+serialization wall at 100x (round-5 verdict item 1). This module
+computes the identical global row number with bounded per-task state:
+
+1. ``repartitionByRange`` on the (total) sort order — the same range
+   exchange a distributed ``orderBy`` plans, every partition holds a
+   contiguous key range, no partition larger than ~|rows|/N;
+2. per-partition local ``row_number`` — a window PARTITIONED by the
+   range-partition id, so each sort is partition-local;
+3. per-partition row counts -> exclusive prefix-sum offsets — a
+   single-partition window over AT MOST ``spark.sql.shuffle.partitions``
+   rows (bounded by configuration, not by data), broadcast back;
+4. ``rank = offset + local row_number``.
+
+Correctness requires the ordering to be TOTAL (callers append a unique
+tie-break column, which every call site already does for cross-engine
+determinism). Consistency of the partition ids between the count branch
+and the rank branch is guaranteed by exchange reuse (both branches read
+the same range shuffle) and by the deterministic range sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_OFF = "__gr_off"
+_N = "__gr_n"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rk",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the global 1-based ``row_number() OVER (ORDER BY
+    order_by)`` as ``rank_col`` (and, optionally, the frame's total row
+    count as ``total_col``) without a single-partition sort.
+
+    ``order_by`` must be a TOTAL order (include a unique tie-break).
+    ``num_partitions`` defaults to the session's shuffle parallelism
+    (scale-adaptive; never a local constant).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint pins the partition id as DATA: the count branch
+    # and the rank branch below must see identical pids, and without the
+    # materialization each branch re-plans the range exchange (AQE may
+    # coalesce them differently, shifting every offset)
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .select("*", F.spark_partition_id().alias(_PID))
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
+    # prefix sum over <= num_partitions rows: bounded by configuration,
+    # the one place a single-partition window is a stated invariant
+    w_off = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("__gr_cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+        F.sum("__gr_cnt")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias(_N),
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_by)
+    out = (
+        ranged.join(F.broadcast(offsets), _PID)
+        .select(
+            "*",
+            (F.col(_OFF) + F.row_number().over(w_local))
+            .cast("long")
+            .alias(rank_col),
+        )
+    )
+    keep = [c for c in df.columns] + [rank_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_N))
+        keep.append(total_col)
+    return out.select(*keep)

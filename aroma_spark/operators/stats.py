@@ -503,15 +503,16 @@ def conv_p95_profile(signals: DataFrame) -> DataFrame:
     cp = r1.where(F.col("rk") == F.expr("(95 * n + 99) div 100")).select(
         "conv_id", F.col("g").alias("p95_us")
     )
-    w2 = Window.orderBy("p95_us", "conv_id")
-    r2 = cp.select(
-        "p95_us",
-        F.row_number().over(w2).alias("rk"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("n"),
-    )
+    # distributed global rank over the per-conversation p95 frame — no
+    # single-task sort over |convs| (r6, round-5 verdict item 1)
+    from aroma_spark.operators.ranking import with_global_rank
+
+    r2 = with_global_rank(
+        cp,
+        [F.col("p95_us").asc(), F.col("conv_id").asc()],
+        rank_col="rk",
+        total_col="n",
+    ).select("p95_us", "rk", "n")
     return r2.agg(
         F.max("n").cast("long").alias("n_convs"),
         F.max(

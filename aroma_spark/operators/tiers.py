@@ -86,15 +86,35 @@ def reaggregate(lower: DataFrame, unit: str) -> DataFrame:
     )
 
 
-def rollup_lattice(signals: DataFrame) -> dict[str, DataFrame]:
-    """All tiers; each computed from its parent per TIER_SPECS."""
+def rollup_lattice(
+    signals: DataFrame, materialize: bool = True
+) -> dict[str, DataFrame]:
+    """All tiers; each computed from its parent per TIER_SPECS.
+
+    ``materialize=True`` (default) localCheckpoints each tier as it is
+    built, so the stated algorithm — "each tier re-aggregates the tier
+    below, never the raw table" — is also the *physical* execution: a
+    consumer that acts on several tiers (the bench counts all three)
+    runs the scan+window+base-rollup exactly once, where the lazy
+    chain re-derived the whole prefix per action (3 full scans for 3
+    counts — guide §1.2 "don't compute things you throw away").
+    Checkpointing is per-DataFrame-instance (no CacheManager
+    plan-matching), so every invocation still computes from the
+    parquet inputs. On a cluster the production analog is the parquet
+    tier warehouse (plans/checkpoint.py); in-memory checkpoints are
+    the right default for a one-shot multi-tier computation.
+    ``materialize=False`` returns the fully lazy chain (plan audits).
+    """
     tiers: dict[str, DataFrame] = {}
     for name, (unit, parent) in TIER_SPECS.items():
-        tiers[name] = (
+        tier = (
             rollup_tier(signals, unit)
             if parent is None
             else reaggregate(tiers[parent], unit)
         )
+        if materialize:
+            tier = tier.localCheckpoint()
+        tiers[name] = tier
     return tiers
 
 

@@ -92,13 +92,19 @@ def _stage_quality(
     d2: DataFrame, quality_min: float, repetition_max: float
 ) -> DataFrame:
     """Cheap quality gates (C4/Gopher-style): composite score + duplicate
-    n-gram fraction, both map-only Catalyst."""
-    qual = quality_score(d2).select("doc_id", "quality_score")
-    rep = repetition_score(d2).select("doc_id", "repetition")
+    n-gram fraction, both map-only Catalyst.
+
+    r6 optimization: both scores are appended in ONE projection chain
+    over a parallelism-spread input instead of the old
+    score-then-self-join-twice shape — the upstream stage parquet is a
+    single coalesced file, so the joins ran the (expensive: regex +
+    n-gram transform) scoring single-task three reads deep; same
+    surviving rows, zero joins, all cores (guide §2.4/§2.5)."""
+    from aroma_spark.operators.dedup import _spread_small_input
+
+    scored = repetition_score(quality_score(_spread_small_input(d2)))
     return (
-        d2.join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .where(
+        scored.where(
             (F.col("quality_score") >= quality_min)
             & (F.col("repetition") <= repetition_max)
         )

@@ -143,6 +143,74 @@ def transcripts_from_events(
     return out
 
 
+def signals_from_events(
+    spark: SparkSession, sf_dir: str, conv_prefix: str | None = None
+) -> DataFrame:
+    """Fused transcript+signal derivation: ONE window pass.
+
+    Semantically identical to
+    ``with_signals(transcripts_from_events(...))`` (oracle-verified),
+    but physically one Window operator instead of two: ``turn_idx``
+    (row_number) and the W1 inter-time lag share the same
+    (conv_id | ts, event_id) window spec — ordering by ``turn_idx`` is
+    by construction the same total order — so Catalyst plans a single
+    Exchange + a single Sort where the composed form paid a second
+    full sort (conv_id, turn_idx) that re-ordered already-ordered data.
+
+    ``text_len``/``tool_call`` are computed in the pre-window
+    projection: consumers that never touch the raw ``text`` payload
+    (the whole rollup lattice) let column pruning drop ``text`` below
+    the exchange, so the shuffle carries an int64 instead of the
+    document body — guide §2.3's "project before the exchange".
+    """
+    ev = load_table(spark, sf_dir, "events")
+    if conv_prefix is not None:
+        ranges = _digit_prefix_ranges(conv_prefix)
+        if ranges is not None and not isinstance(
+            ev.schema["user_id"].dataType, StringType
+        ):
+            cond = F.lit(False)
+            for lo, hi in ranges:
+                cond = cond | F.col("user_id").between(lo, hi)
+            ev = ev.where(cond)
+    text_col = F.col("props")
+    ev = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("role"),
+        text_col.alias("text"),
+        F.when(
+            F.col("event_type").isin("click", "purchase"), F.col("event_type")
+        ).alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.coalesce(F.length(text_col), F.lit(0)).cast("long").alias("text_len"),
+        F.when(
+            F.col("event_type").isin("click", "purchase"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tool_call"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    out = ev.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.coalesce(ts_us - F.lag(ts_us, 1).over(w), F.lit(0))
+        .cast("long")
+        .alias("inter_time_us"),
+        "text_len",
+        "tool_call",
+    )
+    if conv_prefix is not None:
+        out = out.where(F.col("conv_id").startswith(conv_prefix))
+    return out
+
+
 # SQL fragment kept in lockstep with transcripts_from_events(); the
 # oracle entries CTE-prefix their queries with it.
 TRANSCRIPTS_SQL = """
