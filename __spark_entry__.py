@@ -482,7 +482,10 @@ def _tier_query(tier_name: str):
         # tiers above 1m are re-aggregated from the tier below (the
         # lattice path); the oracle recomputes directly from raw rows —
         # a match proves the partial-composition is point-exact.
-        return rollup_lattice(_signals(spark, sf_dir))[tier_name]
+        # single-tier consumer: lazy chain (no eager materialization)
+        return rollup_lattice(_signals(spark, sf_dir), materialize=False)[
+            tier_name
+        ]
 
     return q
 
@@ -493,7 +496,7 @@ def _tier_query(tier_name: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: normalize -> signals -> 1m/1h/1d lattice; returns 1h tier."""
     sf_dir = "/root/testdata/sf0.001"
-    tiers = rollup_lattice(_signals(spark, sf_dir))
+    tiers = rollup_lattice(_signals(spark, sf_dir), materialize=False)
     return tiers["1h"]
 
 
@@ -525,7 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rollup_1w(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import reaggregate
 
-        return reaggregate(rollup_lattice(_signals(spark, sf))["1d"], "week")
+        return reaggregate(
+            rollup_lattice(_signals(spark, sf), materialize=False)["1d"],
+            "week",
+        )
 
     q["rollup_1w"] = rollup_1w
     q["rollup_1m_salted"] = lambda spark, sf: rollup_tier_salted(
@@ -533,7 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def gapfill_1h(spark: SparkSession, sf: str) -> DataFrame:
-        tier = rollup_lattice(_signals(spark, sf))["1h"]
+        tier = rollup_lattice(_signals(spark, sf), materialize=False)["1h"]
         tier = tier.withColumn(
             "mean_latency_us",
             F.col("sum_latency_us").cast("double") / F.col("n_points"),
@@ -823,7 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from aroma_spark.operators.tiers import top_convs_per_bucket
 
         return top_convs_per_bucket(
-            rollup_lattice(_signals(spark, sf))["1h"], 5
+            rollup_lattice(_signals(spark, sf), materialize=False)["1h"], 5
         )
 
     q["top_convs_1h"] = top_convs_1h
@@ -834,7 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rollup_1mo(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import reaggregate
 
-        return reaggregate(rollup_lattice(_signals(spark, sf))["1d"], "month")
+        return reaggregate(
+            rollup_lattice(_signals(spark, sf), materialize=False)["1d"],
+            "month",
+        )
 
     q["rollup_1mo"] = rollup_1mo
 
@@ -869,7 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def trend_1d(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.stats import linear_trend
 
-        tier = rollup_lattice(_signals(spark, sf))["1h"]
+        tier = rollup_lattice(_signals(spark, sf), materialize=False)["1h"]
         x = tier.select(
             "conv_id",
             F.to_date("bucket_ts").alias("day"),
@@ -1014,7 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def retention_1d(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.tiers import retention_prune
 
-        tiers = rollup_lattice(_signals(spark, sf))
+        tiers = rollup_lattice(_signals(spark, sf), materialize=False)
         return retention_prune(tiers["1d"], "2024-01-15")
 
     q["retention_1d"] = retention_1d
@@ -1272,7 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bollinger_1h(spark: SparkSession, sf: str) -> DataFrame:
         from aroma_spark.operators.rolling import bollinger_bands
 
-        tier = rollup_lattice(_signals(spark, sf))["1h"]
+        tier = rollup_lattice(_signals(spark, sf), materialize=False)["1h"]
         return bollinger_bands(
             tier, value_col="sum_text_len", n_buckets=24, k=2.0
         )
@@ -1351,7 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from aroma_spark.operators.asof import asof_join
 
         t = transcripts_from_events(spark, sf).select("conv_id", "turn_idx", "ts")
-        tier = rollup_lattice(_signals(spark, sf))["1h"].select(
+        tier = rollup_lattice(_signals(spark, sf), materialize=False)["1h"].select(
             "conv_id",
             (F.col("bucket_ts") + F.expr("interval 1 hour")).alias("closed_ts"),
             "n_points",
@@ -1367,7 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _asof_inputs(spark: SparkSession, sf: str):
         t = transcripts_from_events(spark, sf).select("conv_id", "turn_idx", "ts")
-        tier = rollup_lattice(_signals(spark, sf))["1h"].select(
+        tier = rollup_lattice(_signals(spark, sf), materialize=False)["1h"].select(
             "conv_id",
             (F.col("bucket_ts") + F.expr("interval 1 hour")).alias("closed_ts"),
             "n_points",

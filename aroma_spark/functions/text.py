@@ -1067,6 +1067,8 @@ def lang_source_matrix(documents: DataFrame) -> DataFrame:
         .over(Window.partitionBy("source"))
         .cast("long")
         .alias("source_total"),
+        # bounded global window: frame is the |languages| x |sources|
+        # contingency aggregate
         F.sum("n_docs")
         .over(Window.partitionBy())
         .cast("long")
@@ -1390,6 +1392,8 @@ def word_len_hist(documents: DataFrame, cap: int = 15) -> DataFrame:
     hist = toks.groupBy("word_len").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens")
     )
+    # bounded global window: frame is the |distinct word lengths|-row
+    # histogram
     hist = hist.withColumn(
         "total_tokens",
         F.sum("n_tokens").over(Window.partitionBy()).cast("long"),

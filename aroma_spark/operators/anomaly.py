@@ -453,6 +453,8 @@ def seasonal_residual_outliers(signals: DataFrame) -> DataFrame:
         "med_hod",
         (F.col("n_points") - F.col("med_hod")).alias("residual"),
     )
+    # bounded global windows: frame is the per-hour aggregate (calendar
+    # hours of the horizon), not the raw points
     w_g_rk = Window.orderBy("residual", "hour_ts")
     w_g = Window.partitionBy()
     fenced = resid.select(

@@ -196,16 +196,21 @@ def pareto_revenue(events: DataFrame, pct_x10: int = 8) -> DataFrame:
     per_user = events.groupBy("user_id").agg(
         F.sum(F.expr(CENTS)).cast("long").alias("m")
     )
-    w_cum = Window.orderBy(F.col("m").desc(), F.col("user_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # distributed global running sum (ranking.with_global_cumsum: range
+    # partition + bounded per-partition sum offsets) — no single-task
+    # cumsum over |users| (r6, same class as the verdict-item-1 rank
+    # windows); total/top via a broadcast 1-row aggregate
+    from aroma_spark.operators.ranking import with_global_cumsum
+
+    totals = per_user.agg(
+        F.sum("m").alias("total"), F.max("m").alias("top_m")
     )
-    w_tot = Window.partitionBy()
-    stepped = per_user.select(
+    stepped = with_global_cumsum(
+        per_user,
+        [F.col("m").desc(), F.col("user_id").asc()],
         "m",
-        F.sum("m").over(w_cum).alias("cum"),
-        F.sum("m").over(w_tot).alias("total"),
-        F.max("m").over(w_tot).alias("top_m"),
-    )
+        cum_col="cum",
+    ).crossJoin(F.broadcast(totals)).select("m", "cum", "total", "top_m")
     included = (
         F.lit(10) * (F.col("cum") - F.col("m"))
         < F.lit(pct_x10) * F.col("total")
@@ -583,6 +588,8 @@ def revenue_outlier_days(events: DataFrame) -> DataFrame:
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
         .agg(F.sum(F.expr(CENTS)).cast("long").alias("day_cents"))
     )
+    # bounded global windows: frame is the per-day aggregate (calendar
+    # days of the horizon), not the event table
     w = Window.orderBy("day_cents", "day_ts")
     ranked = daily.select(
         "day_ts",
@@ -742,6 +749,8 @@ def type_hour_lift(events: DataFrame) -> DataFrame:
         .over(Window.partitionBy("hod"))
         .cast("long")
         .alias("hour_total"),
+        # bounded global window: frame is the |event types| x 24
+        # contingency aggregate
         F.sum("n_events")
         .over(Window.partitionBy())
         .cast("long")
@@ -841,6 +850,8 @@ def props_field_hist(events: DataFrame, field: str = "k") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("v").cast("long").alias("sum_value"),
     )
+    # bounded global window: frame is the power-of-two value histogram
+    # (<= 64 rows)
     hist = hist.withColumn(
         "total",
         F.sum("n_events").over(Window.partitionBy()).cast("long"),
@@ -1219,6 +1230,7 @@ def intraday_value_curve(events: DataFrame) -> DataFrame:
         "hour_of_day",
         "cents",
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        # bounded global window: frame is the 24-row hour-of-day aggregate
         F.sum("cents")
         .over(Window.partitionBy())
         .cast("long")

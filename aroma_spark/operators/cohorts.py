@@ -344,6 +344,8 @@ def conv_length_survival(transcripts: DataFrame) -> DataFrame:
     w_sfx = Window.orderBy(F.col("conv_len").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bounded global windows: frame is the |distinct conversation
+    # lengths|-row histogram, not the conversation table
     w_tot = Window.partitionBy()
     stepped = hist.select(
         "conv_len",

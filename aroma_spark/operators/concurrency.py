@@ -415,6 +415,8 @@ def conv_day_turns_hist(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_conv_days"),
         F.sum("n_turns").cast("long").alias("sum_turns"),
     )
+    # bounded global window: frame is the power-of-two bucket histogram
+    # (<= 64 rows at any corpus size), not the conv-day table
     hist = hist.withColumn(
         "total",
         F.sum("n_conv_days").over(Window.partitionBy()).cast("long"),

@@ -57,6 +57,8 @@ def _count_blocks(transcripts: DataFrame, ascending: bool) -> DataFrame:
     w = Window.orderBy(order).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # bounded global windows: frame is the distinct-value count
+    # histogram (the scale-safe decile decomposition), never the corpus
     w_all = Window.partitionBy()
     return hist.select(
         "c",
@@ -212,6 +214,7 @@ def benford_first_digit(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
     )
+    # bounded global window: frame is the 9-row leading-digit histogram
     total = F.sum("n_values").over(Window.partitionBy())
     return agg.select(
         "digit",

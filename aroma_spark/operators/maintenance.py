@@ -465,6 +465,8 @@ def partition_balance_audit(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
     )
+    # bounded global window: frame is the per-bucket aggregate (bucket
+    # keyspace fixed by construction), not the turn table
     agg = agg.withColumn(
         "total_turns",
         F.sum("n_turns").over(Window.partitionBy()).cast("long"),

@@ -91,3 +91,47 @@ def with_global_rank(
         out = out.withColumn(total_col, F.col(_N))
         keep.append(total_col)
     return out.select(*keep)
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive running ``sum(value_col) OVER (ORDER BY
+    order_by ROWS UNBOUNDED PRECEDING..CURRENT)`` without a
+    single-partition sort — same two-phase shape as
+    :func:`with_global_rank`, with per-partition SUM offsets instead of
+    counts. ``order_by`` must be a total order."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .select("*", F.spark_partition_id().alias(_PID))
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy(_PID).agg(
+        F.sum(value_col).alias("__gr_psum")
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("__gr_psum").over(w_off), F.lit(0)).alias(_OFF),
+        F.sum("__gr_psum").over(Window.partitionBy()).alias(_N),
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = ranged.join(F.broadcast(offsets), _PID).select(
+        "*",
+        (F.col(_OFF) + F.sum(value_col).over(w_local)).alias(cum_col),
+    )
+    keep = [c for c in df.columns] + [cum_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_N))
+        keep.append(total_col)
+    return out.select(*keep)

@@ -692,6 +692,8 @@ def tool_diversity(transcripts: DataFrame) -> DataFrame:
     hist = per_conv.groupBy("n_distinct_tools").agg(
         F.count(F.lit(1)).cast("long").alias("n_convs")
     )
+    # bounded global window: frame is the |distinct tool-counts|-row
+    # histogram (<= max tools per conversation, a few dozen), not the corpus
     hist = hist.withColumn(
         "total_convs",
         F.sum("n_convs").over(Window.partitionBy()).cast("long"),
@@ -893,6 +895,7 @@ def weekend_mix(signals: DataFrame) -> DataFrame:
         F.sum("text_len").cast("long").alias("sum_text_len"),
         F.sum("inter_time_us").cast("long").alias("sum_latency_us"),
     )
+    # bounded global window: frame is the 2-row weekend/weekday aggregate
     agg = agg.withColumn(
         "total_turns",
         F.sum("n_turns").over(Window.partitionBy()).cast("long"),
@@ -1116,6 +1119,8 @@ def tool_purchase_lift(transcripts: DataFrame) -> DataFrame:
         .over(Window.partitionBy("purchased"))
         .cast("long")
         .alias("buy_total"),
+        # bounded global window: frame is the 2x2 (used_tool, purchased)
+        # contingency aggregate, four rows at any corpus size
         F.sum("n_conv_days")
         .over(Window.partitionBy())
         .cast("long")

@@ -35,6 +35,148 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- exact Arrow scoring (r6) -------------------------------------------
+#
+# The Catalyst fold above is a CodegenFallback higher-order function:
+# every element is an interpreted lambda call (measured ~14 us per
+# 64-dim cosine — the dominant cost of every ANN query). The Arrow
+# implementations below are BIT-IDENTICAL to the fold: float32 ->
+# float64 cast per element, products accumulated SEQUENTIALLY over
+# dimensions with a 0.0 init (`acc += A[:, d] * B[:, d]` is the same
+# left-fold order, vectorized across rows), norms sqrt'd and multiplied
+# the same way (IEEE ops are correctly rounded; multiplication is
+# commutative bitwise). Verified: 0 mismatching rounded cosines on the
+# sf1.0 cross product, and every oracle-checked ANN query stays
+# hash-green. Rounding stays in Catalyst (F.round's HALF_UP-on-
+# shortest-decimal semantics are not numpy's), so Python emits raw
+# doubles only.
+
+# Corpus-in-closure gate for pair scoring: below this many vectors the
+# (id -> vector) table ships inside the task closure (the
+# brute_force_pairs discipline) and the shuffle carries ONLY skinny
+# (id_a, id_b) pairs — guide §8 "move decisions on lightweight
+# proxies". Above it, scoring falls back to the join path with
+# PRE-COMPUTED per-vector norms (one fold per vector instead of one
+# per pair). 250k x 64 floats ~= 128 MB per executor — the documented
+# broadcast budget.
+MAX_CLOSURE_VECTORS = 250_000
+
+
+def _seq_rowdot(A, B):
+    """Per-row dot in the fold's exact order: sequential over dims,
+    vectorized over rows, 0.0 init."""
+    import numpy as np
+
+    acc = np.zeros(len(A))
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a sub-parallel scan before an Arrow corpus pass —
+    a single-file corpus otherwise runs the whole numpy work in one
+    task (r6; same guard as dedup._spread_small_input, no-op at real
+    input sizes)."""
+    from aroma_spark.operators.dedup import _spread_small_input
+
+    return _spread_small_input(df)
+
+
+def _vec_table(df: DataFrame, id_col: str, vec_col: str):
+    """(ids array, float64 matrix, fold-order norms) from a SMALL frame
+    (queries / codebooks / gate-checked corpora) — the closure payload."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = (
+        np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, 1))
+    )
+    norms = np.sqrt(_seq_rowdot(M, M))
+    return ids, M, norms
+
+
+def score_pairs_exact(
+    pairs: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    out_col: str = "cosine",
+    max_closure_rows: int = MAX_CLOSURE_VECTORS,
+) -> DataFrame:
+    """Exact (fold-order) cosine for every (left_key, right_key) pair.
+
+    ``left``/``right`` are two-column (id, vec) frames; ``pairs``
+    references them via ``left_key``/``right_key``. Small corpora
+    (measured row count <= ``max_closure_rows``): the two vector
+    tables ride the task closure and only the skinny pair ids cross
+    the Python boundary — one gather + one vectorized sequential-dim
+    fold per batch. Larger corpora: two hash joins attach the vectors
+    WITH per-vector norms precomputed before the join, so each pair
+    pays one fold, not three. Both paths emit the bit-identical raw
+    double; rounding is applied here in Catalyst.
+    """
+    l_id, l_vec = left.columns[0], left.columns[1]
+    r_id, r_vec = right.columns[0], right.columns[1]
+    n_left = left.count()
+    n_right = right.count()
+    if max(n_left, n_right) <= max_closure_rows:
+        import numpy as np  # noqa: F401 (np used via _seq_rowdot path)
+        import pandas as pd
+
+        lids, LM, lnorm = _vec_table(left, l_id, l_vec)
+        rids, RM, rnorm = _vec_table(right, r_id, r_vec)
+        lix = pd.Index(lids)
+        rix = pd.Index(rids)
+
+        def fn(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                li = lix.get_indexer(pdf[left_key].to_numpy())
+                ri = rix.get_indexer(pdf[right_key].to_numpy())
+                dd = _seq_rowdot(LM[li], RM[ri])
+                out = pdf.copy()
+                out["__cos_raw"] = dd / (lnorm[li] * rnorm[ri])
+                yield out
+
+        # every pair column passes through (they are skinny by
+        # contract); the heavy vectors never leave the closure
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema
+        )
+        scored = pairs.mapInPandas(fn, f"{schema}, __cos_raw double")
+        return scored.select(
+            *pairs.columns, F.round(F.col("__cos_raw"), 6).alias(out_col)
+        )
+    va = left.select(
+        F.col(l_id).alias(left_key),
+        F.col(l_vec).alias("__va"),
+        _norm(F.col(l_vec)).alias("__na"),
+    )
+    vb = right.select(
+        F.col(r_id).alias(right_key),
+        F.col(r_vec).alias("__vb"),
+        _norm(F.col(r_vec)).alias("__nb"),
+    )
+    return (
+        pairs.join(va, left_key)
+        .join(vb, right_key)
+        .select(
+            *pairs.columns,
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -50,19 +192,48 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    # r6: the query set (small by contract — it was broadcast before)
+    # rides the task closure; the corpus STREAMS through one Arrow pass
+    # that scores every query against each batch with the exact
+    # fold-order arithmetic (see the header note) — replacing the
+    # interpreted per-pair Catalyst fold, the dominant ANN cost.
+    import numpy as np
+    import pandas as pd
+
+    qids, QM, qnorm = _vec_table(queries, id_col, vec_col)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nid = pdf[id_col].to_numpy()
+            cn = np.sqrt(_seq_rowdot(C, C))
+            outs = []
+            for j in range(len(qids)):
+                dd = np.zeros(len(C))
+                for d in range(C.shape[1]):
+                    dd += QM[j, d] * C[:, d]
+                mask = nid != qids[j]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(mask.sum(), qids[j]),
+                            "neighbor_id": nid[mask],
+                            "__cos_raw": (dd / (qnorm[j] * cn))[mask],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        _spread(vectors.select(id_col, vec_col))
+        .mapInPandas(fn, "query_id long, neighbor_id long, __cos_raw double")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(F.col("__cos_raw"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -210,15 +381,46 @@ def ivf_assign(
         if centroids is not None
         else _centroids(vectors, n_centroids, id_col, vec_col)
     )
+    # r6: the (tiny, broadcast-sized) codebook rides the task closure;
+    # one Arrow pass over the corpus scores all centroids per batch in
+    # exact fold order — same values as the old crossJoin + interpreted
+    # Catalyst fold, ~4x less per-task work (see module header note)
+    import numpy as np
+    import pandas as pd
+
+    cids, CM, cnorm = _vec_table(cents, "centroid_id", "cent_vec")
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vid = pdf[id_col].to_numpy()
+            vn = np.sqrt(_seq_rowdot(V, V))
+            outs = []
+            for j in range(len(cids)):
+                dd = np.zeros(len(V))
+                for d in range(V.shape[1]):
+                    dd += V[:, d] * CM[j, d]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: vid,
+                            "centroid_id": np.full(len(V), cids[j]),
+                            "__cos_raw": dd / (vn * cnorm[j]),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     scored = (
-        vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
+        _spread(vectors.select(id_col, vec_col))
+        .mapInPandas(fn, f"{id_col} long, centroid_id long, __cos_raw double")
         .select(
             id_col,
             "centroid_id",
-            F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias(
-                "cent_cosine"
-            ),
+            F.round(F.col("__cos_raw"), 6).alias("cent_cosine"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -277,20 +479,24 @@ def ivf_topk(
         )
         .withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "centroid_id")
     )
-    vb = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
+    # r6: the candidate set stays SKINNY (query_id, neighbor_id) through
+    # the probe join — q_vec no longer rides every candidate row — and
+    # exact scoring happens in score_pairs_exact (closure gather under
+    # the gate, norm-precomputed join above it; bit-identical either way)
+    cand = (
         probed.join(assign, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(vb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id")
+    )
+    scored = score_pairs_exact(
+        cand,
+        queries.select(id_col, vec_col),
+        vectors.select(id_col, vec_col),
+        "query_id",
+        "neighbor_id",
+        out_col="cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -431,7 +637,7 @@ def lsh_signatures_arrow(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return _spread(vectors.select(id_col, vec_col)).mapInPandas(
         fn, f"{id_col} long, band int, sig long"
     )
 
@@ -464,16 +670,29 @@ def brute_force_pairs(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
-            S = np.round(V @ M.T, 6)
+            S = V @ M.T
             bid = pdf[id_col].to_numpy()
+            # pre-mask on the RAW score with a half-ulp-of-rounding
+            # slack, round only the surviving entries (r6: np.round over
+            # the full |batch| x |corpus| matrix was ~2/3 of the pass),
+            # then re-apply the threshold on the rounded value — same
+            # output set: raw >= t - 5.0001e-7 is necessary for
+            # round6(raw) >= t
             ii, jj = np.nonzero(
-                (S >= min_cosine) & (bid[:, None] < ids[None, :])
+                (S >= min_cosine - 5.0001e-7)
+                & (bid[:, None] < ids[None, :])
             )
+            cos = np.round(S[ii, jj], 6)
+            keep = cos >= min_cosine
             yield pd.DataFrame(
-                {"id_a": bid[ii], "id_b": ids[jj], "cosine": S[ii, jj]}
+                {
+                    "id_a": bid[ii][keep],
+                    "id_b": ids[jj][keep],
+                    "cosine": cos[keep],
+                }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return _spread(vectors.select(id_col, vec_col)).mapInPandas(
         fn, "id_a long, id_b long, cosine double"
     )
 
@@ -505,6 +724,61 @@ def ann_recall(
     return hits / n_truth
 
 
+def _bucket_candidates_closure(
+    sigs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    """(id_a, id_b) candidates whose APPROXIMATE bucket-matmul cosine
+    clears ``min_cosine`` minus a strict error slack — closure-gated
+    helper for :func:`lsh_ann_pairs` (see its comment for the exactness
+    argument; survivors are always re-scored exactly).
+
+    One ``applyInPandas`` over (band, sig) buckets: gather the bucket's
+    normalized rows from the closure matrix, matmul in row chunks
+    (bounded temporaries), keep the upper triangle above the slacked
+    threshold. Work is sum of bucket^2 BLAS flops — the LSH banding
+    quadratic — instead of materializing every bucket pair as a row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ids, M, norms = _vec_table(vectors, id_col, vec_col)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Mn = M / norms[:, None]
+    ix = pd.Index(ids)
+    # round-half-up boundary (5.0001e-7) + matmul reassociation bound
+    thresh = min_cosine - 1.5e-6
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vid = pdf[id_col].to_numpy()
+        n = len(vid)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        sub = Mn[ix.get_indexer(vid)]
+        chunk = max(1, 8_000_000 // n)
+        outs_a, outs_b = [], []
+        for s in range(0, n, chunk):
+            S = sub[s : s + chunk] @ sub.T
+            ii, jj = np.nonzero(
+                (S >= thresh) & (vid[s : s + chunk, None] < vid[None, :])
+            )
+            outs_a.append(vid[s + ii])
+            outs_b.append(vid[jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_a),
+                "id_b": np.concatenate(outs_b),
+            }
+        )
+
+    return sigs.groupBy("band", "sig").applyInPandas(
+        fn, "id_a long, id_b long"
+    )
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     n_planes: int = 8,
@@ -529,6 +803,31 @@ def lsh_ann_pairs(
         )
     else:
         sigs = lsh_signatures(vectors, n_planes, dim, id_col, vec_col, n_bands)
+    v2 = vectors.select(id_col, vec_col)
+    if vectors.count() <= MAX_CLOSURE_VECTORS:
+        # r6 closure path: candidate generation AND approximate
+        # pre-filtering happen per (band, sig) bucket in one Arrow pass
+        # — each bucket is gathered from the closure matrix and scored
+        # as a (chunked) BLAS matmul, so the 10^8-row candidate
+        # self-join never materializes (measured 108 s -> the pair join
+        # + per-pair gather moved ~100 GB of vector bytes at sf1.0
+        # b8p4). The matmul is a PRE-FILTER only: its threshold carries
+        # a 1.5e-6 slack that strictly covers reassociation error
+        # (<=1e-12 for unit 64-dim vectors) plus the round-half-up
+        # boundary, and every surviving pair is re-scored by the exact
+        # fold-order arithmetic below — the output set is decided
+        # solely by round6(exact_cos) >= min_cosine, as before.
+        cand = _bucket_candidates_closure(
+            sigs, vectors, id_col, vec_col, min_cosine
+        )
+        return (
+            score_pairs_exact(cand, v2, v2, "id_a", "id_b")
+            .where(F.col("cosine") >= min_cosine)
+            .distinct()
+        )
+    # above the gate: dedup candidates FIRST so the vector-attach joins
+    # (norm-precomputed — one fold per pair, not three) never see
+    # duplicate pairs
     a = sigs.select("band", "sig", F.col(id_col).alias("id_a"))
     b = sigs.select("band", "sig", F.col(id_col).alias("id_b"))
     cand = (
@@ -537,17 +836,8 @@ def lsh_ann_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= min_cosine)
+    return score_pairs_exact(cand, v2, v2, "id_a", "id_b").where(
+        F.col("cosine") >= min_cosine
     )
 
 

@@ -946,6 +946,7 @@ def part_class_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.sum("rev_ch").cast("long").alias("revenue_ch"),
         )
     )
+    # bounded global window: frame is the |part classes|-row aggregate
     agg = agg.withColumn(
         "total_ch",
         F.sum("revenue_ch").over(Window.partitionBy()).cast("long"),
@@ -1065,6 +1066,7 @@ def region_revenue_mix(
             F.sum("rev_ch").cast("long").alias("revenue_ch"),
         )
     )
+    # bounded global window: frame is the |regions|-row aggregate
     agg = agg.withColumn(
         "total_ch",
         F.sum("revenue_ch").over(Window.partitionBy()).cast("long"),
@@ -1102,6 +1104,8 @@ def orders_month_mix(orders: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sum_total_c"),
     )
+    # bounded global window: frame is the calendar-bucket aggregate
+    # (months of the horizon / 7 weekdays), not the order table
     agg = agg.withColumn(
         "all_orders",
         F.sum("n_orders").over(Window.partitionBy()).cast("long"),
@@ -1284,6 +1288,8 @@ def order_interarrival_hist(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.sum("gap_days").cast("long").alias("sum_gap_days"),
     )
+    # bounded global window: frame is the gap-day bucket histogram
+    # (<= 64 power-of-two rows), not the order table
     hist = hist.withColumn(
         "total_gaps",
         F.sum("n_gaps").over(Window.partitionBy()).cast("long"),
@@ -1384,6 +1390,8 @@ def priority_segment_mix(
         .over(Window.partitionBy("o_orderpriority"))
         .cast("long")
         .alias("pri_total"),
+        # bounded global window: frame is the |segment| x |priority|
+        # contingency aggregate (tens of rows at any SF)
         F.sum("n_orders")
         .over(Window.partitionBy())
         .cast("long")
@@ -1434,6 +1442,8 @@ def lines_per_order_hist(lineitem: DataFrame) -> DataFrame:
         F.sum("n_lines").cast("long").alias("sum_lines"),
         F.max("n_lines").cast("long").alias("bucket_max"),
     )
+    # bounded global window: frame is the lines-per-order bucket
+    # histogram (<= 64 power-of-two rows)
     w = Window.partitionBy()
     hist = hist.withColumn(
         "max_lines", F.max("bucket_max").over(w).cast("long")
@@ -1515,6 +1525,8 @@ def orders_dow_mix(orders: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sum_total_c"),
     )
+    # bounded global window: frame is the calendar-bucket aggregate
+    # (months of the horizon / 7 weekdays), not the order table
     agg = agg.withColumn(
         "all_orders",
         F.sum("n_orders").over(Window.partitionBy()).cast("long"),
@@ -1672,6 +1684,8 @@ def discount_hist(lineitem: DataFrame) -> DataFrame:
         .cast("long")
         .alias("discount_ch"),
     )
+    # bounded global window: frame is the |distinct disc_h|-row
+    # aggregate (discounts are hundredths in [0,1] -> <= 101 rows)
     agg = agg.withColumn(
         "total_discount_ch",
         F.sum("discount_ch").over(Window.partitionBy()).cast("long"),
@@ -2310,6 +2324,7 @@ def revenue_seasonal_index(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_months"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+    # bounded global window: frame is the 12-row month-of-year aggregate
     w = Window.partitionBy()
     tot = moy.select(
         "month_of_year",

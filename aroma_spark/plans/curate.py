@@ -102,7 +102,17 @@ def _stage_quality(
     surviving rows, zero joins, all cores (guide §2.4/§2.5)."""
     from aroma_spark.operators.dedup import _spread_small_input
 
-    scored = repetition_score(quality_score(_spread_small_input(d2)))
+    base = _spread_small_input(d2)
+    if base is not d2:
+        # single-split input: pin the spread. Catalyst substitutes the
+        # score expressions into the WHERE below and pushes the
+        # (CodegenFallback-interpreted, expensive) predicate through the
+        # round-robin exchange back into the one-task scan — measured
+        # 32.5 s single-core vs ~2 s spread at sf1.0. The checkpoint is
+        # a barrier pushdown cannot cross; a no-op at real input sizes
+        # (the spread itself doesn't fire).
+        base = base.localCheckpoint()
+    scored = repetition_score(quality_score(base))
     return (
         scored.where(
             (F.col("quality_score") >= quality_min)

@@ -74,6 +74,7 @@ def main() -> None:
     ap.add_argument("--phases", action="store_true")
     ap.add_argument("--lattice", action="store_true")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--no-noop", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("aroma-bench-extra")
@@ -115,12 +116,16 @@ def main() -> None:
         q = qs[name]
         spark.sparkContext.setJobDescription(name)
         cw = time_fn(lambda: q(spark, sf_dir).count(), args.runs)
-        nw = time_fn(lambda: _noop(q(spark, sf_dir)), args.runs)
+        nw = (
+            []
+            if args.no_noop
+            else time_fn(lambda: _noop(q(spark, sf_dir)), args.runs)
+        )
         out["queries"][name] = {
             "count": cw,
             "noop": nw,
             "median_count": _median(cw),
-            "median_noop": _median(nw),
+            "median_noop": _median(nw) if nw else None,
         }
         print(f"{name} count={cw} noop={nw}", flush=True)
         if not args.no_plans:

@@ -48,6 +48,31 @@ def test_descending_with_ties(spark):
     assert [(r.id, r.rk) for r in got] == [(r.id, r.rk) for r in want]
 
 
+def test_cumsum_matches_single_partition_window(spark):
+    from aroma_spark.operators.ranking import with_global_cumsum
+
+    rows = [(i, (i * 13) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        df.select("id", F.sum("v").over(w).alias("cum"))
+        .orderBy("id")
+        .collect()
+    )
+    got = (
+        with_global_cumsum(df, order, "v", cum_col="cum", total_col="tot")
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.cum) for r in got] == [(r.id, r.cum) for r in want]
+    total = sum(v for _, v in rows)
+    assert all(r.tot == total for r in got)
+
+
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "id long, v long")
     out = with_global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rk")
