@@ -61,6 +61,45 @@ def cosine(a: Column, b: Column) -> Column:
 # broadcast budget.
 MAX_CLOSURE_VECTORS = 250_000
 
+# Task-local top-k pre-filter slack (r6 batch 3). The global top-k /
+# argmax windows downstream rank by the 6-dp-ROUNDED cosine with an id
+# tie-break, while the Arrow tasks see raw doubles. A raw gap wider
+# than 1e-6 can never invert under rounding (round moves a value by at
+# most 5e-7 + one ulp each side), so keeping every row within 1.5e-6 of
+# the task-local k-th best raw score is a strict superset of the rows
+# the final window can select — the filter changes row COUNTS crossing
+# the shuffle (|batch| -> ~k per group), never the query result. Rows
+# with non-finite scores are always kept: Spark orders NaN ABOVE every
+# double under DESC, so they are potential winners the threshold math
+# cannot see.
+TOPK_PRUNE_SLACK = 1.5e-6
+
+
+def _topk_keep_mask(groups, scores, k, slack=TOPK_PRUNE_SLACK):
+    """Boolean keep-mask: per group, every row within ``slack`` of the
+    group's k-th best finite score (all rows when the group has <= k),
+    plus every non-finite row. Groups bound the Python loop — callers
+    pass the query id, so iterations per batch <= |query set|."""
+    import numpy as np
+
+    finite = np.isfinite(scores)
+    keep = ~finite
+    idx = np.flatnonzero(finite)
+    if not len(idx):
+        return keep
+    g = np.asarray(groups)[idx]
+    s = scores[idx]
+    order = np.lexsort((-s, g))
+    gs, ss = g[order], s[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    ends = np.r_[starts[1:], len(gs)]
+    th = np.full(len(gs), -np.inf)
+    for a, b in zip(starts, ends):
+        if b - a > k:
+            th[a:b] = ss[a + k - 1] - slack
+    keep[idx[order]] = ss >= th
+    return keep
+
 
 def _seq_rowdot(A, B):
     """Per-row dot in the fold's exact order: sequential over dims,
@@ -107,6 +146,7 @@ def score_pairs_exact(
     right_key: str,
     out_col: str = "cosine",
     max_closure_rows: int = MAX_CLOSURE_VECTORS,
+    prune_topk: int | None = None,
 ) -> DataFrame:
     """Exact (fold-order) cosine for every (left_key, right_key) pair.
 
@@ -119,6 +159,14 @@ def score_pairs_exact(
     WITH per-vector norms precomputed before the join, so each pair
     pays one fold, not three. Both paths emit the bit-identical raw
     double; rounding is applied here in Catalyst.
+
+    ``prune_topk=k`` (closure path only): the caller promises to keep
+    only the top-k rows per ``left_key`` group downstream (by rounded
+    score DESC, id ASC — the ANN window contract), so each batch emits
+    only its local top-k (+ rounding slack, see TOPK_PRUNE_SLACK) per
+    group — a pure row-count reduction into the shuffle, provably
+    containing every row the final window can pick. The join path
+    ignores it (same result either way; the window dedups).
     """
     l_id, l_vec = left.columns[0], left.columns[1]
     r_id, r_vec = right.columns[0], right.columns[1]
@@ -142,6 +190,13 @@ def score_pairs_exact(
                 dd = _seq_rowdot(LM[li], RM[ri])
                 out = pdf.copy()
                 out["__cos_raw"] = dd / (lnorm[li] * rnorm[ri])
+                if prune_topk is not None:
+                    kp = _topk_keep_mask(
+                        out[left_key].to_numpy(),
+                        out["__cos_raw"].to_numpy(),
+                        prune_topk,
+                    )
+                    out = out[kp]
                 yield out
 
         # every pair column passes through (they are skinny by
@@ -215,12 +270,19 @@ def brute_force_topk(
                 for d in range(C.shape[1]):
                     dd += QM[j, d] * C[:, d]
                 mask = nid != qids[j]
+                cos = (dd / (qnorm[j] * cn))[mask]
+                # r6 batch 3: emit only the batch-local top-k (+slack)
+                # per query — the global top-k window downstream cannot
+                # select a row that lost to k rows of its own batch
+                # (see TOPK_PRUNE_SLACK). Shuffle rows drop from
+                # |Q| x |corpus| to ~|Q| x k x n_batches.
+                kp = _topk_keep_mask(np.zeros(len(cos), dtype=np.int8), cos, k)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.full(mask.sum(), qids[j]),
-                            "neighbor_id": nid[mask],
-                            "__cos_raw": (dd / (qnorm[j] * cn))[mask],
+                            "query_id": np.full(int(kp.sum()), qids[j]),
+                            "neighbor_id": nid[mask][kp],
+                            "__cos_raw": cos[kp],
                         }
                     )
                 )
@@ -397,22 +459,33 @@ def ivf_assign(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vid = pdf[id_col].to_numpy()
             vn = np.sqrt(_seq_rowdot(V, V))
-            outs = []
+            cols = []
             for j in range(len(cids)):
                 dd = np.zeros(len(V))
                 for d in range(V.shape[1]):
                     dd += V[:, d] * CM[j, d]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: vid,
-                            "centroid_id": np.full(len(V), cids[j]),
-                            "__cos_raw": dd / (vn * cnorm[j]),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                cols.append(dd / (vn * cnorm[j]))
+            if not cols:
+                continue
+            # r6 batch 3: per-row argmax with the rounding slack — emit
+            # only centroids within TOPK_PRUNE_SLACK of the row max
+            # (plus non-finite scores, which Spark's DESC sort ranks
+            # first), so the argmax window downstream sees ~1 row per
+            # vector instead of n_centroids. A raw gap > 1e-6 cannot
+            # invert under 6-dp rounding, so the winner is always kept.
+            COS = np.column_stack(cols)  # (n, k)
+            rowmax = np.max(COS, axis=1)  # NaN-propagating, see below
+            keep = ~np.isfinite(COS) | (
+                COS >= (rowmax - TOPK_PRUNE_SLACK)[:, None]
+            )
+            ri, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    id_col: vid[ri],
+                    "centroid_id": np.asarray(cids)[cj],
+                    "__cos_raw": COS[ri, cj],
+                }
+            )
 
     scored = (
         _spread(vectors.select(id_col, vec_col))
@@ -485,8 +558,12 @@ def ivf_topk(
     # the probe join — q_vec no longer rides every candidate row — and
     # exact scoring happens in score_pairs_exact (closure gather under
     # the gate, norm-precomputed join above it; bit-identical either way)
+    # r6 batch 3: probed is |queries| x n_probe rows — broadcast it so
+    # the assignment stream is joined map-side (no hash exchange of the
+    # |corpus|-row assign frame on centroid_id; the planner cannot see
+    # probed's size through the window).
     cand = (
-        probed.join(assign, "centroid_id")
+        assign.join(F.broadcast(probed), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
@@ -497,6 +574,10 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         out_col="cosine",
+        # the window below keeps exactly top-k per query, so each Arrow
+        # batch may pre-drop candidates that lost to k rows of its own
+        # batch (r6 batch 3; see TOPK_PRUNE_SLACK)
+        prune_topk=k,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

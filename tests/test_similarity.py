@@ -329,3 +329,104 @@ def test_norm_quartiles_by_label(spark):
     # ranks: p25 -> 1, p50 -> 2, p75 -> 3
     assert (r["p25_sq_fx"], r["p50_sq_fx"], r["p75_sq_fx"]) == (
         100_000_000, 400_000_000, 900_000_000)
+
+
+# --- r6 batch 3: task-local top-k pruning (slack-filtered) ---------------
+
+
+def test_topk_keep_mask_superset_and_slack():
+    """The keep-mask must retain every row the final rounded-DESC window
+    could pick: the top-k by raw score, anything within the rounding
+    slack of the k-th best, and every non-finite score."""
+    from aroma_spark.operators.similarity import _topk_keep_mask
+
+    g = np.array([1, 1, 1, 1, 2, 2, 2])
+    s = np.array([0.9, 0.9 - 1e-6, 0.5, 0.1, np.nan, 0.3, 0.2])
+    m = _topk_keep_mask(g, s, 1)
+    # group 1: 0.9 kept, 0.9-1e-6 within slack (could round-tie), rest out
+    assert m.tolist() == [True, True, False, False, True, True, False]
+    # group of size <= k keeps everything
+    assert _topk_keep_mask(np.array([7]), np.array([0.0]), 3).tolist() == [True]
+    # randomized superset property vs exact raw top-k
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 40, 4000)
+    s = rng.random(4000)
+    m = _topk_keep_mask(g, s, 5)
+    for grp in np.unique(g):
+        sel = s[g == grp]
+        top5 = set(np.sort(sel)[-5:])
+        assert top5 <= set(s[(g == grp) & m])
+
+
+def test_brute_force_topk_prune_matches_reference(spark):
+    """The batch-local pruned emission must reproduce the full-emission
+    result exactly, including engineered rounding near-ties where the
+    raw order and the rounded order disagree."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(60):
+        # a cloud of correlated vectors so many cosines land close
+        rows.append(
+            (int(i), [float(x) for x in base + rng.normal(size=16) * (0.01 + 0.02 * (i % 7))])
+        )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.where(F.col("vec_id") < 4)
+    got = brute_force_topk(corpus, q, k=3).collect()
+    vec = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in corpus.collect()}
+
+    def cos6(a, b):
+        acc = 0.0
+        for d in range(len(a)):
+            acc += a[d] * b[d]
+        na = math.sqrt(sum(a[d] * a[d] for d in range(len(a))))
+        nb = math.sqrt(sum(b[d] * b[d] for d in range(len(b))))
+        return acc / (na * nb)
+
+    for qid in range(4):
+        scored = sorted(
+            (
+                (round(cos6(vec[qid], vec[nid]), 6), -nid, nid)
+                for nid in vec
+                if nid != qid
+            ),
+            reverse=True,
+        )
+        want = [(nid, c) for (c, _negid, nid) in scored[:3]]
+        have = sorted(
+            ((r.rank, r.neighbor_id, r.cosine) for r in got if r.query_id == qid)
+        )
+        assert [(n, c) for (_rk, n, c) in have] == want, (qid, have, want)
+
+
+def test_score_pairs_prune_topk_equals_unpruned(spark):
+    """prune_topk is a row-count reduction only: after the caller's
+    top-k-per-group cut, pruned and unpruned paths must agree."""
+    from pyspark.sql import Window
+
+    from aroma_spark.operators.similarity import score_pairs_exact
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = (
+        vecs.select(F.col("vec_id").alias("qid"))
+        .where(F.col("qid") < 3)
+        .crossJoin(vecs.select(F.col("vec_id").alias("nid")))
+        .where(F.col("qid") != F.col("nid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+
+    def topk(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 4)
+            .select("qid", "nid", "cosine", "rk")
+        )
+
+    left = vecs.select("vec_id", "embedding")
+    a = topk(
+        score_pairs_exact(pairs, left, left, "qid", "nid", prune_topk=4)
+    ).collect()
+    b = topk(score_pairs_exact(pairs, left, left, "qid", "nid")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
